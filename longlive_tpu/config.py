@@ -1,0 +1,214 @@
+"""Model / pipeline configuration.
+
+The reference drives everything from OmegaConf YAML (train.py:24-26,
+inference.py:27, configs/*.yaml).  We keep YAML-compatible config parsing
+(same keys as configs/longlive_inference.yaml etc.) on top of typed frozen
+dataclasses so the geometry is static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    """Geometry of the (causal) Wan DiT.
+
+    Defaults = Wan2.1-T2V-1.3B @ 480x832 with LongLive attention settings
+    (reference wan/configs/wan_t2v_1_3B.py:20-29,
+    configs/longlive_inference.yaml:9-12).
+    """
+
+    dim: int = 1536
+    ffn_dim: int = 8960
+    num_heads: int = 12
+    num_layers: int = 30
+    in_dim: int = 16
+    out_dim: int = 16
+    text_dim: int = 4096
+    text_len: int = 512
+    freq_dim: int = 256
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    qk_norm: bool = True
+    cross_attn_norm: bool = True
+    eps: float = 1e-6
+    # causal attention structure
+    local_attn_size: int = 12  # frames in the attention window (-1 = global)
+    sink_size: int = 3  # frames pinned at the start (frame sink)
+    num_frame_per_block: int = 3
+    rope_max_pos: int = 1024
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentGeometry:
+    """Latent-video geometry. 480x832 pixels -> 60x104 latents -> 30x52
+    patches = 1560 tokens/frame (reference pipeline/causal_inference.py:41)."""
+
+    channels: int = 16
+    height: int = 60
+    width: int = 104
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+
+    @property
+    def tokens_h(self) -> int:
+        return self.height // self.patch_size[1]
+
+    @property
+    def tokens_w(self) -> int:
+        return self.width // self.patch_size[2]
+
+    @property
+    def frame_seq_length(self) -> int:
+        return self.tokens_h * self.tokens_w
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """Static geometry of the frame-sink + ring-window KV cache.
+
+    The reference sizes the cache at ``local_attn_size * frame_seq_length``
+    tokens, keeps ``sink_size`` frames pinned, and rolls the rest
+    (pipeline/causal_inference.py:109-127, wan/modules/causal_model.py:231-287).
+    Here the rolling region is a ring buffer: frame ``f`` lives at frame-slot
+    ``sink + (f - ring_base) % ring_frames`` and nothing ever moves.
+    """
+
+    sink_frames: int = 3
+    ring_frames: int = 9  # local_attn_size - sink_size
+    frame_seq: int = 1560
+
+    @property
+    def total_frames(self) -> int:
+        return self.sink_frames + self.ring_frames
+
+    @property
+    def size_tokens(self) -> int:
+        return self.total_frames * self.frame_seq
+
+    @property
+    def sink_tokens(self) -> int:
+        return self.sink_frames * self.frame_seq
+
+    @staticmethod
+    def from_model(
+        cfg: DiTConfig, geom: LatentGeometry, num_output_frames: int
+    ) -> "CacheConfig":
+        """Mirrors the reference sizing policy: local window when
+        local_attn_size != -1, else the full video length
+        (pipeline/causal_inference.py:110-127)."""
+        if cfg.local_attn_size != -1:
+            sink = cfg.sink_size
+            ring = cfg.local_attn_size - cfg.sink_size
+        else:
+            sink = cfg.sink_size
+            ring = num_output_frames - cfg.sink_size
+        return CacheConfig(
+            sink_frames=sink, ring_frames=ring, frame_seq=geom.frame_seq_length
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Run configuration (reference configs/longlive_inference.yaml keys)."""
+
+    denoising_step_list: Tuple[int, ...] = (1000, 750, 500, 250)
+    warp_denoising_step: bool = True
+    num_frame_per_block: int = 3
+    timestep_shift: float = 5.0
+    local_attn_size: int = 12
+    sink_size: int = 3
+    num_output_frames: int = 120
+    context_noise: int = 0
+    global_sink: bool = True
+    seed: int = 0
+    switch_frame_indices: Tuple[int, ...] = ()
+    model_name: str = "Wan2.1-T2V-1.3B"
+    data_path: Optional[str] = None
+    output_folder: Optional[str] = None
+    generator_ckpt: Optional[str] = None
+    lora_ckpt: Optional[str] = None
+    profile: bool = False
+    extras: dict = dataclasses.field(default_factory=dict)
+
+    def dit_config(self) -> DiTConfig:
+        return DiTConfig(
+            local_attn_size=self.local_attn_size,
+            sink_size=self.sink_size,
+            num_frame_per_block=self.num_frame_per_block,
+        )
+
+
+def _parse_switch_indices(v: Any) -> Tuple[int, ...]:
+    # interactive config stores "40, 80, 120, 160, 200" as a string
+    # (configs/longlive_interactive_inference.yaml:27, parsed at
+    # interactive_inference.py:146-163)
+    if v is None:
+        return ()
+    if isinstance(v, str):
+        return tuple(int(s) for s in v.replace(",", " ").split())
+    return tuple(int(s) for s in v)
+
+
+def load_pipeline_config(path: str) -> PipelineConfig:
+    """Loads a reference-format YAML config (e.g. longlive_inference.yaml)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return pipeline_config_from_dict(raw)
+
+
+def pipeline_config_from_dict(raw: dict) -> PipelineConfig:
+    mk = raw.get("model_kwargs", {}) or {}
+    known = dict(
+        denoising_step_list=tuple(raw.get("denoising_step_list", (1000, 750, 500, 250))),
+        warp_denoising_step=bool(raw.get("warp_denoising_step", True)),
+        num_frame_per_block=int(raw.get("num_frame_per_block", 3)),
+        timestep_shift=float(mk.get("timestep_shift", 5.0)),
+        local_attn_size=int(mk.get("local_attn_size", -1)),
+        sink_size=int(mk.get("sink_size", 0)),
+        num_output_frames=int(raw.get("num_output_frames", 120)),
+        context_noise=int(raw.get("context_noise", 0)),
+        global_sink=bool(raw.get("global_sink", False)),
+        seed=int(raw.get("seed", 0)),
+        switch_frame_indices=_parse_switch_indices(raw.get("switch_frame_indices")),
+        model_name=raw.get("model_name", "Wan2.1-T2V-1.3B"),
+        data_path=raw.get("data_path"),
+        output_folder=raw.get("output_folder"),
+        generator_ckpt=raw.get("generator_ckpt"),
+        lora_ckpt=raw.get("lora_ckpt"),
+        profile=bool(raw.get("profile", False)),
+    )
+    extras = {k: v for k, v in raw.items() if k not in known and k != "model_kwargs"}
+    return PipelineConfig(extras=extras, **known)
+
+
+# Small geometry used by unit tests: keeps every code path (sink, ring,
+# blocks, RoPE splits) while being ~1000x cheaper than the 1.3B shapes.
+def tiny_dit_config() -> DiTConfig:
+    return DiTConfig(
+        dim=96,
+        ffn_dim=128,
+        num_heads=4,
+        num_layers=2,
+        in_dim=4,
+        out_dim=4,
+        text_dim=32,
+        text_len=16,
+        freq_dim=32,
+        local_attn_size=4,
+        sink_size=1,
+        num_frame_per_block=1,
+        rope_max_pos=64,
+    )
+
+
+def tiny_geometry() -> LatentGeometry:
+    return LatentGeometry(channels=4, height=8, width=8)

@@ -1,0 +1,91 @@
+"""Minimal functional NN primitives shared by the models.
+
+Dtype policy mirrors the reference: matmuls run in the parameter dtype
+(bf16 at inference), normalizations compute in float32 and cast back
+(WanRMSNorm: wan/modules/model.py:70-86; WanLayerNorm: model.py:89-99).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(x: jax.Array, p: dict) -> jax.Array:
+    """x @ kernel + bias.  kernel: [in, out]; bias optional."""
+    y = jnp.dot(x, p["kernel"], preferred_element_type=x.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def layer_norm(
+    x: jax.Array,
+    eps: float = 1e-6,
+    scale: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """LayerNorm in f32, cast back (WanLayerNorm, model.py:89-99)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.astype(dtype)
+    if scale is not None:
+        y = y * scale
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm in f32, cast back, then scale (WanRMSNorm, model.py:70-86)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return y.astype(dtype) * weight
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """GELU(approximate='tanh') (ref nn.GELU(approximate='tanh'))."""
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + jnp.tanh(math.sqrt(2.0 / math.pi) * (xf + 0.044715 * xf**3)))
+    return y.astype(x.dtype)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# initializers (reference init_weights: causal_model.py:1265-1287)
+
+
+def xavier_uniform(rng, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[-2], shape[-1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, -limit, limit)
+
+
+def normal_init(rng, shape, std, dtype=jnp.float32):
+    return jax.random.normal(rng, shape, dtype) * std
+
+
+def init_linear(rng, d_in, d_out, init="xavier", std=0.02, bias=True, dtype=jnp.float32):
+    kr, _ = jax.random.split(rng)
+    if init == "xavier":
+        kernel = xavier_uniform(kr, (d_in, d_out), dtype)
+    elif init == "normal":
+        kernel = normal_init(kr, (d_in, d_out), std, dtype)
+    elif init == "zeros":
+        kernel = jnp.zeros((d_in, d_out), dtype)
+    else:
+        raise ValueError(init)
+    p = {"kernel": kernel}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p

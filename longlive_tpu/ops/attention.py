@@ -1,0 +1,206 @@
+"""Attention kernels for the causal DiT.
+
+The reference dispatches FlashAttention-2/3 CUDA kernels for decode attention
+over [sink ++ window] (wan/modules/attention.py:43-197,
+causal_model.py:331-360) and torch.compile(flex_attention) Triton kernels for
+masked prefill (causal_model.py:28-29,168-204).  Here:
+
+- ``flash_attention``: a Pallas TPU flash-attention kernel (online softmax,
+  never materializes logits) over arbitrary [B, S, N, D] with an optional
+  per-KV-token additive bias.  Used for decode (Sq = one block, Skv = cache)
+  and for recache prefill (Sq = window, Skv = cache) — the reference's
+  recache forward is also dense over the window (its flex block-mask is
+  ignored on the cached path, interactive_causal_inference.py:84-96 ->
+  causal_model.py:205+).
+- ``dense_attention``: an XLA einsum fallback for tests / tiny shapes / CPU.
+- ``attend``: dispatcher.
+
+Layout convention matches the reference: [B, S, N, D] (batch, seq, heads,
+head_dim), softmax scale 1/sqrt(D).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def dense_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference attention: softmax(q k^T / sqrt(d) + bias) v.
+
+    q: [B, Sq, N, D]; k, v: [B, Skv, N, D]; bias broadcastable to
+    [B, N, Sq, Skv] (commonly [B, 1, 1, Skv]).  Logits in f32.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum(
+        "bsnd,btnd->bnst", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnst,btnd->bsnd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    """One (head, q_block, kv_block) grid step of flash attention.
+
+    Refs: q [1, bq, D]; k, v [1, bkv, D]; bias [1, bkv] f32; out [1, bq, D].
+    Scratch: m, l [bq, 1] f32; acc [bq, D] f32.  The kv grid dimension is
+    innermost, so scratch carries the online-softmax state across kv blocks.
+    """
+    ikv = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [bq, D]
+    k = k_ref[0]  # [bkv, D]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale + bias_ref[0][None, :]
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(ikv == nkv - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _pad_axis(x: jax.Array, axis: int, to: int, value=0.0) -> jax.Array:
+    pad = to - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_kv", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    block_q: int = 256,
+    block_kv: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas flash attention.
+
+    q: [B, Sq, N, D]; k, v: [B, Skv, N, D]; bias: [B, Skv] f32 additive
+    (0 for valid, -inf for masked) or None.  Returns [B, Sq, N, D].
+    """
+    b, sq, n, d = q.shape
+    skv = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    sq_p = -(-sq // block_q) * block_q
+    skv_p = -(-skv // block_kv) * block_kv
+
+    if bias is None:
+        bias = jnp.zeros((b, skv), jnp.float32)
+    bias = _pad_axis(bias.astype(jnp.float32), 1, skv_p, value=_NEG_INF)
+
+    # [B, S, N, D] -> [B*N, S, D]
+    qt = _pad_axis(q, 1, sq_p).transpose(0, 2, 1, 3).reshape(b * n, sq_p, d)
+    kt = _pad_axis(k, 1, skv_p).transpose(0, 2, 1, 3).reshape(b * n, skv_p, d)
+    vt = _pad_axis(v, 1, skv_p).transpose(0, 2, 1, 3).reshape(b * n, skv_p, d)
+
+    grid = (b * n, sq_p // block_q, skv_p // block_kv)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_kv), lambda h, iq, ikv: (h // n, ikv), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bias, qt, kt, vt)
+
+    out = out.reshape(b, n, sq_p, d).transpose(0, 2, 1, 3)
+    return out[:, :sq]
+
+
+def attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_valid: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend)."""
+    b, _, n, d = q.shape
+    bias = None
+    if kv_valid is not None:
+        if kv_valid.ndim == 1:
+            kv_valid = kv_valid[None, :]
+        bias = jnp.where(kv_valid, 0.0, _NEG_INF).astype(jnp.float32)
+
+    if impl == "auto":
+        impl = "pallas" if (jax.default_backend() == "tpu" and d % 128 == 0) else "xla"
+
+    if impl == "pallas":
+        return flash_attention(q, k, v, bias)
+    if impl == "pallas_interpret":
+        return flash_attention(q, k, v, bias, interpret=True)
+    dense_bias = None if bias is None else bias[:, None, None, :]
+    return dense_attention(q, k, v, dense_bias)

@@ -1,0 +1,172 @@
+"""Functional frame-sink + ring-window KV cache.
+
+This replaces the reference's mutable per-layer cache dicts and their
+clone / roll / insert / deferred-commit machinery
+(wan/modules/causal_model.py:228-325, 849-905) with branch-free index math on
+an immutable pytree.  Key ideas:
+
+- The cache buffer is ``[sink | ring]`` frames.  Frame ``f`` lives at
+  frame-slot ``f`` if ``f < sink`` else ``sink + (f - ring_base) % ring``.
+  Nothing is ever rolled or cloned; steady-state eviction is just the ring
+  overwriting the oldest slot — the reference's roll drops exactly the same
+  frames because block size divides the ring size.
+- Decode attention in the reference is dense over [sink ++ window] with *no*
+  intra-window mask (causal_model.py:331-360), so slot order inside the ring
+  is irrelevant; only a validity mask is needed during warmup.
+- The reference's ``is_recompute`` pointer bookkeeping (causal_model.py:230,
+  900-904) disappears: the 4 denoise passes simply *discard* the cache they
+  wrote (their writes land in the same slots), and the clean-context commit
+  pass returns the cache that survives.
+- ``ring_base`` generalizes prompt-switch KV-recache
+  (pipeline/interactive_causal_inference.py:34-106): after replaying the last
+  ``n`` frames ending at frame ``c``, the reference leaves them packed
+  linearly at the front of the buffer; setting ``ring_base = c - n + sink``
+  makes subsequent ring writes evict in exactly the reference's order.
+
+All scalars are int32 device scalars so that a single jitted program serves
+every block position.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KVCache:
+    """Stacked per-layer KV cache.
+
+    k, v:        [L, B, size_tokens, num_heads, head_dim] (roped keys).
+    ring_base:   [] int32 — absolute frame mapped to ring slot 0.
+    sink_filled: [] int32 — valid frames in the sink region.
+    ring_filled: [] int32 — valid frame-slots in the ring region.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    ring_base: jax.Array
+    sink_filled: jax.Array
+    ring_filled: jax.Array
+
+
+def init_cache(
+    cfg: CacheConfig,
+    num_layers: int,
+    batch: int,
+    num_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    shape = (num_layers, batch, cfg.size_tokens, num_heads, head_dim)
+    zero = jnp.zeros([], jnp.int32)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        ring_base=jnp.full([], cfg.sink_frames, jnp.int32),
+        sink_filled=zero,
+        ring_filled=zero,
+    )
+
+
+def frame_slot(cfg: CacheConfig, frame: jax.Array, ring_base: jax.Array) -> jax.Array:
+    """Frame-granular cache slot for absolute frame index ``frame``."""
+    frame = jnp.asarray(frame, jnp.int32)
+    in_sink = frame < cfg.sink_frames
+    ring_slot = cfg.sink_frames + jnp.mod(frame - ring_base, cfg.ring_frames)
+    return jnp.where(in_sink, frame, ring_slot)
+
+
+def block_write_offsets(
+    cfg: CacheConfig, cache: KVCache, start_frame: jax.Array, num_frames: int
+) -> jax.Array:
+    """[num_frames] int32 token offsets into the cache buffer for the frames
+    [start_frame, start_frame + num_frames)."""
+    frames = jnp.asarray(start_frame, jnp.int32) + jnp.arange(num_frames, dtype=jnp.int32)
+    slots = frame_slot(cfg, frames, cache.ring_base)
+    return slots * cfg.frame_seq
+
+
+def write_block_kv(
+    cfg: CacheConfig,
+    cache_k_layer: jax.Array,  # [B, size_tokens, N, D]
+    cache_v_layer: jax.Array,
+    new_k: jax.Array,  # [B, F*frame_seq, N, D] (roped)
+    new_v: jax.Array,
+    offsets: jax.Array,  # [F] from block_write_offsets
+) -> Tuple[jax.Array, jax.Array]:
+    """Writes a block's roped K/V into one layer's cache buffer, one frame at
+    a time (frames may map to non-contiguous slots)."""
+    num_frames = offsets.shape[0]
+    fs = cfg.frame_seq
+    k, v = cache_k_layer, cache_v_layer
+    for i in range(num_frames):
+        kf = jax.lax.dynamic_slice_in_dim(new_k, i * fs, fs, axis=1)
+        vf = jax.lax.dynamic_slice_in_dim(new_v, i * fs, fs, axis=1)
+        k = jax.lax.dynamic_update_slice_in_dim(k, kf.astype(k.dtype), offsets[i], axis=1)
+        v = jax.lax.dynamic_update_slice_in_dim(v, vf.astype(v.dtype), offsets[i], axis=1)
+    return k, v
+
+
+def advance(cfg: CacheConfig, cache: KVCache, start_frame, num_frames: int) -> KVCache:
+    """Counter update after committing a block at [start_frame, +num_frames)."""
+    start = jnp.asarray(start_frame, jnp.int32)
+    end = start + num_frames
+    sink_filled = jnp.maximum(cache.sink_filled, jnp.minimum(end, cfg.sink_frames))
+    to_ring = jnp.maximum(end - jnp.maximum(start, cfg.sink_frames), 0)
+    ring_filled = jnp.minimum(cache.ring_filled + to_ring, cfg.ring_frames)
+    return dataclasses.replace(cache, sink_filled=sink_filled, ring_filled=ring_filled)
+
+
+def validity_mask(
+    cfg: CacheConfig,
+    cache: KVCache,
+    start_frame,
+    num_frames: int,
+    token_level: bool = True,
+) -> jax.Array:
+    """Boolean mask over cache slots that attention may see for a forward at
+    [start_frame, +num_frames).  Includes the current block (the reference
+    window always contains the tokens being denoised,
+    causal_model.py:331-360)."""
+    after = advance(cfg, cache, start_frame, num_frames)
+    slots = jnp.arange(cfg.total_frames, dtype=jnp.int32)
+    in_sink = slots < cfg.sink_frames
+    valid = jnp.where(
+        in_sink, slots < after.sink_filled, (slots - cfg.sink_frames) < after.ring_filled
+    )
+    if token_level:
+        valid = jnp.repeat(valid, cfg.frame_seq)
+    return valid
+
+
+def recache_state(
+    cfg: CacheConfig, cache: KVCache, end_frame, num_recache_frames
+) -> KVCache:
+    """Scalar-state update for a KV-recache that replayed frames
+    [end_frame - n, end_frame) packed linearly at the front of the buffer
+    (reference interactive_causal_inference.py:34-106).  The buffer contents
+    are rewritten by the recache forward itself."""
+    end = jnp.asarray(end_frame, jnp.int32)
+    n = jnp.asarray(num_recache_frames, jnp.int32)
+    return dataclasses.replace(
+        cache,
+        ring_base=end - n + cfg.sink_frames,
+        sink_filled=jnp.minimum(n, cfg.sink_frames),
+        ring_filled=jnp.clip(n - cfg.sink_frames, 0, cfg.ring_frames),
+    )
+
+
+def zero_cache(cache: KVCache) -> KVCache:
+    """Zeroes buffer contents, keeping scalars (the reference zeroes k/v but
+    *not* the end indices at a prompt switch,
+    interactive_causal_inference.py:38-45)."""
+    return dataclasses.replace(
+        cache, k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v)
+    )

@@ -1,0 +1,68 @@
+"""Flash-attention kernel vs dense reference; embedding goldens."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+import pytest
+
+from longlive_tpu.ops import attention as A
+from longlive_tpu.ops.embeddings import sinusoidal_embedding_1d
+
+
+def test_dense_attention_matches_torch_sdpa():
+    rng = np.random.RandomState(0)
+    b, sq, skv, n, d = 2, 16, 24, 3, 32
+    q = rng.randn(b, sq, n, d).astype(np.float32)
+    k = rng.randn(b, skv, n, d).astype(np.float32)
+    v = rng.randn(b, skv, n, d).astype(np.float32)
+    ref = (
+        torch.nn.functional.scaled_dot_product_attention(
+            torch.from_numpy(q).transpose(1, 2),
+            torch.from_numpy(k).transpose(1, 2),
+            torch.from_numpy(v).transpose(1, 2),
+        )
+        .transpose(1, 2)
+        .numpy()
+    )
+    out = A.dense_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("sq,skv", [(16, 32), (40, 72), (256, 1024)])
+def test_flash_matches_dense(sq, skv):
+    rng = np.random.RandomState(1)
+    b, n, d = 1, 2, 128
+    q = jnp.asarray(rng.randn(b, sq, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, skv, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, skv, n, d), jnp.float32)
+    valid = jnp.asarray(rng.rand(b, skv) > 0.3)
+    valid = valid.at[:, :4].set(True)  # never fully masked
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+
+    ref = A.dense_attention(q, k, v, bias[:, None, None, :])
+    out = A.flash_attention(q, k, v, bias, block_q=128, block_kv=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_ragged_padding():
+    # seq lengths not divisible by blocks exercise the pad/slice path
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 100, 1, 128), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 177, 1, 128), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 177, 1, 128), jnp.float32)
+    ref = A.dense_attention(q, k, v)
+    out = A.flash_attention(q, k, v, None, block_q=64, block_kv=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_sinusoidal_embedding_matches_reference():
+    # reference wan/modules/model.py:15-25
+    t = torch.tensor([0.0, 1.0, 250.0, 937.5], dtype=torch.float64)
+    half = 128
+    sinusoid = torch.outer(
+        t, torch.pow(10000, -torch.arange(half).to(t).div(half))
+    )
+    ref = torch.cat([torch.cos(sinusoid), torch.sin(sinusoid)], dim=1).numpy()
+    out = sinusoidal_embedding_1d(256, jnp.asarray([0.0, 1.0, 250.0, 937.5]))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
