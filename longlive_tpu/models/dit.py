@@ -1,0 +1,450 @@
+"""Causal Wan DiT, TPU-native functional re-design.
+
+Re-implements the semantics of the reference ``CausalWanModel``
+(wan/modules/causal_model.py:511-1068) as pure functions over a stacked-layer
+parameter pytree:
+
+- the 30 transformer layers run under one ``lax.scan`` with parameters
+  stacked on a leading [L] axis — one compiled layer body instead of 30
+  Python-dispatched modules;
+- the KV cache is the functional ring buffer from ``ops.kv_cache`` — the
+  reference's per-layer clone/roll/insert + deferred `_apply_cache_updates`
+  (causal_model.py:250-325, 849-905) becomes per-frame
+  ``dynamic_update_slice`` writes at computed slots;
+- RoPE uses absolute ``start_frame`` offsets (causal_model.py:206-211);
+- cross-attention K/V are precomputed once per prompt
+  (``prepare_cross_kv``), replacing the lazily-initialized crossattn_cache
+  (wan/modules/model.py:174-183);
+- adaLN: 6-way per-frame modulation per block + 2-way at the head
+  (causal_model.py:413-477, 480-508).
+
+Layer math parity is tested against a from-scratch torch re-derivation in
+tests/test_dit.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig, DiTConfig
+from ..ops import kv_cache as kvc
+from ..ops.attention import attend, dense_attention
+from ..ops.embeddings import sinusoidal_embedding_1d
+from ..ops.rope import RopeTables, apply_rotary, make_rope_tables, rope_multipliers
+from . import nn
+
+
+class CrossKV(NamedTuple):
+    """Per-layer cross-attention K/V for one (padded) prompt.
+    k, v: [L, B, text_len, N, D]."""
+
+    k: jax.Array
+    v: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# parameter initialization
+
+
+def init_dit_params(rng: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> dict:
+    """Random init mirroring reference init_weights
+    (causal_model.py:1265-1287): xavier for linears, N(0, .02) for text/time
+    embeddings, zeros for the head projection."""
+    d, ffn, L = cfg.dim, cfg.ffn_dim, cfg.num_layers
+    pt = math.prod(cfg.patch_size)
+    keys = iter(jax.random.split(rng, 64))
+
+    def lin(d_in, d_out, init="xavier", std=0.02, bias=True):
+        return nn.init_linear(next(keys), d_in, d_out, init, std, bias, dtype)
+
+    def stacked_lin(d_in, d_out, bias=True):
+        ks = jax.random.split(next(keys), L)
+        p = jax.vmap(lambda k: nn.init_linear(k, d_in, d_out, "xavier", bias=bias, dtype=dtype))(
+            ks
+        )
+        return p
+
+    def attn_params():
+        p = {
+            "q": stacked_lin(d, d),
+            "k": stacked_lin(d, d),
+            "v": stacked_lin(d, d),
+            "o": stacked_lin(d, d),
+        }
+        if cfg.qk_norm:
+            p["norm_q"] = {"scale": jnp.ones((L, d), dtype)}
+            p["norm_k"] = {"scale": jnp.ones((L, d), dtype)}
+        return p
+
+    blocks = {
+        "self_attn": attn_params(),
+        "cross_attn": attn_params(),
+        "ffn": {"fc1": stacked_lin(d, ffn), "fc2": stacked_lin(ffn, d)},
+        "modulation": jax.random.normal(next(keys), (L, 6, d), dtype) / math.sqrt(d),
+    }
+    if cfg.cross_attn_norm:
+        blocks["norm3"] = {
+            "scale": jnp.ones((L, d), dtype),
+            "bias": jnp.zeros((L, d), dtype),
+        }
+
+    return {
+        "patch_embedding": lin(cfg.in_dim * pt, d),
+        "text_embedding": {
+            "fc1": lin(cfg.text_dim, d, "normal"),
+            "fc2": lin(d, d, "normal"),
+        },
+        "time_embedding": {
+            "fc1": lin(cfg.freq_dim, d, "normal"),
+            "fc2": lin(d, d, "normal"),
+        },
+        "time_projection": {"fc": lin(d, 6 * d)},
+        "blocks": blocks,
+        "head": {
+            "head": lin(d, cfg.out_dim * pt, "zeros"),
+            "modulation": jax.random.normal(next(keys), (2, d), dtype) / math.sqrt(d),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# patching
+
+
+def patchify(x: jax.Array, cfg: DiTConfig) -> jax.Array:
+    """[B, F, C, H, W] -> [B, F*(H/ph)*(W/pw), C*ph*pw] with the channel-major
+    patch order of Conv3d (weight [dim, C, pt, ph, pw]) and f,h,w token order
+    (causal_model.py:959-966)."""
+    pt, ph, pw = cfg.patch_size
+    assert pt == 1, "temporal patch 1 (Wan uses (1,2,2))"
+    b, f, c, h, w = x.shape
+    x = x.reshape(b, f, c, h // ph, ph, w // pw, pw)
+    # -> [B, F, H', W', C, ph, pw]
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6)
+    return x.reshape(b, f * (h // ph) * (w // pw), c * ph * pw)
+
+
+def unpatchify(tokens: jax.Array, cfg: DiTConfig, f: int, h: int, w: int) -> jax.Array:
+    """[B, S, out*ph*pw] -> [B, F, C_out, H, W] (ref unpatchify
+    causal_model.py:1240-1263, einsum 'fhwpqrc->cfphqwr')."""
+    pt, ph, pw = cfg.patch_size
+    b = tokens.shape[0]
+    hp, wp = h // ph, w // pw
+    x = tokens.reshape(b, f, hp, wp, pt, ph, pw, cfg.out_dim)
+    # [B, F, H', W', pt, ph, pw, C] -> [B, F, C, H', ph, W', pw]
+    x = x.transpose(0, 1, 7, 2, 5, 3, 6, 4).squeeze(-1)
+    return x.reshape(b, f, cfg.out_dim, h, w)
+
+
+# ---------------------------------------------------------------------------
+# embeddings / conditioning
+
+
+def time_modulation(params: dict, cfg: DiTConfig, t: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
+    """t: [B, F] timesteps -> (e [B, F, dim], e0 [B, F, 6, dim])
+    (causal_model.py:974-979)."""
+    b, f = t.shape
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, t.reshape(-1)).astype(dtype)
+    e = nn.linear(nn.silu(nn.linear(emb, params["time_embedding"]["fc1"])),
+                  params["time_embedding"]["fc2"])
+    e0 = nn.linear(nn.silu(e), params["time_projection"]["fc"])
+    return e.reshape(b, f, cfg.dim), e0.reshape(b, f, 6, cfg.dim)
+
+
+def embed_text(params: dict, prompt_embeds: jax.Array, dtype) -> jax.Array:
+    """T5 features [B, text_len, text_dim] -> context [B, text_len, dim]
+    (causal_model.py:601-603, 984-989).  Padding rows stay zero-embedded and
+    *participate* in cross attention, matching the reference (no k_lens mask
+    on the t2v cross-attn path, model.py:159-194)."""
+    p = params["text_embedding"]
+    x = prompt_embeds.astype(dtype)
+    return nn.linear(nn.gelu_tanh(nn.linear(x, p["fc1"])), p["fc2"])
+
+
+def prepare_cross_kv(params: dict, cfg: DiTConfig, prompt_embeds: jax.Array,
+                     dtype=jnp.bfloat16) -> CrossKV:
+    """Precomputes per-layer cross-attention K/V for a prompt — the
+    functional replacement of crossattn_cache (causal_inference.py:281-293,
+    model.py:174-183)."""
+    ctx = embed_text(params, prompt_embeds, dtype)
+    n, hd = cfg.num_heads, cfg.head_dim
+    bp = params["blocks"]["cross_attn"]
+
+    def one_layer(layer_p):
+        k = nn.linear(ctx, layer_p["k"])
+        if cfg.qk_norm:
+            k = nn.rms_norm(k, layer_p["norm_k"]["scale"], cfg.eps)
+        v = nn.linear(ctx, layer_p["v"])
+        b, s, _ = k.shape
+        return k.reshape(b, s, n, hd), v.reshape(b, s, n, hd)
+
+    k, v = jax.lax.map(one_layer, bp)
+    return CrossKV(k=k, v=v)
+
+
+# ---------------------------------------------------------------------------
+# transformer layer
+
+
+def _per_frame(x: jax.Array, f: int) -> jax.Array:
+    """[B, F*fs, d] -> [B, F, fs, d]"""
+    b, s, d = x.shape
+    return x.reshape(b, f, s // f, d)
+
+
+def _flat(x: jax.Array) -> jax.Array:
+    b, f, fs, d = x.shape
+    return x.reshape(b, f * fs, d)
+
+
+def _attention_layer_cached(
+    layer_p: dict,
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    x: jax.Array,  # [B, S, dim] (already modulated + normed)
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    cache_k: jax.Array,  # [B, S_cache, N, D]
+    cache_v: jax.Array,
+    kv_valid: jax.Array,  # [S_cache] bool
+    offsets: jax.Array,  # [F] int32 token offsets
+    write_frames: Tuple[int, ...],
+    attn_impl: str,
+):
+    b, s, _ = x.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    q = nn.linear(x, layer_p["q"])
+    k = nn.linear(x, layer_p["k"])
+    if cfg.qk_norm:
+        q = nn.rms_norm(q, layer_p["norm_q"]["scale"], cfg.eps)
+        k = nn.rms_norm(k, layer_p["norm_k"]["scale"], cfg.eps)
+    v = nn.linear(x, layer_p["v"]).reshape(b, s, n, hd)
+    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
+    k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+
+    fs = cache_cfg.frame_seq
+    new_k, new_v = cache_k, cache_v
+    for i in write_frames:
+        kf = jax.lax.dynamic_slice_in_dim(k, i * fs, fs, axis=1)
+        vf = jax.lax.dynamic_slice_in_dim(v, i * fs, fs, axis=1)
+        new_k = jax.lax.dynamic_update_slice_in_dim(
+            new_k, kf.astype(new_k.dtype), offsets[i], axis=1
+        )
+        new_v = jax.lax.dynamic_update_slice_in_dim(
+            new_v, vf.astype(new_v.dtype), offsets[i], axis=1
+        )
+
+    out = attend(q, new_k.astype(q.dtype), new_v.astype(q.dtype), kv_valid, impl=attn_impl)
+    out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
+    return out, new_k, new_v
+
+
+def _cross_attention_layer(
+    layer_p: dict, cfg: DiTConfig, x: jax.Array, ck: jax.Array, cv: jax.Array
+) -> jax.Array:
+    b, s, _ = x.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    q = nn.linear(x, layer_p["q"])
+    if cfg.qk_norm:
+        q = nn.rms_norm(q, layer_p["norm_q"]["scale"], cfg.eps)
+    q = q.reshape(b, s, n, hd)
+    out = dense_attention(q, ck.astype(q.dtype), cv.astype(q.dtype))
+    return nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
+
+
+def _block_body(
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    num_frames: int,
+    x: jax.Array,
+    layer_p: dict,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    cross_k: jax.Array,
+    cross_v: jax.Array,
+    e0: jax.Array,  # [B, F, 6, dim]
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    kv_valid: jax.Array,
+    offsets: jax.Array,
+    write_frames: Tuple[int, ...],
+    attn_impl: str,
+):
+    """One CausalWanAttentionBlock (causal_model.py:413-477)."""
+    f = num_frames
+    mod = layer_p["modulation"][None, None]  # [1, 1, 6, dim]
+    e = mod.astype(e0.dtype) + e0  # [B, F, 6, dim]
+    e_ = [e[:, :, i][:, :, None] for i in range(6)]  # each [B, F, 1, dim]
+
+    # self-attention with per-frame adaLN
+    h = _per_frame(nn.layer_norm(x, cfg.eps), f)
+    h = _flat(h * (1 + e_[1]) + e_[0])
+    y, new_k, new_v = _attention_layer_cached(
+        layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
+        cache_k, cache_v, kv_valid, offsets, write_frames, attn_impl,
+    )
+    x = x + _flat(_per_frame(y, f) * e_[2])
+
+    # cross-attention
+    norm3 = layer_p.get("norm3")
+    h = nn.layer_norm(x, cfg.eps,
+                      scale=None if norm3 is None else norm3["scale"],
+                      bias=None if norm3 is None else norm3["bias"])
+    x = x + _cross_attention_layer(layer_p["cross_attn"], cfg, h, cross_k, cross_v)
+
+    # ffn with per-frame adaLN
+    h = _per_frame(nn.layer_norm(x, cfg.eps), f)
+    h = _flat(h * (1 + e_[4]) + e_[3])
+    y = nn.linear(nn.gelu_tanh(nn.linear(h, layer_p["ffn"]["fc1"])), layer_p["ffn"]["fc2"])
+    x = x + _flat(_per_frame(y, f) * e_[5])
+    return x, new_k, new_v
+
+
+def _head(params: dict, cfg: DiTConfig, x: jax.Array, e: jax.Array, f: int) -> jax.Array:
+    """CausalHead (causal_model.py:480-508). e: [B, F, dim]."""
+    hp = params["head"]
+    mod = hp["modulation"][None, None].astype(e.dtype)  # [1, 1, 2, dim]
+    em = mod + e[:, :, None]  # [B, F, 2, dim]
+    e0, e1 = em[:, :, 0][:, :, None], em[:, :, 1][:, :, None]
+    h = _per_frame(nn.layer_norm(x, cfg.eps), f)
+    h = _flat(h * (1 + e1) + e0)
+    return nn.linear(h, hp["head"])
+
+
+# ---------------------------------------------------------------------------
+# full cached forward
+
+
+def dit_forward_full(
+    params: dict,
+    cfg: DiTConfig,
+    tables: RopeTables,
+    x: jax.Array,  # [B, F, C, H, W]
+    t: jax.Array,  # [B, F]
+    cross_kv: CrossKV,
+    frame_mask: jax.Array,  # [F, F] bool (see ops.masks)
+    start_frame: jax.Array | int = 0,
+    attn_impl: str = "xla",
+) -> jax.Array:
+    """Uncached full-sequence forward with a blockwise-causal mask — the
+    reference's kv_cache=None path (causal_model.py:130-204) used by training
+    rollout supervision and teacher forcing.  Returns flow_pred."""
+    from ..ops.masks import expand_frame_mask
+
+    b, f, c, h, w = x.shape
+    dtype = params["patch_embedding"]["kernel"].dtype
+    tokens = nn.linear(patchify(x.astype(dtype), cfg), params["patch_embedding"])
+    e, e0 = time_modulation(params, cfg, t, dtype)
+    hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
+    rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, start_frame)
+    token_mask = expand_frame_mask(frame_mask, hp * wp)
+    bias = jnp.where(token_mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+    def scan_body(carry, xs):
+        xcur = carry
+        layer_p, ck, cv = xs
+        mod = layer_p["modulation"][None, None]
+        em = mod.astype(e0.dtype) + e0
+        e_ = [em[:, :, i][:, :, None] for i in range(6)]
+
+        hh = _per_frame(nn.layer_norm(xcur, cfg.eps), f)
+        hh = _flat(hh * (1 + e_[1]) + e_[0])
+        n, hd = cfg.num_heads, cfg.head_dim
+        q = nn.linear(hh, layer_p["self_attn"]["q"])
+        k = nn.linear(hh, layer_p["self_attn"]["k"])
+        if cfg.qk_norm:
+            q = nn.rms_norm(q, layer_p["self_attn"]["norm_q"]["scale"], cfg.eps)
+            k = nn.rms_norm(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
+        s = hh.shape[1]
+        v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
+        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+        y = dense_attention(q, k, v, bias)
+        y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
+        xcur = xcur + _flat(_per_frame(y, f) * e_[2])
+
+        norm3 = layer_p.get("norm3")
+        hh = nn.layer_norm(xcur, cfg.eps,
+                           scale=None if norm3 is None else norm3["scale"],
+                           bias=None if norm3 is None else norm3["bias"])
+        xcur = xcur + _cross_attention_layer(layer_p["cross_attn"], cfg, hh, ck, cv)
+
+        hh = _per_frame(nn.layer_norm(xcur, cfg.eps), f)
+        hh = _flat(hh * (1 + e_[4]) + e_[3])
+        y = nn.linear(nn.gelu_tanh(nn.linear(hh, layer_p["ffn"]["fc1"])),
+                      layer_p["ffn"]["fc2"])
+        xcur = xcur + _flat(_per_frame(y, f) * e_[5])
+        return xcur, None
+
+    tokens, _ = jax.lax.scan(
+        scan_body, tokens, (params["blocks"], cross_kv.k, cross_kv.v)
+    )
+    out_tokens = _head(params, cfg, tokens, e, f)
+    return unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
+
+
+def dit_forward_cached(
+    params: dict,
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    tables: RopeTables,
+    x: jax.Array,  # [B, F, C, H, W] noisy latents
+    t: jax.Array,  # [B, F] timesteps
+    cross_kv: CrossKV,
+    cache: kvc.KVCache,
+    start_frame: jax.Array,  # [] int32 absolute first-frame index
+    *,
+    kv_valid: Optional[jax.Array] = None,
+    offsets: Optional[jax.Array] = None,
+    write_frames: Optional[Tuple[int, ...]] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """One cached DiT forward over a block of ``F`` frames starting at
+    absolute frame ``start_frame`` (ref _forward_inference,
+    causal_model.py:907-1068).  Returns (flow_pred [B,F,C,H,W], cache').
+
+    The returned cache has the block's roped K/V written at its ring slots
+    and fill counters advanced; callers running recompute (denoise) passes
+    simply drop it (see ops.kv_cache module docstring).
+    """
+    b, f, c, h, w = x.shape
+    dtype = params["patch_embedding"]["kernel"].dtype
+
+    tokens = nn.linear(patchify(x.astype(dtype), cfg), params["patch_embedding"])
+    e, e0 = time_modulation(params, cfg, t, dtype)
+
+    hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
+    rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, start_frame)
+
+    if offsets is None:
+        offsets = kvc.block_write_offsets(cache_cfg, cache, start_frame, f)
+    if kv_valid is None:
+        kv_valid = kvc.validity_mask(cache_cfg, cache, start_frame, f)
+    if write_frames is None:
+        write_frames = tuple(range(f))
+
+    def scan_body(carry, xs):
+        xcur = carry
+        layer_p, ck, cv, xk, xv = xs
+        xout, nk, nv = _block_body(
+            cfg, cache_cfg, f, xcur, layer_p, ck, cv, xk, xv,
+            e0, rope_cos, rope_sin, kv_valid, offsets, write_frames, attn_impl,
+        )
+        return xout, (nk, nv)
+
+    tokens, (new_k, new_v) = jax.lax.scan(
+        scan_body, tokens, (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v)
+    )
+
+    out_tokens = _head(params, cfg, tokens, e, f)
+    flow = unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
+
+    new_cache = dataclasses.replace(
+        kvc.advance(cache_cfg, cache, start_frame, f), k=new_k, v=new_v
+    )
+    return flow, new_cache

@@ -15,11 +15,13 @@ import jax.numpy as jnp
 
 
 def linear(x: jax.Array, p: dict) -> jax.Array:
-    """x @ kernel + bias.  kernel: [in, out]; bias optional."""
-    y = jnp.dot(x, p["kernel"], preferred_element_type=x.dtype)
+    """x @ kernel + bias.  kernel: [in, out]; bias optional.
+    Accumulates in f32 on the MXU (like torch bf16 linears), output in the
+    input dtype."""
+    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if "bias" in p:
-        y = y + p["bias"]
-    return y
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def layer_norm(
