@@ -51,7 +51,9 @@ class CrossKV(NamedTuple):
 # parameter initialization
 
 
-def init_dit_params(rng: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> dict:
+def init_dit_params(
+    rng: jax.Array, cfg: DiTConfig, dtype=jnp.float32, zero_head: bool = True
+) -> dict:
     """Random init mirroring reference init_weights
     (causal_model.py:1265-1287): xavier for linears, N(0, .02) for text/time
     embeddings, zeros for the head projection."""
@@ -106,7 +108,9 @@ def init_dit_params(rng: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> dict:
         "time_projection": {"fc": lin(d, 6 * d)},
         "blocks": blocks,
         "head": {
-            "head": lin(d, cfg.out_dim * pt, "zeros"),
+            # reference zero-inits the output projection (causal_model.py:1287);
+            # tests pass zero_head=False so random-param flows are non-trivial.
+            "head": lin(d, cfg.out_dim * pt, "zeros" if zero_head else "xavier"),
             "modulation": jax.random.normal(next(keys), (2, d), dtype) / math.sqrt(d),
         },
     }
@@ -403,6 +407,7 @@ def dit_forward_cached(
     offsets: Optional[jax.Array] = None,
     write_frames: Optional[Tuple[int, ...]] = None,
     attn_impl: str = "auto",
+    advance_counters: bool = True,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One cached DiT forward over a block of ``F`` frames starting at
     absolute frame ``start_frame`` (ref _forward_inference,
@@ -444,7 +449,6 @@ def dit_forward_cached(
     out_tokens = _head(params, cfg, tokens, e, f)
     flow = unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
 
-    new_cache = dataclasses.replace(
-        kvc.advance(cache_cfg, cache, start_frame, f), k=new_k, v=new_v
-    )
+    base = kvc.advance(cache_cfg, cache, start_frame, f) if advance_counters else cache
+    new_cache = dataclasses.replace(base, k=new_k, v=new_v)
     return flow, new_cache

@@ -65,13 +65,13 @@ def init_cache(
     dtype=jnp.bfloat16,
 ) -> KVCache:
     shape = (num_layers, batch, cfg.size_tokens, num_heads, head_dim)
-    zero = jnp.zeros([], jnp.int32)
+    # distinct buffers per field: donated pytrees must not alias
     return KVCache(
         k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype) + 0,
         ring_base=jnp.full([], cfg.sink_frames, jnp.int32),
-        sink_filled=zero,
-        ring_filled=zero,
+        sink_filled=jnp.zeros([], jnp.int32),
+        ring_filled=jnp.zeros([], jnp.int32) + 0,
     )
 
 

@@ -1,0 +1,2 @@
+from .causal_inference import CausalInferencePipeline  # noqa: F401
+from .interactive import InteractiveCausalInferencePipeline  # noqa: F401

@@ -1,0 +1,207 @@
+"""Autoregressive causal generation pipeline.
+
+TPU-native re-design of the reference ``CausalInferencePipeline``
+(pipeline/causal_inference.py:13-329).  The whole per-block step — four
+denoising forwards, flow→x0 conversions, re-noising, and the clean-context
+KV-commit forward (causal_inference.py:144-200) — is ONE jitted program with
+a traced ``start_frame``, so there is exactly one compilation for the whole
+video and zero host-side cache bookkeeping (the reference spends O(100µs)
+per layer on that, reports.md:38,45-48).
+
+The denoise passes write their (transient) block K/V into the functional
+cache for intra-block self-attention and then *discard* the cache; only the
+commit pass's cache is carried to the next block — this reproduces the
+reference's is_recompute pointer semantics (causal_model.py:230,900-904) by
+construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CacheConfig, DiTConfig, LatentGeometry, PipelineConfig
+from ..models import dit as D
+from ..ops import kv_cache as kvc
+from ..ops import scheduler as S
+from ..ops.rope import make_rope_tables
+
+
+class CausalInferencePipeline:
+    """Drives block-by-block AR generation with a frame-sink + ring-window
+    KV cache.
+
+    Parameters are a DiT param pytree (see models.dit.init_dit_params /
+    utils.checkpoint loaders).  Text encoding and VAE decoding are provided
+    by callables so the pipeline core stays model-agnostic.
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        params: dict,
+        geometry: LatentGeometry = LatentGeometry(),
+        dit_config: Optional[DiTConfig] = None,
+        attn_impl: str = "auto",
+    ):
+        self.config = config
+        self.params = params
+        self.geom = geometry
+        self.cfg = dit_config or config.dit_config()
+        self.attn_impl = attn_impl
+
+        # schedule (utils/wan_wrapper.py:141-144 + causal_inference.py:33-37)
+        self.sched = S.make_schedule(
+            1000, shift=config.timestep_shift, sigma_min=0.0, extra_one_step=True,
+            training=True,
+        )
+        steps = np.asarray(config.denoising_step_list, np.float64)
+        if config.warp_denoising_step:
+            steps = S.warp_denoising_steps(self.sched, config.denoising_step_list)
+        self.denoise_timesteps: Tuple[float, ...] = tuple(float(s) for s in steps)
+
+        self.cache_cfg = CacheConfig.from_model(
+            self.cfg, self.geom, config.num_output_frames
+        )
+        self.tables = make_rope_tables(self.cfg.head_dim, self.cfg.rope_max_pos)
+        self.frame_block = config.num_frame_per_block
+
+        self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
+        self._recache_fns = {}
+
+    # -- jitted core ---------------------------------------------------------
+
+    def _forward(self, params, x, t_val, cross_kv, cache, start_frame, **kw):
+        b, f = x.shape[:2]
+        t = jnp.full((b, f), t_val, jnp.float32)
+        return D.dit_forward_cached(
+            params, self.cfg, self.cache_cfg, self.tables, x, t, cross_kv,
+            cache, start_frame, attn_impl=self.attn_impl, **kw,
+        )
+
+    def _block_step(self, params, cache, cross_kv, noise_block, start_frame, rng):
+        """4-step denoise + clean-context commit for one block
+        (reference causal_inference.py:144-200)."""
+        b, f = noise_block.shape[:2]
+        x = noise_block
+        x0 = x
+        n_steps = len(self.denoise_timesteps)
+        for i, t_val in enumerate(self.denoise_timesteps):
+            flow, _ = self._forward(params, x, t_val, cross_kv, cache, start_frame)
+            t_flat = jnp.full((b * f,), t_val, jnp.float32)
+            x0 = S.convert_flow_to_x0(
+                self.sched,
+                flow.reshape(b * f, *flow.shape[2:]),
+                x.reshape(b * f, *x.shape[2:]).astype(jnp.float32),
+                t_flat,
+            ).reshape(x.shape)
+            if i < n_steps - 1:
+                rng, sub = jax.random.split(rng)
+                t_next = jnp.full((b * f,), self.denoise_timesteps[i + 1], jnp.float32)
+                noise = jax.random.normal(sub, x0.shape, jnp.float32)
+                x = S.add_noise(
+                    self.sched, x0.reshape(b * f, *x0.shape[2:]), noise.reshape(
+                        b * f, *x0.shape[2:]), t_next
+                ).reshape(x0.shape)
+        # clean-context commit pass (causal_inference.py:191-200)
+        _, cache = self._forward(
+            params, x0, float(self.config.context_noise), cross_kv, cache, start_frame
+        )
+        return x0, cache, rng
+
+    def _recache_fn(self, num_frames: int, global_sink: bool):
+        """Jitted KV-recache for a prompt switch
+        (reference interactive_causal_inference.py:34-106): zero the cache
+        (unless global_sink), replay the last ``num_frames`` generated frames
+        under the new prompt in ONE forward, writing K/V linearly from slot 0
+        (or from the sink boundary when the original sink is kept)."""
+        key = (num_frames, global_sink)
+        if key in self._recache_fns:
+            return self._recache_fns[key]
+
+        cc = self.cache_cfg
+        sink = cc.sink_frames
+
+        def fn(params, cache, cross_new, replay, recache_start_frame):
+            n = num_frames
+            if not global_sink:
+                cache = kvc.zero_cache(cache)
+            state = kvc.recache_state(cc, cache, recache_start_frame + n, n)
+            offsets = jnp.arange(n, dtype=jnp.int32) * cc.frame_seq
+            write_frames = tuple(range(n)) if not global_sink else tuple(range(sink, n))
+            slots = jnp.arange(cc.total_frames, dtype=jnp.int32)
+            valid_frames = jnp.maximum(jnp.asarray(n, jnp.int32), sink)
+            kv_valid = jnp.repeat(slots < valid_frames, cc.frame_seq)
+            _, state = self._forward(
+                params, replay, float(self.config.context_noise), cross_new,
+                state, recache_start_frame,
+                kv_valid=kv_valid, offsets=offsets, write_frames=write_frames,
+                advance_counters=False,
+            )
+            return state
+
+        jitted = jax.jit(fn, donate_argnums=(1,))
+        self._recache_fns[key] = jitted
+        return jitted
+
+    # -- host-side loop -------------------------------------------------------
+
+    def init_cache(self, batch_size: int, dtype=jnp.bfloat16) -> kvc.KVCache:
+        return kvc.init_cache(
+            self.cache_cfg, self.cfg.num_layers, batch_size,
+            self.cfg.num_heads, self.cfg.head_dim, dtype,
+        )
+
+    def prepare_condition(self, prompt_embeds: jax.Array, dtype=None) -> D.CrossKV:
+        """prompt_embeds: [B, text_len, text_dim] zero-padded T5 features."""
+        dtype = dtype or self.params["patch_embedding"]["kernel"].dtype
+        return D.prepare_cross_kv(self.params, self.cfg, prompt_embeds, dtype)
+
+    def generate_latents(
+        self,
+        noise: jax.Array,  # [B, T, C, H, W]
+        cross_kv: D.CrossKV,
+        rng: Optional[jax.Array] = None,
+        profile: bool = False,
+        block_callback: Optional[Callable[[int, jax.Array], None]] = None,
+    ) -> jax.Array:
+        """The reference `inference()` loop (causal_inference.py:56-253) minus
+        text encoding / VAE decoding. Returns latents [B, T, C, H, W] f32."""
+        b, t_frames = noise.shape[:2]
+        fpb = self.frame_block
+        assert t_frames % fpb == 0
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+
+        cache = self.init_cache(b, self.params["patch_embedding"]["kernel"].dtype)
+        outputs = []
+        block_times = []
+        for s in range(0, t_frames, fpb):
+            t0 = time.perf_counter()
+            x0, cache, rng = self._block_fn(
+                self.params, cache, cross_kv, noise[:, s : s + fpb],
+                jnp.asarray(s, jnp.int32), rng,
+            )
+            if block_callback is not None:
+                block_callback(s, x0)
+            outputs.append(x0)
+            if profile:
+                jax.block_until_ready(x0)
+                block_times.append(time.perf_counter() - t0)
+        latents = jnp.concatenate(outputs, axis=1)
+        if profile:
+            steady = block_times[2:] or block_times
+            per_frame = float(np.mean(steady)) / fpb
+            print(
+                f"[profile] blocks={len(block_times)} "
+                f"steady-state latency={per_frame * 1e3:.2f} ms/latent-frame "
+                f"({fpb / float(np.mean(steady)):.2f} latent fps, "
+                f"{4 * fpb / float(np.mean(steady)):.2f} pixel fps)"
+            )
+            self.last_block_times = block_times
+        return latents

@@ -1,0 +1,98 @@
+"""Interactive generation with streaming prompt switches (KV-recache).
+
+Re-design of the reference ``InteractiveCausalInferencePipeline``
+(pipeline/interactive_causal_inference.py:20-432): all prompt segments are
+encoded up-front; when generation reaches a switch index, the KV cache is
+rebuilt by replaying the last ``min(local_attn_size, t)`` generated frames
+under the new prompt in one jitted masked forward; generation then continues
+from the same jitted block program.
+
+``global_sink=False`` (the shipped interactive config) zeroes the cache and
+lets the replay overwrite the sink slots — the sink becomes the first frames
+of the replay window.  ``global_sink=True`` keeps the original sink KV
+(the first frames of the *video*) and replays only the window
+(interactive_causal_inference.py:36-53, 87-96; causal_model.py:303-304).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import dit as D
+from .causal_inference import CausalInferencePipeline
+
+
+class InteractiveCausalInferencePipeline(CausalInferencePipeline):
+    def generate_latents_interactive(
+        self,
+        noise: jax.Array,  # [B, T, C, H, W]
+        cross_kv_list: Sequence[D.CrossKV],  # one per prompt segment
+        switch_frame_indices: Sequence[int],  # len = segments - 1
+        rng: Optional[jax.Array] = None,
+        profile: bool = False,
+        block_callback: Optional[Callable[[int, jax.Array], None]] = None,
+    ) -> jax.Array:
+        """Reference inference() (interactive_causal_inference.py:108-432)."""
+        assert len(cross_kv_list) >= 1
+        assert len(switch_frame_indices) == len(cross_kv_list) - 1
+        b, t_frames = noise.shape[:2]
+        fpb = self.frame_block
+        assert t_frames % fpb == 0
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+        global_sink = bool(self.config.global_sink)
+        local = self.cfg.local_attn_size
+
+        cache = self.init_cache(b, self.params["patch_embedding"]["kernel"].dtype)
+        outputs: List[jax.Array] = []
+        seg = 0
+        next_switch = switch_frame_indices[0] if switch_frame_indices else None
+        block_times, switch_times = [], []
+
+        for s in range(0, t_frames, fpb):
+            t0 = time.perf_counter()
+            switched = False
+            if next_switch is not None and s >= next_switch:
+                seg += 1
+                next_switch = (
+                    switch_frame_indices[seg] if seg < len(switch_frame_indices) else None
+                )
+                # KV-recache: replay the last window under the new prompt
+                # (interactive_causal_inference.py:34-106)
+                n = s if local == -1 else min(local, s)
+                if n > 0:
+                    replay = jnp.concatenate(outputs, axis=1)[:, s - n : s]
+                    cache = self._recache_fn(n, global_sink)(
+                        self.params, cache, cross_kv_list[seg], replay,
+                        jnp.asarray(s - n, jnp.int32),
+                    )
+                switched = True
+
+            x0, cache, rng = self._block_fn(
+                self.params, cache, cross_kv_list[seg], noise[:, s : s + fpb],
+                jnp.asarray(s, jnp.int32), rng,
+            )
+            if block_callback is not None:
+                block_callback(s, x0)
+            outputs.append(x0)
+            if profile:
+                jax.block_until_ready(x0)
+                dt = time.perf_counter() - t0
+                (switch_times if switched else block_times).append(dt)
+
+        if profile and block_times:
+            steady = block_times[2:] or block_times
+            per_frame = float(np.mean(steady)) / fpb
+            print(
+                f"[profile] steady-state latency={per_frame * 1e3:.2f} ms/latent-frame; "
+                f"switch blocks avg="
+                f"{(float(np.mean(switch_times)) * 1e3 if switch_times else 0):.2f} ms "
+                f"(+{((float(np.mean(switch_times)) - float(np.mean(steady))) * 1e3 if switch_times else 0):.2f} ms recache overhead)"
+            )
+            self.last_block_times = block_times
+            self.last_switch_times = switch_times
+        return jnp.concatenate(outputs, axis=1)

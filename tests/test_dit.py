@@ -27,7 +27,7 @@ def setup():
     cfg = tiny_dit_config()
     geom = tiny_geometry()
     rng = jax.random.PRNGKey(0)
-    params = D.init_dit_params(rng, cfg, jnp.float32)
+    params = D.init_dit_params(rng, cfg, jnp.float32, zero_head=False)
     tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
     prompt = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim))
     cross = D.prepare_cross_kv(params, cfg, prompt, jnp.float32)
