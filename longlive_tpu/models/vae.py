@@ -1,0 +1,566 @@
+"""Causal 3D-conv video VAE (Wan2.1), TPU-native functional re-design.
+
+Re-implements the reference ``WanVAE_`` (wan/modules/vae.py:483-636) with
+explicit, statically-shaped conv caches so the streaming decoder is a single
+jitted program per chunk size:
+
+- ``CausalConv3d`` (vae.py:17-36): temporal causality = prepend the cached
+  last-2 input frames (zeros initially) instead of zero-padding; spatial
+  padding is symmetric SAME.
+- Temporal up/down sampling ``Resample`` caches (vae.py:101-160): the first
+  latent frame bypasses the temporal conv entirely ('Rep' marker) — it maps
+  to exactly 1 pixel frame; every later latent frame maps to 4
+  (1 + 4*(T-1) pixel frames total, matching VAE stride (4,8,8),
+  wan/configs/wan_t2v_1_3B.py:17).
+- The reference decodes frame-by-frame in a Python loop threading mutable
+  ``feat_cache`` lists (vae.py:545-569, 22 s/video on H100, reports.md:37).
+  Here ``decode_step`` takes and returns an immutable cache pytree and jits
+  end-to-end; chunked steady-state decode amortizes over T latent frames.
+
+Geometry (dim=96, z=16, dim_mult [1,2,4,4], 2 res blocks,
+temporal_downsample [False, True, True]) from vae.py:612-636.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+
+CACHE_T = 2
+
+WAN_LATENT_MEAN = [
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+]
+WAN_LATENT_STD = [
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    dim: int = 96
+    z_dim: int = 16
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    temperal_downsample: Tuple[bool, ...] = (False, True, True)
+
+    @property
+    def temperal_upsample(self) -> Tuple[bool, ...]:
+        return tuple(reversed(self.temperal_downsample))
+
+
+def tiny_vae_config() -> VAEConfig:
+    return VAEConfig(dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+                     temperal_downsample=(True,))
+
+
+# ---------------------------------------------------------------------------
+# primitive ops
+
+
+def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same"):
+    """x: [B,C,T,H,W]; w: [O,I,kt,kh,kw] (torch layout).  Temporal padding is
+    the caller's job (causal caches); spatial is symmetric SAME or explicit."""
+    kt, kh, kw = w.shape[2:]
+    if spatial_pad == "same":
+        pads = [(0, 0), ((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
+    elif spatial_pad == "none":
+        pads = [(0, 0), (0, 0), (0, 0)]
+    else:
+        pads = spatial_pad
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=stride, padding=pads,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)[None, :, None, None, None]
+    return y.astype(x.dtype)
+
+
+def conv2d(x, w, b=None, stride=(1, 1), pad="same"):
+    """x: [N,C,H,W]; w: [O,I,kh,kw]."""
+    kh, kw = w.shape[2:]
+    if pad == "same":
+        pads = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
+    elif pad == "none":
+        pads = [(0, 0), (0, 0)]
+    else:
+        pads = pad
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=stride, padding=pads,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)[None, :, None, None]
+    return y.astype(x.dtype)
+
+
+def rms_norm_channel(x, gamma):
+    """RMS_norm with channel_first, images=False (vae.py:39-54):
+    F.normalize over channels * sqrt(C) * gamma.  x: [B,C,T,H,W]."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=1, keepdims=True)) + 1e-12
+    scale = math.sqrt(x.shape[1])
+    y = xf / norm * scale
+    return (y * gamma.astype(jnp.float32)[None, :, None, None, None]).astype(dtype)
+
+
+class _CacheThread:
+    """Static-structure functional analogue of the reference's mutable
+    ``feat_cache``/``feat_idx`` threading (vae.py:202-220 etc.)."""
+
+    def __init__(self, caches: Optional[List[Any]]):
+        self.caches = list(caches) if caches is not None else None
+        self.idx = 0
+        self.out: List[Any] = []
+
+    def pull(self):
+        if self.caches is None:
+            return None
+        c = self.caches[self.idx]
+        self.idx += 1
+        return c
+
+    def push(self, new):
+        self.out.append(new)
+
+
+def causal_conv3d(x, p, thread: _CacheThread, stride=(1, 1, 1)):
+    """CausalConv3d with explicit 2-frame input cache (vae.py:17-36).
+    Uncached mode (thread.caches None) zero-pads (kt-1) frames."""
+    w = p["w"]
+    kt = w.shape[2]
+    cache = thread.pull()
+    if kt == 1:
+        if thread.caches is not None:
+            thread.push(cache)  # kernel t=1 has no temporal context
+        return conv3d(x, w, p.get("b"), stride)
+    if thread.caches is None:
+        xt = jnp.pad(x, [(0, 0), (0, 0), (kt - 1, 0), (0, 0), (0, 0)])
+        return conv3d(xt, w, p.get("b"), stride)
+    full = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
+    thread.push(full[:, :, -CACHE_T:])
+    return conv3d(full, w, p.get("b"), stride)
+
+
+# ---------------------------------------------------------------------------
+# blocks
+
+
+def res_block(x, p, thread: _CacheThread):
+    """ResidualBlock (vae.py:186-220)."""
+    h = x
+    if p.get("shortcut") is not None:
+        sc_thread = _CacheThread(None)
+        h = causal_conv3d(x, p["shortcut"], sc_thread)  # 1x1x1, no cache use
+    y = rms_norm_channel(x, p["norm1"])
+    y = nn.silu(y)
+    y = causal_conv3d(y, p["conv1"], thread)
+    y = rms_norm_channel(y, p["norm2"])
+    y = nn.silu(y)
+    y = causal_conv3d(y, p["conv2"], thread)
+    return y + h
+
+
+def attention_block(x, p):
+    """Single-head per-frame spatial attention (vae.py:223-262)."""
+    b, c, t, h, w = x.shape
+    identity = x
+    y = rms_norm_channel(x, p["norm"])
+    y = y.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+    qkv = conv2d(y, p["qkv"]["w"], p["qkv"]["b"], pad="none")  # [bt, 3c, h, w]
+    qkv = qkv.reshape(b * t, 3 * c, h * w).transpose(0, 2, 1)  # [bt, hw, 3c]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits / math.sqrt(c), axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", probs, v)
+    o = o.transpose(0, 2, 1).reshape(b * t, c, h, w)
+    o = conv2d(o, p["proj"]["w"], p["proj"]["b"], pad="none")
+    o = o.reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
+    return o + identity
+
+
+def _spatial(fn, x):
+    b, c, t, h, w = x.shape
+    y = x.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+    y = fn(y)
+    c2, h2, w2 = y.shape[1:]
+    return y.reshape(b, t, c2, h2, w2).transpose(0, 2, 1, 3, 4)
+
+
+def upsample2d_nearest(x2d):
+    return jnp.repeat(jnp.repeat(x2d, 2, axis=-2), 2, axis=-1)
+
+
+def resample_up(x, p, thread: _CacheThread, temporal: bool, first_frame: bool):
+    """Resample upsample2d/3d (vae.py:76-86, 101-141).  In streaming mode the
+    first latent frame skips the temporal conv ('Rep' marker)."""
+    if temporal:
+        if thread.caches is not None:
+            cache = thread.pull()
+            if first_frame:
+                # 'Rep': pass through untouched; prime cache with zeros so the
+                # next chunk's window is [0, 0, x] like the reference
+                # (vae.py:120-127 zero-fills the short cache).
+                thread.push(jnp.zeros_like(cache))
+            else:
+                full = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
+                thread.push(full[:, :, -CACHE_T:])
+                y = conv3d(full, p["time_conv"]["w"], p["time_conv"]["b"])
+                b, c2, t, h, w = y.shape
+                c = c2 // 2
+                # interleave the two channel halves in time (vae.py:134-137)
+                y = y.reshape(b, 2, c, t, h, w).transpose(0, 2, 3, 1, 4, 5)
+                x = y.reshape(b, c, t * 2, h, w)
+        else:
+            xt = jnp.pad(x, [(0, 0), (0, 0), (2, 0), (0, 0), (0, 0)])
+            y = conv3d(xt, p["time_conv"]["w"], p["time_conv"]["b"])
+            b, c2, t, h, w = y.shape
+            c = c2 // 2
+            y = y.reshape(b, 2, c, t, h, w).transpose(0, 2, 3, 1, 4, 5)
+            y = y.reshape(b, c, t * 2, h, w)
+            # uncached full decode still skips upsampling of frame 0's
+            # zero-padded outputs?  The reference never runs the decoder
+            # uncached; keep streaming semantics as canonical.
+            x = y
+    return _spatial(
+        lambda z: conv2d(upsample2d_nearest(z), p["conv"]["w"], p["conv"]["b"]), x
+    )
+
+
+def resample_down(x, p, thread: _CacheThread, temporal: bool, first_chunk: bool):
+    """Resample downsample2d/3d (vae.py:87-96, 143-159)."""
+    x = _spatial(
+        lambda z: conv2d(
+            jnp.pad(z, [(0, 0), (0, 0), (0, 1), (0, 1)]),
+            p["conv"]["w"], p["conv"]["b"], stride=(2, 2), pad="none",
+        ),
+        x,
+    )
+    if temporal:
+        if thread.caches is not None:
+            cache = thread.pull()
+            if first_chunk:
+                thread.push(x[:, :, -1:])  # cache the chunk's last frame
+            else:
+                full = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
+                thread.push(x[:, :, -1:])
+                x = conv3d(full, p["time_conv"]["w"], p["time_conv"]["b"],
+                           stride=(2, 1, 1), spatial_pad="none")
+        else:
+            x = conv3d(x, p["time_conv"]["w"], p["time_conv"]["b"],
+                       stride=(2, 1, 1), spatial_pad="none")
+    return x
+
+
+# ---------------------------------------------------------------------------
+# decoder / encoder
+
+
+def decoder_apply(params, cfg: VAEConfig, z, caches, first_frame: bool):
+    """Decoder3d forward over a chunk of latent frames (vae.py:369-472).
+    z: [B, z_dim, T, h, w].  Returns (pixels [B,3,T_out,H,W], caches')."""
+    thread = _CacheThread(caches)
+    x = causal_conv3d(z, params["conv1"], thread)
+    x = res_block(x, params["middle"][0], thread)
+    x = attention_block(x, params["middle"][1])
+    x = res_block(x, params["middle"][2], thread)
+    ups = cfg.temperal_upsample
+    bi = 0
+    for i in range(len(cfg.dim_mult)):
+        for _ in range(cfg.num_res_blocks + 1):
+            x = res_block(x, params["upsamples"][bi], thread)
+            bi += 1
+        if i != len(cfg.dim_mult) - 1:
+            x = resample_up(x, params["upsamples"][bi], thread, ups[i], first_frame)
+            bi += 1
+    x = rms_norm_channel(x, params["head_norm"])
+    x = nn.silu(x)
+    x = causal_conv3d(x, params["head_conv"], thread)
+    return x, (thread.out if caches is not None else None)
+
+
+def encoder_apply(params, cfg: VAEConfig, x, caches, first_chunk: bool):
+    """Encoder3d forward over a chunk of pixel frames (vae.py:265-366).
+    x: [B, 3, T, H, W]."""
+    thread = _CacheThread(caches)
+    y = causal_conv3d(x, params["conv1"], thread)
+    downs = cfg.temperal_downsample
+    bi = 0
+    for i in range(len(cfg.dim_mult)):
+        for _ in range(cfg.num_res_blocks):
+            y = res_block(y, params["downsamples"][bi], thread)
+            bi += 1
+        if i != len(cfg.dim_mult) - 1:
+            y = resample_down(y, params["downsamples"][bi], thread, downs[i], first_chunk)
+            bi += 1
+    y = res_block(y, params["middle"][0], thread)
+    y = attention_block(y, params["middle"][1])
+    y = res_block(y, params["middle"][2], thread)
+    y = rms_norm_channel(y, params["head_norm"])
+    y = nn.silu(y)
+    y = causal_conv3d(y, params["head_conv"], thread)
+    return y, (thread.out if caches is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# cache initialization (shapes mirror the conv traversal order above)
+
+
+def init_decoder_caches(params, cfg: VAEConfig, batch, height, width, dtype=jnp.float32):
+    """Zero caches for streaming decode.  height/width are LATENT dims."""
+    shapes = decoder_cache_shapes(cfg, batch, height, width)
+    return [jnp.zeros(s, dtype) for s in shapes]
+
+
+def decoder_cache_shapes(cfg: VAEConfig, b, h, w) -> List[Tuple[int, ...]]:
+    dims = [cfg.dim * u for u in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    shapes: List[Tuple[int, ...]] = []
+
+    def conv_cache(c, hh, ww, t=CACHE_T):
+        shapes.append((b, c, t, hh, ww))
+
+    def res_caches(c_in, c_out, hh, ww):
+        conv_cache(c_in, hh, ww)   # res conv1 input
+        conv_cache(c_out, hh, ww)  # res conv2 input
+
+    conv_cache(cfg.z_dim, h, w)  # decoder conv1
+    res_caches(dims[0], dims[0], h, w)  # middle res0
+    res_caches(dims[0], dims[0], h, w)  # middle res1
+    ups = cfg.temperal_upsample
+    hh, ww = h, w
+    in_dim = dims[0]
+    for i in range(len(cfg.dim_mult)):
+        out_dim = dims[i + 1]
+        if i >= 1:
+            in_dim = in_dim // 2
+        for _ in range(cfg.num_res_blocks + 1):
+            res_caches(in_dim, out_dim, hh, ww)
+            in_dim = out_dim
+        if i != len(cfg.dim_mult) - 1:
+            if ups[i]:
+                conv_cache(out_dim, hh, ww)  # up3d time_conv (pre-upsample res)
+            hh, ww = hh * 2, ww * 2
+    conv_cache(dims[-1], hh, ww)  # head conv
+    return shapes
+
+
+def init_encoder_caches(params, cfg: VAEConfig, batch, height, width, dtype=jnp.float32):
+    shapes = encoder_cache_shapes(cfg, batch, height, width)
+    return [jnp.zeros(s, dtype) for s in shapes]
+
+
+def encoder_cache_shapes(cfg: VAEConfig, b, h, w) -> List[Tuple[int, ...]]:
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    shapes: List[Tuple[int, ...]] = []
+
+    def conv_cache(c, hh, ww, t=CACHE_T):
+        shapes.append((b, c, t, hh, ww))
+
+    def res_caches(c_in, c_out, hh, ww):
+        conv_cache(c_in, hh, ww)
+        conv_cache(c_out, hh, ww)
+
+    conv_cache(3, h, w)  # encoder conv1
+    hh, ww = h, w
+    downs = cfg.temperal_downsample
+    for i in range(len(cfg.dim_mult)):
+        c_in, c_out = dims[i], dims[i + 1]
+        for _ in range(cfg.num_res_blocks):
+            res_caches(c_in, c_out, hh, ww)
+            c_in = c_out
+        if i != len(cfg.dim_mult) - 1:
+            # asymmetric ZeroPad2d((0,1,0,1)) + k3 s2 conv (vae.py:87-96)
+            hh, ww = (hh - 2) // 2 + 1, (ww - 2) // 2 + 1
+            if downs[i]:
+                conv_cache(c_out, hh, ww, t=1)  # down3d time cache: 1 frame
+    res_caches(dims[-1], dims[-1], hh, ww)  # middle res0
+    res_caches(dims[-1], dims[-1], hh, ww)  # middle res1
+    conv_cache(dims[-1], hh, ww)  # head conv
+    return shapes
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+
+
+def _conv3d_init(rng, c_in, c_out, k, dtype):
+    kt, kh, kw = (k, k, k) if isinstance(k, int) else k
+    fan_in = c_in * kt * kh * kw
+    std = 1.0 / math.sqrt(fan_in)
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(k1, (c_out, c_in, kt, kh, kw), dtype, -std, std),
+        "b": jax.random.uniform(k2, (c_out,), dtype, -std, std),
+    }
+
+
+def _conv2d_init(rng, c_in, c_out, k, dtype):
+    fan_in = c_in * k * k
+    std = 1.0 / math.sqrt(fan_in)
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(k1, (c_out, c_in, k, k), dtype, -std, std),
+        "b": jax.random.uniform(k2, (c_out,), dtype, -std, std),
+    }
+
+
+def _res_block_init(rng, c_in, c_out, dtype):
+    ks = jax.random.split(rng, 3)
+    return {
+        "norm1": jnp.ones((c_in,), dtype),
+        "conv1": _conv3d_init(ks[0], c_in, c_out, 3, dtype),
+        "norm2": jnp.ones((c_out,), dtype),
+        "conv2": _conv3d_init(ks[1], c_out, c_out, 3, dtype),
+        "shortcut": _conv3d_init(ks[2], c_in, c_out, 1, dtype) if c_in != c_out else None,
+    }
+
+
+def _attn_block_init(rng, c, dtype):
+    ks = jax.random.split(rng, 2)
+    p = {
+        "norm": jnp.ones((c,), dtype),
+        "qkv": _conv2d_init(ks[0], c, 3 * c, 1, dtype),
+        "proj": _conv2d_init(ks[1], c, c, 1, dtype),
+    }
+    p["proj"]["w"] = jnp.zeros_like(p["proj"]["w"])  # vae.py:238
+    return p
+
+
+def init_vae_params(rng, cfg: VAEConfig = VAEConfig(), dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, 256))
+    z2 = cfg.z_dim * 2
+
+    # decoder
+    dims_d = [cfg.dim * u for u in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    ups: List[dict] = []
+    for i in range(len(cfg.dim_mult)):
+        # reference halves in_dim for stages >= 1 because the preceding
+        # Resample conv halves channels (vae.py:401-404)
+        in_dim = dims_d[i] // 2 if i >= 1 else dims_d[i]
+        out_dim = dims_d[i + 1]
+        for _ in range(cfg.num_res_blocks + 1):
+            ups.append(_res_block_init(next(keys), in_dim, out_dim, dtype))
+            in_dim = out_dim
+        if i != len(cfg.dim_mult) - 1:
+            p = {"conv": _conv2d_init(next(keys), out_dim, out_dim // 2, 3, dtype)}
+            if cfg.temperal_upsample[i]:
+                p["time_conv"] = _conv3d_init(next(keys), out_dim, out_dim * 2, (3, 1, 1), dtype)
+            ups.append(p)
+    decoder = {
+        "conv1": _conv3d_init(next(keys), cfg.z_dim, dims_d[0], 3, dtype),
+        "middle": [
+            _res_block_init(next(keys), dims_d[0], dims_d[0], dtype),
+            _attn_block_init(next(keys), dims_d[0], dtype),
+            _res_block_init(next(keys), dims_d[0], dims_d[0], dtype),
+        ],
+        "upsamples": ups,
+        "head_norm": jnp.ones((dims_d[-1],), dtype),
+        "head_conv": _conv3d_init(next(keys), dims_d[-1], 3, 3, dtype),
+    }
+
+    # encoder
+    dims_e = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    downs: List[dict] = []
+    for i in range(len(cfg.dim_mult)):
+        c_in, c_out = dims_e[i], dims_e[i + 1]
+        for _ in range(cfg.num_res_blocks):
+            downs.append(_res_block_init(next(keys), c_in, c_out, dtype))
+            c_in = c_out
+        if i != len(cfg.dim_mult) - 1:
+            p = {"conv": _conv2d_init(next(keys), c_out, c_out, 3, dtype)}
+            if cfg.temperal_downsample[i]:
+                p["time_conv"] = _conv3d_init(next(keys), c_out, c_out, (3, 1, 1), dtype)
+            downs.append(p)
+    encoder = {
+        "conv1": _conv3d_init(next(keys), 3, dims_e[0], 3, dtype),
+        "downsamples": downs,
+        "middle": [
+            _res_block_init(next(keys), dims_e[-1], dims_e[-1], dtype),
+            _attn_block_init(next(keys), dims_e[-1], dtype),
+            _res_block_init(next(keys), dims_e[-1], dims_e[-1], dtype),
+        ],
+        "head_norm": jnp.ones((dims_e[-1],), dtype),
+        "head_conv": _conv3d_init(next(keys), dims_e[-1], z2, 3, dtype),
+    }
+
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        "conv1": _conv3d_init(next(keys), z2, z2, 1, dtype),  # enc out 1x1
+        "conv2": _conv3d_init(next(keys), cfg.z_dim, cfg.z_dim, 1, dtype),  # dec in 1x1
+        "mean": jnp.asarray(WAN_LATENT_MEAN[: cfg.z_dim], jnp.float32),
+        "std": jnp.asarray(WAN_LATENT_STD[: cfg.z_dim], jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# top-level encode/decode (reference WanVAE_.encode/decode, vae.py:517-593)
+
+
+def vae_decode_chunk(params, cfg: VAEConfig, z_chunk, caches, first: bool):
+    """One streaming decode step.  z_chunk: [B, T, z, h, w] NORMALIZED latents
+    (wrapper layout).  Returns (pixels [B, T_out, 3, H, W] in [-1,1], caches').
+    """
+    z = z_chunk.transpose(0, 2, 1, 3, 4)  # -> [B, z, T, h, w]
+    std = params["std"].astype(jnp.float32)[None, :, None, None, None]
+    mean = params["mean"].astype(jnp.float32)[None, :, None, None, None]
+    z = (z.astype(jnp.float32) * std + mean).astype(z_chunk.dtype)
+    thread = _CacheThread(None)
+    x = causal_conv3d(z, params["conv2"], thread)  # 1x1x1
+    out, caches = decoder_apply(params["decoder"], cfg, x, caches, first)
+    out = jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
+    return out.transpose(0, 2, 1, 3, 4), caches
+
+
+def vae_decode(params, cfg: VAEConfig, latents, chunk: int = 1):
+    """Full-video decode: frame 0 alone, then ``chunk`` frames at a time.
+    latents: [B, T, z, h, w] -> pixels [B, 1+4*(T-1), 3, H, W]."""
+    b, t, zc, h, w = latents.shape
+    caches = init_decoder_caches(params, cfg, b, h, w, latents.dtype)
+    outs = []
+    x0, caches = vae_decode_chunk(params, cfg, latents[:, :1], caches, True)
+    outs.append(x0)
+    i = 1
+    while i < t:
+        n = min(chunk, t - i)
+        xi, caches = vae_decode_chunk(params, cfg, latents[:, i : i + n], caches, False)
+        outs.append(xi)
+        i += n
+    return jnp.concatenate(outs, axis=1)
+
+
+def vae_encode(params, cfg: VAEConfig, pixels):
+    """Encode pixels [B, T, 3, H, W] (T = 1 + 4k) -> normalized latents
+    [B, 1+(T-1)/4, z, h, w] (reference encode chunks time 1+4+4+...,
+    vae.py:517-543)."""
+    b, t, c, H, W = pixels.shape
+    x = pixels
+    caches = init_encoder_caches(params, cfg, b, H, W, pixels.dtype)
+    outs = []
+    stride_t = 2 ** sum(cfg.temperal_downsample)
+    chunks = [(0, 1)] + [(1 + stride_t * i, 1 + stride_t * (i + 1))
+                         for i in range((t - 1) // stride_t)]
+    for ci, (s, e) in enumerate(chunks):
+        xc = x[:, s:e].transpose(0, 2, 1, 3, 4)
+        y, caches = encoder_apply(params["encoder"], cfg, xc, caches, ci == 0)
+        outs.append(y)
+    y = jnp.concatenate(outs, axis=2)
+    thread = _CacheThread(None)
+    y = causal_conv3d(y, params["conv1"], thread)  # 1x1x1: [B, 2z, T', h, w]
+    mu = y[:, : cfg.z_dim]
+    mean = params["mean"].astype(jnp.float32)[None, :, None, None, None]
+    std = params["std"].astype(jnp.float32)[None, :, None, None, None]
+    mu = (mu.astype(jnp.float32) - mean) / std
+    return mu.astype(pixels.dtype).transpose(0, 2, 1, 3, 4)

@@ -74,6 +74,11 @@ class CausalInferencePipeline:
 
         self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
         self._recache_fns = {}
+        self._prepare_cond_fn = jax.jit(
+            lambda p, pe: D.prepare_cross_kv(
+                p, self.cfg, pe, self.params["patch_embedding"]["kernel"].dtype
+            )
+        )
 
     # -- jitted core ---------------------------------------------------------
 
@@ -158,10 +163,9 @@ class CausalInferencePipeline:
             self.cfg.num_heads, self.cfg.head_dim, dtype,
         )
 
-    def prepare_condition(self, prompt_embeds: jax.Array, dtype=None) -> D.CrossKV:
+    def prepare_condition(self, prompt_embeds: jax.Array) -> D.CrossKV:
         """prompt_embeds: [B, text_len, text_dim] zero-padded T5 features."""
-        dtype = dtype or self.params["patch_embedding"]["kernel"].dtype
-        return D.prepare_cross_kv(self.params, self.cfg, prompt_embeds, dtype)
+        return self._prepare_cond_fn(self.params, prompt_embeds)
 
     def generate_latents(
         self,
