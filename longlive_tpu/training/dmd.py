@@ -1,0 +1,185 @@
+"""Distribution Matching Distillation losses.
+
+Functional port of the reference DMD model (model/dmd.py:14-392):
+
+- generator loss = 0.5 * MSE(x, stopgrad(x - kl_grad)) where
+  kl_grad = (fake_x0 - real_x0_cfg) / normalizer, computed at a random
+  shift-warped timestep clamped to [0.02, 0.98]*1000 and optionally to the
+  rollout's exit-step range (ts_schedule) — dmd.py:60-200;
+- critic loss = flow-matching denoising loss of the critic's prediction on
+  generator samples at a random timestep — dmd.py:272-392 with
+  `denoising_loss_type: flow` (utils/loss.py:76-89);
+- CFG on the real score with guidance_scale (3.0 in shipped configs),
+  fake_guidance_scale = 0 — dmd.py:44-49, 80-116.
+
+Teacher (`real_score`) and critic (`fake_score`) are bidirectional WanModels
+with one shared timestep per sample (uniform_timestep, base.py:51-74).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DiTConfig
+from ..models import dit as D
+from ..models.dit_bidirectional import bidirectional_forward
+from ..ops import scheduler as S
+from ..ops.rope import RopeTables
+
+
+@dataclasses.dataclass(frozen=True)
+class DMDConfig:
+    num_train_timestep: int = 1000
+    timestep_shift: float = 5.0
+    real_guidance_scale: float = 3.0
+    fake_guidance_scale: float = 0.0
+    ts_schedule: bool = False  # shipped configs: false (longlive_train_init.yaml)
+    ts_schedule_max: bool = False
+    min_score_timestep: int = 0
+
+    @property
+    def min_step(self) -> int:
+        return int(0.02 * self.num_train_timestep)
+
+    @property
+    def max_step(self) -> int:
+        return int(0.98 * self.num_train_timestep)
+
+
+def _sample_score_timestep(
+    rng: jax.Array,
+    dcfg: DMDConfig,
+    batch: int,
+    num_frames: int,
+    denoised_from: Optional[int],
+    denoised_to: Optional[int],
+) -> jax.Array:
+    """Uniform per-sample timestep, shift-warped + clamped
+    (dmd.py:159-176, base.py:51-74)."""
+    min_t = denoised_to if (dcfg.ts_schedule and denoised_to is not None) else dcfg.min_score_timestep
+    max_t = denoised_from if (dcfg.ts_schedule_max and denoised_from is not None) else dcfg.num_train_timestep
+    t = jax.random.randint(rng, (batch, 1), min_t, max_t).astype(jnp.float32)
+    t = jnp.broadcast_to(t, (batch, num_frames))
+    if dcfg.timestep_shift > 1:
+        s = dcfg.timestep_shift
+        t = s * (t / 1000.0) / (1 + (s - 1) * (t / 1000.0)) * 1000.0
+    return jnp.clip(t, dcfg.min_step, dcfg.max_step)
+
+
+def _x0_pred_bidirectional(
+    params, cfg, tables, sched, noisy, t, cross_kv, attn_impl
+) -> jax.Array:
+    """flow pred -> x0 (wan_wrapper.py:247-295; uniform timestep -> t[:,0])."""
+    flow = bidirectional_forward(params, cfg, tables, noisy, t[:, 0], cross_kv,
+                                 attn_impl=attn_impl)
+    b, f = noisy.shape[:2]
+    return S.convert_flow_to_x0(
+        sched, flow.reshape(b * f, *flow.shape[2:]),
+        noisy.reshape(b * f, *noisy.shape[2:]).astype(jnp.float32),
+        t.reshape(-1),
+    ).reshape(flow.shape)
+
+
+def distribution_matching_loss(
+    gen_latents: jax.Array,  # [B, F, C, H, W], grad flows into this
+    critic_params: dict,
+    teacher_params: dict,
+    cfg: DiTConfig,
+    tables: RopeTables,
+    sched: S.FlowMatchSchedule,
+    dcfg: DMDConfig,
+    cross_cond: D.CrossKV,
+    cross_uncond: D.CrossKV,
+    rng: jax.Array,
+    gradient_mask: Optional[jax.Array] = None,  # [B, F] bool
+    denoised_from: Optional[int] = None,
+    denoised_to: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, dict]:
+    """DMD generator loss (dmd.py:134-200)."""
+    b, f = gen_latents.shape[:2]
+    rng_t, rng_n = jax.random.split(rng)
+
+    def no_grad_branch(x):
+        t = _sample_score_timestep(rng_t, dcfg, b, f, denoised_from, denoised_to)
+        noise = jax.random.normal(rng_n, x.shape, jnp.float32)
+        noisy = S.add_noise(
+            sched, x.reshape(b * f, *x.shape[2:]),
+            noise.reshape(b * f, *x.shape[2:]), t.reshape(-1)
+        ).reshape(x.shape)
+
+        fake_x0 = _x0_pred_bidirectional(
+            critic_params, cfg, tables, sched, noisy, t, cross_cond, attn_impl)
+        if dcfg.fake_guidance_scale != 0.0:
+            fake_u = _x0_pred_bidirectional(
+                critic_params, cfg, tables, sched, noisy, t, cross_uncond, attn_impl)
+            fake_x0 = fake_x0 + (fake_x0 - fake_u) * dcfg.fake_guidance_scale
+        real_c = _x0_pred_bidirectional(
+            teacher_params, cfg, tables, sched, noisy, t, cross_cond, attn_impl)
+        real_u = _x0_pred_bidirectional(
+            teacher_params, cfg, tables, sched, noisy, t, cross_uncond, attn_impl)
+        real_x0 = real_c + (real_c - real_u) * dcfg.real_guidance_scale
+
+        grad = fake_x0.astype(jnp.float32) - real_x0.astype(jnp.float32)
+        p_real = x.astype(jnp.float32) - real_x0.astype(jnp.float32)
+        normalizer = jnp.mean(jnp.abs(p_real), axis=(1, 2, 3, 4), keepdims=True)
+        grad = jnp.nan_to_num(grad / normalizer)
+        return grad, t
+
+    grad, t = jax.lax.stop_gradient(no_grad_branch(gen_latents))
+
+    x = gen_latents.astype(jnp.float32)
+    target = jax.lax.stop_gradient(x - grad)
+    err = jnp.square(x - target)
+    if gradient_mask is not None:
+        # masked mean over selected elements (dmd.py:194-196)
+        m = gradient_mask[:, :, None, None, None].astype(jnp.float32)
+        per_frame_elems = err.shape[2] * err.shape[3] * err.shape[4]
+        loss = 0.5 * jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * per_frame_elems, 1.0)
+    else:
+        loss = 0.5 * jnp.mean(err)
+    aux = {
+        "dmdtrain_gradient_norm": jnp.mean(jnp.abs(grad)),
+        "dmd_timestep_mean": jnp.mean(t),
+    }
+    return loss, aux
+
+
+def critic_denoising_loss(
+    critic_params: dict,
+    gen_latents: jax.Array,  # [B, F, C, H, W] (stop-gradded by caller)
+    cfg: DiTConfig,
+    tables: RopeTables,
+    sched: S.FlowMatchSchedule,
+    dcfg: DMDConfig,
+    cross_cond: D.CrossKV,
+    rng: jax.Array,
+    denoised_from: Optional[int] = None,
+    denoised_to: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, dict]:
+    """Critic (fake_score) flow-matching loss on generator samples
+    (dmd.py:272-392 with denoising_loss_type='flow')."""
+    b, f = gen_latents.shape[:2]
+    rng_t, rng_n = jax.random.split(rng)
+    t = _sample_score_timestep(rng_t, dcfg, b, f, denoised_from, denoised_to)
+    noise = jax.random.normal(rng_n, gen_latents.shape, jnp.float32)
+    x = gen_latents.astype(jnp.float32)
+    noisy = S.add_noise(
+        sched, x.reshape(b * f, *x.shape[2:]),
+        noise.reshape(b * f, *x.shape[2:]), t.reshape(-1)
+    ).reshape(x.shape)
+
+    pred_x0 = _x0_pred_bidirectional(
+        critic_params, cfg, tables, sched, noisy, t, cross_cond, attn_impl)
+    flow_pred = S.convert_x0_to_flow(
+        sched, pred_x0.reshape(b * f, *x.shape[2:]),
+        noisy.reshape(b * f, *x.shape[2:]), t.reshape(-1)
+    ).reshape(x.shape)
+    # FlowPredLoss: mse(flow_pred, noise - x) (utils/loss.py:76-89)
+    loss = jnp.mean(jnp.square(flow_pred.astype(jnp.float32) - (noise - x)))
+    return loss, {"critic_timestep_mean": jnp.mean(t)}

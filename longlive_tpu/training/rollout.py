@@ -1,0 +1,164 @@
+"""Self-forcing training rollout with KV cache.
+
+Functional re-design of the reference ``SelfForcingTrainingPipeline``
+(pipeline/self_forcing_training.py:12-495):
+
+- per rollout, ONE denoise step index (`exit_idx`) is sampled and shared
+  across blocks (same_step_across_blocks=True in shipped configs); the block
+  runs denoise steps 0..exit_idx and *stops* (steps after the exit never run,
+  self_forcing_training.py:404-446);
+- only the exit-step forward of blocks at/after ``start_gradient_frame``
+  carries gradient; everything else (earlier steps, earlier blocks, the
+  clean-context KV commit) is under stop_gradient — the reference's
+  torch.no_grad regions (self_forcing_training.py:404-471);
+- the commit adds ``context_noise`` to the prediction before re-running
+  (self_forcing_training.py:451-459);
+- the reference's rank-0 broadcast of the random exit step
+  (self_forcing_training.py:76-93) is unnecessary: all hosts fold the same
+  PRNG key.
+
+``exit_idx`` and ``start_gradient_frame`` are static (a handful of compile
+variants); ``rng`` drives the re-noising.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CacheConfig, DiTConfig
+from ..models import dit as D
+from ..ops import kv_cache as kvc
+from ..ops import scheduler as S
+from ..ops.rope import RopeTables
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    denoise_timesteps: Tuple[float, ...]  # warped (pipeline causal_inference.py:33-37)
+    context_noise: float = 0.0
+    frame_block: int = 3
+    same_step_across_blocks: bool = True
+    last_step_only: bool = False
+    attn_impl: str = "auto"
+    remat: bool = True
+
+
+def denoised_timestep_bounds(
+    sched: S.FlowMatchSchedule, rcfg: RolloutConfig, exit_idx: int
+) -> Tuple[int, int]:
+    """(denoised_timestep_from, denoised_timestep_to) — the 1000-argmin
+    encoding used to clamp DMD/critic timesteps (ts_schedule,
+    self_forcing_training.py:479-491).  Host-side ints."""
+    ts = np.asarray(sched.timesteps)
+
+    def enc(t):
+        return 1000 - int(np.argmin(np.abs(ts - t)))
+
+    t_from = enc(rcfg.denoise_timesteps[exit_idx])
+    if exit_idx == len(rcfg.denoise_timesteps) - 1:
+        return t_from, 0
+    return t_from, enc(rcfg.denoise_timesteps[exit_idx + 1])
+
+
+def rollout_trajectory(
+    gen_params: dict,
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    tables: RopeTables,
+    sched: S.FlowMatchSchedule,
+    rcfg: RolloutConfig,
+    noise: jax.Array,  # [B, F_total, C, H, W]
+    cross_kv: D.CrossKV,
+    rng: jax.Array,
+    exit_idx: int,
+    start_gradient_frame: int = 0,
+    cache: Optional[kvc.KVCache] = None,
+    current_start_frame: int = 0,
+) -> Tuple[jax.Array, kvc.KVCache, jax.Array]:
+    """Rolls out ``F_total`` frames block-by-block with the KV cache.
+    Returns (latents [B,F_total,C,H,W] f32, final cache, rng').
+
+    When ``cache``/``current_start_frame`` are provided, continues an ongoing
+    sequence (streaming long tuning, pipeline/streaming_training.py:73-257).
+    """
+    b, f_total = noise.shape[:2]
+    fpb = rcfg.frame_block
+    assert f_total % fpb == 0
+
+    if cache is None:
+        cache = kvc.init_cache(
+            cache_cfg, cfg.num_layers, b, cfg.num_heads, cfg.head_dim,
+            gen_params["patch_embedding"]["kernel"].dtype,
+        )
+
+    def _fwd(p, xx, tt, ck, sf):
+        return D.dit_forward_cached(
+            p, cfg, cache_cfg, tables, xx, tt, cross_kv, ck, sf,
+            attn_impl=rcfg.attn_impl,
+        )
+
+    fwd_fn = jax.checkpoint(_fwd) if rcfg.remat else _fwd
+
+    def forward(x, t_val, cache_in, start_frame):
+        t = jnp.full((b, fpb), t_val, jnp.float32)
+        flow, cache_out = fwd_fn(gen_params, x, t, cache_in, start_frame)
+        bf = b * fpb
+        x0 = S.convert_flow_to_x0(
+            sched, flow.reshape(bf, *flow.shape[2:]),
+            x.reshape(bf, *x.shape[2:]).astype(jnp.float32),
+            jnp.full((bf,), t_val, jnp.float32),
+        ).reshape(flow.shape)
+        return x0, cache_out
+
+    outputs = []
+    for s in range(0, f_total, fpb):
+        abs_start = current_start_frame + s
+        x = noise[:, s : s + fpb]
+        # denoise steps before the exit: no gradient
+        for i in range(exit_idx):
+            x0, _ = forward(jax.lax.stop_gradient(x),
+                            rcfg.denoise_timesteps[i], cache, abs_start)
+            x0 = jax.lax.stop_gradient(x0)
+            rng, sub = jax.random.split(rng)
+            t_next = jnp.full((b * fpb,), rcfg.denoise_timesteps[i + 1], jnp.float32)
+            x = S.add_noise(
+                sched, x0.reshape(b * fpb, *x0.shape[2:]),
+                jax.random.normal(sub, x0.shape, jnp.float32).reshape(
+                    b * fpb, *x0.shape[2:]),
+                t_next,
+            ).reshape(x0.shape)
+        # exit step: gradient iff this block is in the supervised tail
+        grad_on = s >= start_gradient_frame
+        x0, _ = forward(jax.lax.stop_gradient(x),
+                        rcfg.denoise_timesteps[exit_idx], cache, abs_start)
+        if not grad_on:
+            x0 = jax.lax.stop_gradient(x0)
+        outputs.append(x0)
+
+        # clean-context commit (stop-grad; context noise added like the
+        # reference, self_forcing_training.py:451-459)
+        rng, sub = jax.random.split(rng)
+        ctx = S.add_noise(
+            sched,
+            jax.lax.stop_gradient(x0).reshape(b * fpb, *x0.shape[2:]),
+            jax.random.normal(sub, x0.shape, jnp.float32).reshape(
+                b * fpb, *x0.shape[2:]),
+            jnp.full((b * fpb,), rcfg.context_noise, jnp.float32),
+        ).reshape(x0.shape)
+        _, cache = forward(ctx, rcfg.context_noise, cache, abs_start)
+        cache = jax.lax.stop_gradient(cache)
+
+    return jnp.concatenate(outputs, axis=1), cache, rng
+
+
+def sample_exit_idx(rng: jax.Array, num_steps: int, last_step_only: bool) -> int:
+    """Host-side exit-step sampling (all hosts share the key, replacing the
+    reference's rank-0 broadcast, self_forcing_training.py:76-93)."""
+    if last_step_only:
+        return num_steps - 1
+    return int(jax.random.randint(rng, (), 0, num_steps))

@@ -1,0 +1,262 @@
+"""Score-distillation trainer (DMD / Self-Forcing init training).
+
+Functional re-design of the reference ``Trainer`` (trainer/distillation.py):
+- two AdamW optimizers (generator lr / critic lr, betas (beta1, beta2) from
+  config — distillation.py:367-381);
+- generator updates every ``dfake_gen_update_ratio`` steps, critic otherwise
+  (distillation.py:1177);
+- EMA of generator params (CPU-fp32 shadow in the reference,
+  utils/distributed.py:91-125; here a same-sharded fp32 pytree);
+- FSDP: parameters sharded over the mesh `fsdp` axis via parallel.mesh rules;
+  XLA inserts all-gather/reduce-scatter — no hand-written comm;
+- all randomness from one PRNG key chain (identical on all hosts, replacing
+  every rank-0 broadcast in the reference: distillation.py:712-735,
+  base.py:144-146, self_forcing_training.py:76-93).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import CacheConfig, DiTConfig, LatentGeometry
+from ..models import dit as D
+from ..ops import scheduler as S
+from ..ops.rope import make_rope_tables
+from . import dmd as dmd_mod
+from . import rollout as ro
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    # optimization (longlive_train_init.yaml)
+    lr: float = 2.0e-6
+    lr_critic: float = 4.0e-7
+    beta1: float = 0.0
+    beta2: float = 0.999
+    beta1_critic: float = 0.0
+    beta2_critic: float = 0.999
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 10.0
+    dfake_gen_update_ratio: int = 5
+    ema_weight: float = 0.99
+    ema_start_step: int = 200
+    # rollout / model
+    denoising_step_list: Tuple[int, ...] = (1000, 750, 500, 250)
+    warp_denoising_step: bool = True
+    timestep_shift: float = 5.0
+    guidance_scale: float = 3.0
+    num_frame_per_block: int = 3
+    num_training_frames: int = 21
+    min_num_training_frames: int = 21
+    slice_last_frames: int = 21
+    context_noise: float = 0.0
+    last_step_only: bool = False
+    ts_schedule: bool = False
+    ts_schedule_max: bool = False
+    num_train_timestep: int = 1000
+    attn_impl: str = "auto"
+    seed: int = 0
+
+
+class TrainState(dict):
+    """Pytree-friendly dict: {gen_params, critic_params, gen_opt, critic_opt,
+    ema_params, step}."""
+
+
+class ScoreDistillationTrainer:
+    def __init__(
+        self,
+        tcfg: TrainerConfig,
+        dit_cfg: DiTConfig,
+        geometry: LatentGeometry,
+        gen_params: dict,
+        critic_params: dict,
+        teacher_params: dict,
+        mesh=None,
+    ):
+        self.tcfg = tcfg
+        self.cfg = dit_cfg
+        self.geom = geometry
+        self.mesh = mesh
+        self.teacher_params = teacher_params
+
+        self.sched = S.make_schedule(
+            1000, shift=tcfg.timestep_shift, sigma_min=0.0, extra_one_step=True,
+            training=True,
+        )
+        steps = tcfg.denoising_step_list
+        if tcfg.warp_denoising_step:
+            steps = tuple(float(x) for x in S.warp_denoising_steps(self.sched, steps))
+        self.rcfg = ro.RolloutConfig(
+            denoise_timesteps=steps,
+            context_noise=tcfg.context_noise,
+            frame_block=tcfg.num_frame_per_block,
+            last_step_only=tcfg.last_step_only,
+            attn_impl=tcfg.attn_impl,
+        )
+        self.dcfg = dmd_mod.DMDConfig(
+            num_train_timestep=tcfg.num_train_timestep,
+            timestep_shift=tcfg.timestep_shift,
+            real_guidance_scale=tcfg.guidance_scale,
+            ts_schedule=tcfg.ts_schedule,
+            ts_schedule_max=tcfg.ts_schedule_max,
+        )
+        # training rollouts size the cache for the whole training window
+        # (kv_frames = min(local+slice, num_training_frames),
+        #  self_forcing_training.py:59-74)
+        if dit_cfg.local_attn_size == -1:
+            kv_frames = tcfg.num_training_frames
+        else:
+            kv_frames = min(dit_cfg.local_attn_size + tcfg.slice_last_frames,
+                            tcfg.num_training_frames)
+        self.cache_cfg = CacheConfig(
+            sink_frames=dit_cfg.sink_size,
+            ring_frames=kv_frames - dit_cfg.sink_size,
+            frame_seq=geometry.frame_seq_length,
+        )
+        self.tables = make_rope_tables(dit_cfg.head_dim, dit_cfg.rope_max_pos)
+
+        self.gen_tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.grad_clip_norm),
+            optax.adamw(tcfg.lr, b1=tcfg.beta1, b2=tcfg.beta2,
+                        weight_decay=tcfg.weight_decay),
+        )
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.grad_clip_norm),
+            optax.adamw(tcfg.lr_critic, b1=tcfg.beta1_critic, b2=tcfg.beta2_critic,
+                        weight_decay=tcfg.weight_decay),
+        )
+
+        self.state = TrainState(
+            gen_params=gen_params,
+            critic_params=critic_params,
+            gen_opt=self.gen_tx.init(gen_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            ema_params=jax.tree.map(lambda x: x.astype(jnp.float32), gen_params),
+            step=jnp.zeros([], jnp.int32),
+        )
+        self._gen_steps = {}
+        self._critic_steps = {}
+
+    # -- jitted step builders --------------------------------------------
+
+    def _rollout(self, gp, noise, cross_c, rng, exit_idx, grad_start):
+        return ro.rollout_trajectory(
+            gp, self.cfg, self.cache_cfg, self.tables, self.sched, self.rcfg,
+            noise, cross_c, rng, exit_idx, start_gradient_frame=grad_start,
+        )
+
+    def _gen_step_fn(self, exit_idx: int, grad_start: int, use_mask: bool):
+        t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
+
+        def step(gen_params, gen_opt, critic_params, teacher_params, noise,
+                 cross_c, cross_u, rng):
+            rng_roll, rng_dmd = jax.random.split(rng)
+
+            def loss_fn(gp):
+                latents, _, _ = self._rollout(gp, noise, cross_c, rng_roll,
+                                              exit_idx, grad_start)
+                gmask = None
+                if use_mask:
+                    f = latents.shape[1]
+                    gmask = jnp.arange(f)[None] >= self.rcfg.frame_block
+                    gmask = jnp.broadcast_to(gmask, latents.shape[:2])
+                loss, aux = dmd_mod.distribution_matching_loss(
+                    latents, critic_params, teacher_params, self.cfg,
+                    self.tables, self.sched, self.dcfg, cross_c, cross_u,
+                    rng_dmd, gradient_mask=gmask,
+                    denoised_from=t_from, denoised_to=t_to,
+                    attn_impl=self.rcfg.attn_impl,
+                )
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
+            updates, gen_opt = self.gen_tx.update(grads, gen_opt, gen_params)
+            gen_params = optax.apply_updates(gen_params, updates)
+            gnorm = optax.global_norm(grads)
+            return gen_params, gen_opt, loss, dict(aux, generator_grad_norm=gnorm)
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _critic_step_fn(self, exit_idx: int):
+        t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
+
+        def step(critic_params, critic_opt, gen_params, noise, cross_c, rng):
+            rng_roll, rng_crit = jax.random.split(rng)
+            latents, _, _ = self._rollout(
+                gen_params, noise, cross_c, rng_roll, exit_idx,
+                grad_start=noise.shape[1] + 1,  # no grad anywhere
+            )
+            latents = jax.lax.stop_gradient(latents)
+
+            def loss_fn(cp):
+                return dmd_mod.critic_denoising_loss(
+                    cp, latents, self.cfg, self.tables, self.sched, self.dcfg,
+                    cross_c, rng_crit, denoised_from=t_from, denoised_to=t_to,
+                    attn_impl=self.rcfg.attn_impl,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(critic_params)
+            updates, critic_opt = self.critic_tx.update(grads, critic_opt, critic_params)
+            critic_params = optax.apply_updates(critic_params, updates)
+            gnorm = optax.global_norm(grads)
+            return critic_params, critic_opt, loss, dict(aux, critic_grad_norm=gnorm)
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # -- public API --------------------------------------------------------
+
+    def train_step(
+        self, noise: jax.Array, cross_c: D.CrossKV, cross_u: D.CrossKV,
+        rng: jax.Array,
+    ) -> Dict[str, Any]:
+        """One optimization step, alternating generator/critic at
+        dfake_gen_update_ratio (distillation.py:1177)."""
+        step = int(self.state["step"])
+        train_generator = step % self.tcfg.dfake_gen_update_ratio == 0
+        rng_exit, rng_step = jax.random.split(jax.random.fold_in(rng, step))
+        exit_idx = ro.sample_exit_idx(
+            rng_exit, len(self.rcfg.denoise_timesteps), self.rcfg.last_step_only)
+
+        metrics: Dict[str, Any] = {"step": step, "exit_idx": exit_idx}
+        if train_generator:
+            key = (exit_idx, 0, False)
+            if key not in self._gen_steps:
+                self._gen_steps[key] = self._gen_step_fn(*key)
+            gp, gopt, loss, aux = self._gen_steps[key](
+                self.state["gen_params"], self.state["gen_opt"],
+                self.state["critic_params"], self.teacher_params,
+                noise, cross_c, cross_u, rng_step,
+            )
+            self.state["gen_params"], self.state["gen_opt"] = gp, gopt
+            metrics.update({"generator_loss": float(loss), **{k: float(v) for k, v in aux.items()}})
+            self._update_ema(step)
+        else:
+            if exit_idx not in self._critic_steps:
+                self._critic_steps[exit_idx] = self._critic_step_fn(exit_idx)
+            cp, copt, loss, aux = self._critic_steps[exit_idx](
+                self.state["critic_params"], self.state["critic_opt"],
+                self.state["gen_params"], noise, cross_c, rng_step,
+            )
+            self.state["critic_params"], self.state["critic_opt"] = cp, copt
+            metrics.update({"critic_loss": float(loss), **{k: float(v) for k, v in aux.items()}})
+        self.state["step"] = self.state["step"] + 1
+        return metrics
+
+    def _update_ema(self, step: int):
+        if step < self.tcfg.ema_start_step:
+            self.state["ema_params"] = jax.tree.map(
+                lambda x: x.astype(jnp.float32), self.state["gen_params"])
+            return
+        w = self.tcfg.ema_weight
+        self.state["ema_params"] = jax.tree.map(
+            lambda e, p: w * e + (1 - w) * p.astype(jnp.float32),
+            self.state["ema_params"], self.state["gen_params"],
+        )

@@ -1,0 +1,133 @@
+"""Training-stack tests: rollout gradients, DMD losses, trainer step, FSDP
+sharding over the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longlive_tpu.config import (CacheConfig, LatentGeometry, tiny_dit_config,
+                                 tiny_geometry)
+from longlive_tpu.models import dit as D
+from longlive_tpu.models.dit_bidirectional import bidirectional_forward
+from longlive_tpu.ops import scheduler as S
+from longlive_tpu.ops.rope import make_rope_tables
+from longlive_tpu.parallel import mesh as M
+from longlive_tpu.training import dmd as dmd_mod
+from longlive_tpu.training import rollout as ro
+from longlive_tpu.training.trainer import ScoreDistillationTrainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    gen = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32, zero_head=False)
+    critic = D.init_dit_params(jax.random.PRNGKey(1), cfg, jnp.float32, zero_head=False)
+    teacher = D.init_dit_params(jax.random.PRNGKey(2), cfg, jnp.float32, zero_head=False)
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    sched = S.make_schedule(1000, shift=5.0, sigma_min=0.0, extra_one_step=True,
+                            training=True)
+    prompts = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.text_len, cfg.text_dim))
+    cross_c = D.prepare_cross_kv(gen, cfg, prompts, jnp.float32)
+    cross_u = D.prepare_cross_kv(gen, cfg, prompts * 0.1, jnp.float32)
+    return cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u
+
+
+def test_bidirectional_forward_shape(setup):
+    cfg, geom, gen, *_ = setup
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    prompts = jax.random.normal(jax.random.PRNGKey(4), (2, cfg.text_len, cfg.text_dim))
+    cross = D.prepare_cross_kv(gen, cfg, prompts, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, geom.channels, geom.height, geom.width))
+    t = jnp.asarray([500.0, 250.0])
+    out = bidirectional_forward(gen, cfg, tables, x, t, cross, attn_impl="xla")
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rollout_gradient_structure(setup):
+    """Gradient must flow only through exit-step forwards of blocks at/after
+    start_gradient_frame."""
+    cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
+    cache_cfg = CacheConfig(1, 5, geom.frame_seq_length)
+    rcfg = ro.RolloutConfig(denoise_timesteps=(1000.0, 937.5, 833.33, 625.0),
+                            frame_block=1, attn_impl="xla", remat=False)
+    noise = jax.random.normal(jax.random.PRNGKey(6),
+                              (1, 3, geom.channels, geom.height, geom.width))
+
+    def latents_sum(gp, grad_start):
+        lat, _, _ = ro.rollout_trajectory(
+            gp, cfg, cache_cfg, tables, sched, rcfg, noise, cross_c,
+            jax.random.PRNGKey(7), exit_idx=1, start_gradient_frame=grad_start)
+        return jnp.sum(lat ** 2)
+
+    g_all = jax.grad(lambda p: latents_sum(p, 0))(gen)
+    g_none = jax.grad(lambda p: latents_sum(p, 99))(gen)
+    n_all = float(jax.tree.reduce(lambda a, x: a + jnp.sum(jnp.abs(x)), g_all, 0.0))
+    n_none = float(jax.tree.reduce(lambda a, x: a + jnp.sum(jnp.abs(x)), g_none, 0.0))
+    assert n_all > 0.0
+    assert n_none == 0.0
+
+
+def test_dmd_losses_finite(setup):
+    cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
+    dcfg = dmd_mod.DMDConfig(timestep_shift=5.0)
+    lat = jax.random.normal(jax.random.PRNGKey(8),
+                            (1, 3, geom.channels, geom.height, geom.width))
+    loss, aux = dmd_mod.distribution_matching_loss(
+        lat, critic, teacher, cfg, tables, sched, dcfg, cross_c, cross_u,
+        jax.random.PRNGKey(9), attn_impl="xla")
+    assert np.isfinite(float(loss))
+    closs, _ = dmd_mod.critic_denoising_loss(
+        critic, lat, cfg, tables, sched, dcfg, cross_c,
+        jax.random.PRNGKey(10), attn_impl="xla")
+    assert np.isfinite(float(closs))
+
+    # generator gradient through the DMD loss is nonzero
+    def gl(l):
+        loss, _ = dmd_mod.distribution_matching_loss(
+            l, critic, teacher, cfg, tables, sched, dcfg, cross_c, cross_u,
+            jax.random.PRNGKey(9), attn_impl="xla")
+        return loss
+
+    g = jax.grad(gl)(lat)
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_trainer_steps(setup):
+    cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
+    tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                         slice_last_frames=3, attn_impl="xla",
+                         dfake_gen_update_ratio=2)
+    # the trainer donates its param buffers; keep the fixture's intact
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    tr = ScoreDistillationTrainer(tcfg, cfg, geom, copy(gen), copy(critic), teacher)
+    noise = jax.random.normal(jax.random.PRNGKey(11),
+                              (1, 3, geom.channels, geom.height, geom.width))
+    m0 = tr.train_step(noise, cross_c, cross_u, jax.random.PRNGKey(12))
+    assert "generator_loss" in m0 and np.isfinite(m0["generator_loss"])
+    m1 = tr.train_step(noise, cross_c, cross_u, jax.random.PRNGKey(12))
+    assert "critic_loss" in m1 and np.isfinite(m1["critic_loss"])
+    m2 = tr.train_step(noise, cross_c, cross_u, jax.random.PRNGKey(12))
+    assert "generator_loss" in m2
+
+
+def test_fsdp_sharding_8dev(setup):
+    """Params shard over the fsdp axis; a sharded forward runs and matches
+    the unsharded result."""
+    cfg, geom, gen, *_ = setup
+    mesh = M.make_mesh(dp=1, fsdp=8, sp=1)
+    sharded = M.shard_params(gen, mesh)
+    # ffn fc1 kernel [L, d, ffn=128]: 128 % 8 == 0 -> sharded on last dim
+    sh = sharded["blocks"]["ffn"]["fc1"]["kernel"].sharding
+    assert "fsdp" in str(sh.spec)
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    prompts = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.text_len, cfg.text_dim))
+    cross = D.prepare_cross_kv(gen, cfg, prompts, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 2, geom.channels, geom.height, geom.width))
+    t = jnp.asarray([500.0])
+    ref = bidirectional_forward(gen, cfg, tables, x, t, cross, attn_impl="xla")
+    out = jax.jit(lambda p: bidirectional_forward(p, cfg, tables, x, t, cross,
+                                                  attn_impl="xla"))(sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
