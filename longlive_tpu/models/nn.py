@@ -17,7 +17,12 @@ import jax.numpy as jnp
 def linear(x: jax.Array, p: dict) -> jax.Array:
     """x @ kernel + bias.  kernel: [in, out]; bias optional.
     Accumulates in f32 on the MXU (like torch bf16 linears), output in the
-    input dtype."""
+    input dtype.  Dispatches to the int8 path when the params were quantized
+    (ops.quant.quantize_dit_params)."""
+    if "w_int8" in p:
+        from ..ops.quant import linear_int8
+
+        return linear_int8(x, p)
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)

@@ -1,0 +1,72 @@
+"""Single-prompt generation CLI (reference inference.py).
+
+Usage:  python -m longlive_tpu.run_inference --config_path configs/longlive_inference.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LatentGeometry, load_pipeline_config
+from .models import vae as V
+from .pipeline import CausalInferencePipeline
+from .utils import loading
+from .utils.dataset import TextDataset, shard
+from .utils.video_io import to_video_array, write_video
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_path", required=True)
+    ap.add_argument("--use_ema", action="store_true")
+    ap.add_argument("--max_prompts", type=int, default=None)
+    args = ap.parse_args()
+
+    config = load_pipeline_config(args.config_path)
+    cfg = config.dit_config()
+    geom = LatentGeometry()
+
+    params = loading.load_dit_params(config, cfg, use_ema=args.use_ema)
+    vae_params, vcfg = loading.load_vae_params(config)
+    text_encoder = loading.load_text_encoder(config)
+
+    pipe = CausalInferencePipeline(config, params, geometry=geom, dit_config=cfg)
+
+    if config.data_path and os.path.exists(config.data_path) and text_encoder:
+        rows = shard(TextDataset(config.data_path), jax.process_index(),
+                     jax.process_count())
+    else:
+        rows = [{"prompts": "(random prompt embedding)", "idx": 0}]
+    if args.max_prompts:
+        rows = rows[: args.max_prompts]
+
+    decode = jax.jit(lambda p, z: V.vae_decode(p, vcfg, z, chunk=config.num_frame_per_block))
+
+    rng = jax.random.PRNGKey(config.seed)
+    out_dir = config.output_folder or "videos/long"
+    for row in rows:
+        if text_encoder is not None:
+            cond = text_encoder([row["prompts"]])["prompt_embeds"]
+        else:
+            cond = jax.random.normal(
+                jax.random.PRNGKey(config.seed), (1, cfg.text_len, cfg.text_dim))
+        cross = pipe.prepare_condition(cond)
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(
+            sub, (1, config.num_output_frames, geom.channels, geom.height, geom.width),
+            jnp.float32,
+        )
+        latents = pipe.generate_latents(noise, cross, rng=sub, profile=config.profile)
+        pixels = decode(vae_params, latents.astype(jnp.bfloat16))
+        path = os.path.join(out_dir, f"video_{row['idx']:04d}.mp4")
+        write_video(path, to_video_array(pixels), fps=16)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Model-artifact loading: reference checkpoint layout -> JAX params.
+
+Mirrors the reference's artifact resolution (inference.py:69-130,
+utils/wan_wrapper.py:16-135): a ``wan_models/<model_name>/`` directory with
+the DiT / VAE / umT5 checkpoints, plus optional LongLive generator + LoRA
+checkpoints.  Missing artifacts fall back to random initialization with a
+loud warning so every pipeline stays runnable end-to-end without downloads.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DiTConfig, PipelineConfig
+from ..models import dit as D
+from ..models import t5 as T5
+from ..models import vae as V
+from . import checkpoint as ckpt
+
+
+def _warn(msg: str):
+    print(f"[longlive_tpu] WARNING: {msg}", file=sys.stderr)
+
+
+def _torch_load(path: str):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_dit_params(
+    config: PipelineConfig, cfg: DiTConfig, dtype=jnp.bfloat16, use_ema: bool = False
+) -> dict:
+    """LongLive generator: base ckpt + LoRA fold (inference.py:72-130)."""
+    path = config.generator_ckpt
+    if path and os.path.exists(path):
+        sd = ckpt.unwrap_generator_checkpoint(_torch_load(path), use_ema=use_ema)
+        if config.lora_ckpt and os.path.exists(config.lora_ckpt):
+            lora = _torch_load(config.lora_ckpt)
+            if isinstance(lora, dict) and "generator_lora" in lora:
+                lora = lora["generator_lora"]
+            adapter = (config.extras or {}).get("adapter", {})
+            scale = float(adapter.get("alpha", 256)) / float(adapter.get("rank", 256))
+            sd = ckpt.fold_lora_into_dit_sd(sd, lora, alpha_over_rank=scale)
+        return ckpt.dit_params_from_torch(sd, cfg, dtype)
+    _warn(f"generator checkpoint {path!r} not found — using random init")
+    return D.init_dit_params(jax.random.PRNGKey(config.seed), cfg, dtype)
+
+
+def load_vae_params(config: PipelineConfig, dtype=jnp.bfloat16) -> Tuple[dict, V.VAEConfig]:
+    vcfg = V.VAEConfig()
+    path = os.path.join("wan_models", config.model_name, "Wan2.1_VAE.pth")
+    if os.path.exists(path):
+        return ckpt.vae_params_from_torch(_torch_load(path), vcfg, dtype), vcfg
+    _warn(f"VAE checkpoint {path!r} not found — using random init")
+    return V.init_vae_params(jax.random.PRNGKey(0), vcfg, dtype), vcfg
+
+
+def load_text_encoder(
+    config: PipelineConfig, dtype=jnp.bfloat16
+) -> Optional[T5.T5TextEncoder]:
+    tcfg = T5.T5Config()
+    base = os.path.join("wan_models", config.model_name)
+    weights = os.path.join(base, "models_t5_umt5-xxl-enc-bf16.pth")
+    tok = os.path.join(base, "google", "umt5-xxl")
+    if os.path.exists(weights) and os.path.exists(tok):
+        params = T5.t5_params_from_torch(_torch_load(weights), tcfg, dtype)
+        return T5.T5TextEncoder(params, tcfg, tokenizer_path=tok)
+    _warn(f"T5 assets not found under {base!r} — text encoding unavailable; "
+          "pipelines accept precomputed prompt embeddings instead")
+    return None

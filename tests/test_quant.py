@@ -1,0 +1,47 @@
+"""Int8 quantized path: accuracy vs bf16 reference and end-to-end DiT run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longlive_tpu.config import CacheConfig, tiny_dit_config, tiny_geometry
+from longlive_tpu.models import dit as D
+from longlive_tpu.ops import kv_cache as kvc
+from longlive_tpu.ops.quant import linear_int8, quantize_dit_params, quantize_weight
+from longlive_tpu.ops.rope import make_rope_tables
+
+
+def test_linear_int8_close_to_fp():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 96), jnp.float32)
+    k = jnp.asarray(rng.randn(96, 128) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(128) * 0.01, jnp.float32)
+    ref = x @ k + b
+    p = quantize_weight(k)
+    p["bias"] = b
+    out = linear_int8(x, p)
+    rel = np.abs(np.asarray(out - ref)).max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.03, rel
+
+
+def test_quantized_dit_forward_close():
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32, zero_head=False)
+    qparams = quantize_dit_params(params)
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    prompt = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim))
+    cross = D.prepare_cross_kv(params, cfg, prompt, jnp.float32)
+    cache_cfg = CacheConfig(1, 3, geom.frame_seq_length)
+    cache = kvc.init_cache(cache_cfg, cfg.num_layers, 1, cfg.num_heads, cfg.head_dim,
+                           jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, geom.channels, geom.height, geom.width))
+    t = jnp.full((1, 1), 500.0)
+
+    ref, _ = D.dit_forward_cached(params, cfg, cache_cfg, tables, x, t, cross,
+                                  cache, jnp.asarray(0), attn_impl="xla")
+    out, _ = D.dit_forward_cached(qparams, cfg, cache_cfg, tables, x, t, cross,
+                                  cache, jnp.asarray(0), attn_impl="xla")
+    denom = np.abs(np.asarray(ref)).max()
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / max(denom, 1e-6)
+    assert rel < 0.15, rel  # int8 dynamic-quant error bound on random weights
