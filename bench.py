@@ -70,20 +70,19 @@ def main():
     state = {"caches": None, "pixels": 0}
 
     def decode_block(start, latents_block):
+        # one latent frame per decode step: full-res conv activations for
+        # larger chunks exceed v5e HBM alongside the DiT + KV cache
         if skip_vae:
             return
-        if state["caches"] is None:
-            state["caches"] = V.init_decoder_caches(
-                vae_params, vcfg, 1, geom.height, geom.width, jnp.bfloat16)
-            px0, state["caches"] = first_fn(
-                vae_params, latents_block[:, :1].astype(jnp.bfloat16), state["caches"])
-            px1, state["caches"] = rest_fn(
-                vae_params, latents_block[:, 1:].astype(jnp.bfloat16), state["caches"])
-            state["pixels"] += px0.shape[1] + px1.shape[1]
-            state["last"] = px1
-        else:
-            px, state["caches"] = rest_fn(
-                vae_params, latents_block.astype(jnp.bfloat16), state["caches"])
+        lat = latents_block.astype(jnp.bfloat16)
+        for i in range(lat.shape[1]):
+            if state["caches"] is None:
+                state["caches"] = V.init_decoder_caches(
+                    vae_params, vcfg, 1, geom.height, geom.width, jnp.bfloat16)
+                px, state["caches"] = first_fn(vae_params, lat[:, :1], state["caches"])
+            else:
+                px, state["caches"] = rest_fn(
+                    vae_params, lat[:, i : i + 1], state["caches"])
             state["pixels"] += px.shape[1]
             state["last"] = px
 

@@ -408,6 +408,7 @@ def dit_forward_cached(
     write_frames: Optional[Tuple[int, ...]] = None,
     attn_impl: str = "auto",
     advance_counters: bool = True,
+    window_frames: Optional[int] = None,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One cached DiT forward over a block of ``F`` frames starting at
     absolute frame ``start_frame`` (ref _forward_inference,
@@ -429,7 +430,8 @@ def dit_forward_cached(
     if offsets is None:
         offsets = kvc.block_write_offsets(cache_cfg, cache, start_frame, f)
     if kv_valid is None:
-        kv_valid = kvc.validity_mask(cache_cfg, cache, start_frame, f)
+        kv_valid = kvc.validity_mask(cache_cfg, cache, start_frame, f,
+                                     window_frames=window_frames)
     if write_frames is None:
         write_frames = tuple(range(f))
 

@@ -130,17 +130,33 @@ def validity_mask(
     start_frame,
     num_frames: int,
     token_level: bool = True,
+    window_frames: int | None = None,
 ) -> jax.Array:
     """Boolean mask over cache slots that attention may see for a forward at
     [start_frame, +num_frames).  Includes the current block (the reference
     window always contains the tokens being denoised,
-    causal_model.py:331-360)."""
+    causal_model.py:331-360).
+
+    ``window_frames`` caps the attention budget (sink + most-recent frames)
+    when the cache retains MORE history than the window — the training
+    pipelines size the cache at min(local+slice, num_training) frames but
+    attend only sink + (local - sink) recent frames via max_attention_size
+    (self_forcing_training.py:59-74, causal_model.py:331-341)."""
     after = advance(cfg, cache, start_frame, num_frames)
     slots = jnp.arange(cfg.total_frames, dtype=jnp.int32)
     in_sink = slots < cfg.sink_frames
     valid = jnp.where(
         in_sink, slots < after.sink_filled, (slots - cfg.sink_frames) < after.ring_filled
     )
+    if window_frames is not None and window_frames - cfg.sink_frames < cfg.ring_frames:
+        budget = window_frames - cfg.sink_frames
+        end = jnp.asarray(start_frame, jnp.int32) + num_frames
+        r = slots - cfg.sink_frames
+        # latest absolute frame held by ring slot r (meaningless for unwritten
+        # slots, which the fill mask already excludes)
+        slot_frame = end - 1 - jnp.mod(end - 1 - (cache.ring_base + r), cfg.ring_frames)
+        recent = slot_frame >= end - budget
+        valid = valid & (in_sink | recent)
     if token_level:
         valid = jnp.repeat(valid, cfg.frame_seq)
     return valid

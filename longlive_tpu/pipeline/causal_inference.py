@@ -33,6 +33,47 @@ from ..ops import scheduler as S
 from ..ops.rope import make_rope_tables
 
 
+def build_recache_fn(
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    tables,
+    sched_context_noise: float,
+    num_frames: int,
+    global_sink: bool,
+    overwrite_sink: bool,
+    window_frames: int,
+    attn_impl: str = "auto",
+):
+    """KV-recache as a pure function (see CausalInferencePipeline._recache_fn
+    for semantics; shared with the streaming trainer).  Returns
+    fn(params, cache, cross_new, replay, recache_start_frame) -> cache'."""
+    sink = cache_cfg.sink_frames
+    budget = window_frames - sink
+
+    def fn(params, cache, cross_new, replay, recache_start_frame):
+        n = num_frames
+        if not global_sink:
+            cache = kvc.zero_cache(cache)
+        state = kvc.recache_state(cache_cfg, cache, recache_start_frame + n, n)
+        offsets = jnp.arange(n, dtype=jnp.int32) * cache_cfg.frame_seq
+        write_frames = tuple(range(n)) if overwrite_sink else tuple(range(sink, n))
+        slots = jnp.arange(cache_cfg.total_frames, dtype=jnp.int32)
+        n_arr = jnp.maximum(jnp.asarray(n, jnp.int32), sink)
+        kv_valid = (slots < sink) | ((slots >= n_arr - budget) & (slots < n_arr))
+        kv_valid = jnp.repeat(kv_valid, cache_cfg.frame_seq)
+        b, f = replay.shape[:2]
+        t = jnp.full((b, f), sched_context_noise, jnp.float32)
+        _, state = D.dit_forward_cached(
+            params, cfg, cache_cfg, tables, replay, t, cross_new, state,
+            recache_start_frame, kv_valid=kv_valid, offsets=offsets,
+            write_frames=write_frames, advance_counters=False,
+            attn_impl=attn_impl,
+        )
+        return state
+
+    return fn
+
+
 class CausalInferencePipeline:
     """Drives block-by-block AR generation with a frame-sink + ring-window
     KV cache.
@@ -72,6 +113,9 @@ class CausalInferencePipeline:
         self.tables = make_rope_tables(self.cfg.head_dim, self.cfg.rope_max_pos)
         self.frame_block = config.num_frame_per_block
 
+        # attention budget in frames (= cache size for inference configs;
+        # training pipelines retain more cache than they attend)
+        self.attn_window_frames = self.cache_cfg.total_frames
         self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
         self._recache_fns = {}
         self._prepare_cond_fn = jax.jit(
@@ -120,18 +164,29 @@ class CausalInferencePipeline:
         )
         return x0, cache, rng
 
-    def _recache_fn(self, num_frames: int, global_sink: bool):
+    def _recache_fn(self, num_frames: int, global_sink: bool,
+                    overwrite_sink: Optional[bool] = None):
         """Jitted KV-recache for a prompt switch
         (reference interactive_causal_inference.py:34-106): zero the cache
         (unless global_sink), replay the last ``num_frames`` generated frames
         under the new prompt in ONE forward, writing K/V linearly from slot 0
-        (or from the sink boundary when the original sink is kept)."""
-        key = (num_frames, global_sink)
+        (or from the sink boundary when the original sink is kept).
+
+        ``overwrite_sink`` defaults to ``not global_sink`` (the inference
+        path's sink_recache_after_switch, causal_model.py:303-304); the
+        training recache never overwrites the sink — it leaves the zeroed
+        sink slots attended, matching
+        streaming_switch_training.py:244-318 + causal_model.py:264,302."""
+        if overwrite_sink is None:
+            overwrite_sink = not global_sink
+        window = self.attn_window_frames
+        key = (num_frames, global_sink, overwrite_sink)
         if key in self._recache_fns:
             return self._recache_fns[key]
 
         cc = self.cache_cfg
         sink = cc.sink_frames
+        budget = window - sink
 
         def fn(params, cache, cross_new, replay, recache_start_frame):
             n = num_frames
@@ -139,10 +194,14 @@ class CausalInferencePipeline:
                 cache = kvc.zero_cache(cache)
             state = kvc.recache_state(cc, cache, recache_start_frame + n, n)
             offsets = jnp.arange(n, dtype=jnp.int32) * cc.frame_seq
-            write_frames = tuple(range(n)) if not global_sink else tuple(range(sink, n))
+            write_frames = tuple(range(n)) if overwrite_sink else tuple(range(sink, n))
             slots = jnp.arange(cc.total_frames, dtype=jnp.int32)
-            valid_frames = jnp.maximum(jnp.asarray(n, jnp.int32), sink)
-            kv_valid = jnp.repeat(slots < valid_frames, cc.frame_seq)
+            n_arr = jnp.maximum(jnp.asarray(n, jnp.int32), sink)
+            # attend: sink slots + the most recent `budget` replay slots
+            # (reference recache attention = sink ++ local window,
+            #  causal_model.py:331-341)
+            kv_valid = (slots < sink) | ((slots >= n_arr - budget) & (slots < n_arr))
+            kv_valid = jnp.repeat(kv_valid, cc.frame_seq)
             _, state = self._forward(
                 params, replay, float(self.config.context_noise), cross_new,
                 state, recache_start_frame,

@@ -1,0 +1,180 @@
+"""Training CLI (reference train.py + trainer/distillation.py run-loop).
+
+Usage:
+  python -m longlive_tpu.run_train --config_path configs/longlive_train_init.yaml
+  python -m longlive_tpu.run_train --config_path configs/longlive_train_long.yaml
+
+Dispatches on ``distribution_loss``: ``dmd`` -> batch DMD training
+(Self-Forcing init), ``dmd_switch`` + ``streaming_training`` -> streaming
+long tuning.  Auto-resume scans the logdir like the reference
+(distillation.py:605-629).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from .config import DiTConfig, LatentGeometry, PipelineConfig, pipeline_config_from_dict
+from .models import dit as D
+from .parallel import mesh as M
+from .training.streaming import StreamingConfig, StreamingTrainer
+from .training.trainer import ScoreDistillationTrainer, TrainerConfig
+from .utils import loading, orbax_io
+from .utils.dataset import TextDataset, TwoTextDataset, cycle, shard
+
+
+def build_trainer_config(raw: dict) -> TrainerConfig:
+    mk = raw.get("model_kwargs", {}) or {}
+    return TrainerConfig(
+        lr=float(raw.get("lr", 2e-6)),
+        lr_critic=float(raw.get("lr_critic", 4e-7)),
+        beta1=float(raw.get("beta1", 0.0)),
+        beta2=float(raw.get("beta2", 0.999)),
+        beta1_critic=float(raw.get("beta1_critic", 0.0)),
+        beta2_critic=float(raw.get("beta2_critic", 0.999)),
+        weight_decay=float(raw.get("weight_decay", 0.01)),
+        dfake_gen_update_ratio=int(raw.get("dfake_gen_update_ratio", 5)),
+        ema_weight=float(raw.get("ema_weight", 0.99)),
+        ema_start_step=int(raw.get("ema_start_step", 200)),
+        denoising_step_list=tuple(raw.get("denoising_step_list", (1000, 750, 500, 250))),
+        warp_denoising_step=bool(raw.get("warp_denoising_step", True)),
+        timestep_shift=float(mk.get("timestep_shift", 5.0)),
+        guidance_scale=float(raw.get("guidance_scale", 3.0)),
+        num_frame_per_block=int(raw.get("num_frame_per_block", 3)),
+        num_training_frames=int(raw.get("num_training_frames", 21)),
+        min_num_training_frames=int(raw.get("min_num_training_frames",
+                                            raw.get("num_training_frames", 21))),
+        slice_last_frames=int(raw.get("slice_last_frames", 21)),
+        context_noise=float(raw.get("context_noise", 0)),
+        last_step_only=bool(raw.get("last_step_only", False)),
+        ts_schedule=bool(raw.get("ts_schedule", False)),
+        ts_schedule_max=bool(raw.get("ts_schedule_max", False)),
+        seed=int(raw.get("seed", 0)),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_path", required=True)
+    ap.add_argument("--logdir", default="checkpoints/run")
+    ap.add_argument("--max_iters", type=int, default=None)
+    ap.add_argument("--no_auto_resume", action="store_true")
+    args = ap.parse_args()
+
+    with open(args.config_path) as f:
+        raw = yaml.safe_load(f)
+    pconfig = pipeline_config_from_dict(raw)
+    tcfg = build_trainer_config(raw)
+    dit_cfg = pconfig.dit_config()
+    geom = LatentGeometry()
+    max_iters = args.max_iters or int(raw.get("max_iters", 10000))
+    log_iters = int(raw.get("log_iters", 100))
+    max_ckpts = int(raw.get("max_checkpoints", 5))
+
+    # models: generator (causal), teacher + critic (bidirectional, same arch)
+    gen_params = loading.load_dit_params(pconfig, dit_cfg, jnp.float32)
+    teacher_params = jax.tree.map(jnp.copy, gen_params)
+    critic_params = jax.tree.map(jnp.copy, gen_params)
+    vae_params, vcfg = loading.load_vae_params(pconfig, jnp.float32)
+    text_encoder = loading.load_text_encoder(pconfig)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = M.make_mesh(dp=1, fsdp=len(jax.devices()))
+        gen_params = M.shard_params(gen_params, mesh)
+        teacher_params = M.shard_params(teacher_params, mesh)
+        critic_params = M.shard_params(critic_params, mesh)
+
+    streaming = bool(raw.get("streaming_training", False))
+    if streaming:
+        scfg = StreamingConfig(
+            chunk_size=int(raw.get("streaming_chunk_size", 21)),
+            max_length=int(raw.get("streaming_max_length", 240)),
+            min_new_frame=int(raw.get("streaming_min_new_frame", 18)),
+            switch_choices=tuple(raw.get("switch_choices", ()) or ()),
+            global_sink=bool(raw.get("global_sink", False)),
+        )
+        trainer = StreamingTrainer(
+            tcfg, dit_cfg, geom, gen_params, critic_params, teacher_params,
+            mesh=mesh, streaming_cfg=scfg, vae_params=vae_params, vae_cfg=vcfg)
+    else:
+        trainer = ScoreDistillationTrainer(
+            tcfg, dit_cfg, geom, gen_params, critic_params, teacher_params,
+            mesh=mesh)
+
+    if not args.no_auto_resume:
+        restored = orbax_io.restore_train_state(args.logdir, trainer.state)
+        if restored is not None:
+            trainer.state.update(restored)
+            print(f"[resume] restored step {int(trainer.state['step'])}")
+
+    # prompt stream
+    data_path = raw.get("data_path")
+    switch_path = raw.get("switch_prompt_path")
+    if data_path and os.path.exists(data_path):
+        if switch_path and os.path.exists(switch_path):
+            ds = TwoTextDataset(data_path, switch_path)
+        else:
+            ds = TextDataset(data_path)
+        prompt_iter = cycle(shard(ds, jax.process_index(), jax.process_count()))
+    else:
+        prompt_iter = cycle([{"prompts": "(random)", "idx": 0}])
+    neg_prompt = raw.get("negative_prompt", "")
+
+    def encode(p):
+        if text_encoder is not None:
+            return text_encoder([p])["prompt_embeds"]
+        return jax.random.normal(jax.random.PRNGKey(abs(hash(p)) % 2**31),
+                                 (1, dit_cfg.text_len, dit_cfg.text_dim))
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    shape = raw.get("image_or_video_shape", [1, 21, 16, 60, 104])
+    t0 = time.time()
+    while int(trainer.state["step"]) < max_iters:
+        step = int(trainer.state["step"])
+        if streaming:
+            if not trainer.can_generate_more():
+                row = next(prompt_iter)
+                cc = D.prepare_cross_kv(
+                    trainer.state["gen_params"], dit_cfg, encode(row["prompts"]),
+                    jnp.float32)
+                cu = D.prepare_cross_kv(
+                    trainer.state["gen_params"], dit_cfg, encode(neg_prompt),
+                    jnp.float32)
+                cs = None
+                if "switch_prompts" in row:
+                    cs = D.prepare_cross_kv(
+                        trainer.state["gen_params"], dit_cfg,
+                        encode(row["switch_prompts"]), jnp.float32)
+                rng, sub = jax.random.split(rng)
+                trainer.start_new_sequence(cc, cu, sub, cross_switch=cs)
+            metrics = trainer.streaming_train_step(rng)
+        else:
+            row = next(prompt_iter)
+            cc = D.prepare_cross_kv(trainer.state["gen_params"], dit_cfg,
+                                    encode(row["prompts"]), jnp.float32)
+            cu = D.prepare_cross_kv(trainer.state["gen_params"], dit_cfg,
+                                    encode(neg_prompt), jnp.float32)
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(
+                sub, (shape[0], tcfg.num_training_frames, geom.channels,
+                      geom.height, geom.width), jnp.float32)
+            metrics = trainer.train_step(noise, cc, cu, rng)
+        if step % log_iters == 0 or step < 3:
+            metrics["wall_s"] = round(time.time() - t0, 1)
+            print(metrics)
+        if step > 0 and step % log_iters == 0:
+            orbax_io.save_train_state(args.logdir, step, trainer.state, max_ckpts)
+    orbax_io.save_train_state(args.logdir, int(trainer.state["step"]),
+                              trainer.state, max_ckpts)
+
+
+if __name__ == "__main__":
+    main()

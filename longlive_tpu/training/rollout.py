@@ -46,6 +46,10 @@ class RolloutConfig:
     last_step_only: bool = False
     attn_impl: str = "auto"
     remat: bool = True
+    # attention budget in frames (sink + recent); None = whole cache.  The
+    # training cache retains min(local+slice, num_training) frames but only
+    # local_attn_size frames are attended (self_forcing_training.py:59-74).
+    window_frames: Optional[int] = None
 
 
 def denoised_timestep_bounds(
@@ -99,7 +103,7 @@ def rollout_trajectory(
     def _fwd(p, xx, tt, ck, sf):
         return D.dit_forward_cached(
             p, cfg, cache_cfg, tables, xx, tt, cross_kv, ck, sf,
-            attn_impl=rcfg.attn_impl,
+            attn_impl=rcfg.attn_impl, window_frames=rcfg.window_frames,
         )
 
     fwd_fn = jax.checkpoint(_fwd) if rcfg.remat else _fwd

@@ -1,0 +1,304 @@
+"""Streaming long tuning (train-long-test-long).
+
+Functional re-design of the reference ``StreamingTrainingModel``
+(model/streaming_training.py:21-787) + ``Streaming(Switch)TrainingPipeline``
+(pipeline/streaming_training.py, pipeline/streaming_switch_training.py):
+
+Per sequence (length up to ``streaming_max_length``):
+- chunk 1: generate ``chunk_size`` (21) fresh frames from noise;
+- later chunks: generate ``new_frames`` (18) frames continuing the SAME KV
+  cache, prepend ``overlap = 21 - new`` frames from the previous chunk so
+  every supervised chunk is 21 frames (streaming_training.py:441-501);
+- the overlapped chunk's first frame is re-encoded through the VAE
+  (decode -> last pixel frame -> encode) to mimic inference-time image
+  conditioning (streaming_training.py:79-119);
+- gradient mask = newly generated frames only (streaming_training.py:514-524);
+- DMDSwitch: when the sampled switch index falls inside a chunk, KV-recache
+  the last 21 frames under the new prompt before generating
+  (streaming_switch_training.py:244-318).
+
+The reference's rank-0 broadcasts of (sequence length, new-frame count,
+switch index) are replaced by shared-PRNG sampling.  All device state
+(cache, previous frames) is threaded through pure jitted functions; the host
+keeps only concrete arrays between steps.
+
+Note (reference bug, not replicated): streaming_switch_training.py:33 reads
+``global_sink`` off the ``*args`` tuple so it is silently always False; here
+it is read from config (default False, matching the shipped behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import dit as D
+from ..models import vae as V
+from ..ops import kv_cache as kvc
+from ..pipeline.causal_inference import build_recache_fn
+from . import dmd as dmd_mod
+from . import rollout as ro
+from .trainer import ScoreDistillationTrainer
+
+
+@dataclasses.dataclass
+class StreamingConfig:
+    chunk_size: int = 21
+    max_length: int = 240
+    min_new_frame: int = 18
+    switch_choices: Tuple[int, ...] = ()  # (longlive_train_long.yaml)
+    global_sink: bool = False
+    train_first_chunk: bool = True
+
+
+class StreamingTrainer(ScoreDistillationTrainer):
+    """Adds the streaming state machine on top of the DMD trainer."""
+
+    def __init__(self, *args, streaming_cfg: StreamingConfig = StreamingConfig(),
+                 vae_params: Optional[dict] = None,
+                 vae_cfg: Optional[V.VAEConfig] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.scfg = streaming_cfg
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg or V.VAEConfig()
+        self.seq_state: Optional[Dict[str, Any]] = None
+        self._gen_chunk_steps = {}
+        self._critic_chunk_steps = {}
+        self._stream_recache_fns = {}
+
+    # -- sequence lifecycle -------------------------------------------------
+
+    def start_new_sequence(
+        self,
+        cross_c: D.CrossKV,
+        cross_u: D.CrossKV,
+        rng: jax.Array,
+        cross_switch: Optional[D.CrossKV] = None,
+        max_length: Optional[int] = None,
+        batch: int = 1,
+    ):
+        """setup_sequence (streaming_training.py:282-395)."""
+        switch_idx = None
+        if cross_switch is not None and self.scfg.switch_choices:
+            i = int(jax.random.randint(rng, (), 0, len(self.scfg.switch_choices)))
+            switch_idx = int(self.scfg.switch_choices[i])
+        self.seq_state = {
+            "current_length": 0,
+            "previous_frames": None,
+            "has_switched": False,
+            "temp_max_length": max_length or self.scfg.max_length,
+            "cross_c": cross_c,
+            "cross_u": cross_u,
+            "cross_switch": cross_switch,
+            "switch_frame_index": switch_idx,
+            "cache": kvc.init_cache(
+                self.cache_cfg, self.cfg.num_layers, batch, self.cfg.num_heads,
+                self.cfg.head_dim,
+                self.state["gen_params"]["patch_embedding"]["kernel"].dtype,
+            ),
+        }
+
+    def can_generate_more(self) -> bool:
+        s = self.seq_state
+        return (s is not None and s["current_length"] +
+                self.scfg.min_new_frame <= s["temp_max_length"])
+
+    # -- pure chunk generation (traced) --------------------------------------
+
+    def _reencode_first_frame(self, chunk: jax.Array) -> jax.Array:
+        """streaming_training.py:79-119 (no-op without VAE params)."""
+        if self.vae_params is None:
+            return chunk
+        keep = chunk.shape[1] - 1
+        head = jax.lax.stop_gradient(chunk[:, :1])
+        pixels = V.vae_decode(self.vae_params, self.vae_cfg, head, chunk=1)
+        relatent = V.vae_encode(self.vae_params, self.vae_cfg, pixels[:, -1:])
+        return jnp.concatenate(
+            [jax.lax.stop_gradient(relatent).astype(chunk.dtype),
+             chunk[:, -keep:]], axis=1)
+
+    def _chunk_pure(self, gp, cache, prev_overlap, noise, cross, rng,
+                    cur_start, exit_idx: int, grad: bool):
+        """Rolls out `noise.shape[1]` new frames continuing `cache`; returns
+        (supervised 21-frame chunk, new_cache, new_previous_frames)."""
+        new_frames = noise.shape[1]
+        grad_start = 0 if grad else new_frames + 1
+        new_chunk, cache, _ = ro.rollout_trajectory(
+            gp, self.cfg, self.cache_cfg, self.tables, self.sched, self.rcfg,
+            noise, cross, rng, exit_idx, start_gradient_frame=grad_start,
+            cache=cache, current_start_frame=cur_start,
+        )
+        cache = jax.lax.stop_gradient(cache)
+        if prev_overlap is not None:
+            full = jnp.concatenate(
+                [jax.lax.stop_gradient(prev_overlap), new_chunk], axis=1)
+        else:
+            full = new_chunk
+        new_prev = jax.lax.stop_gradient(full[:, -self.scfg.chunk_size:])
+        if prev_overlap is not None:
+            full = self._reencode_first_frame(full)
+        return full, cache, new_prev
+
+    # -- jitted train-step builders -------------------------------------------
+
+    def _gen_chunk_step(self, exit_idx: int, new_frames: int, overlap: int):
+        key = (exit_idx, new_frames, overlap)
+        if key in self._gen_chunk_steps:
+            return self._gen_chunk_steps[key]
+        t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
+
+        def step(gen_params, gen_opt, critic_params, teacher_params, cache,
+                 prev_overlap, noise, cross, cross_u, cur_start, rng):
+            rng_roll, rng_dmd = jax.random.split(rng)
+
+            def loss_fn(gp):
+                chunk, new_cache, new_prev = self._chunk_pure(
+                    gp, cache, prev_overlap, noise, cross, rng_roll,
+                    cur_start, exit_idx, grad=True)
+                total = chunk.shape[1]
+                gmask = jnp.broadcast_to(
+                    jnp.arange(total)[None] >= overlap, chunk.shape[:2]
+                ) if overlap > 0 else None
+                loss, aux = dmd_mod.distribution_matching_loss(
+                    chunk, critic_params, teacher_params, self.cfg,
+                    self.tables, self.sched, self.dcfg, cross, cross_u,
+                    rng_dmd, gradient_mask=gmask, denoised_from=t_from,
+                    denoised_to=t_to, attn_impl=self.rcfg.attn_impl)
+                return loss, (aux, new_cache, new_prev)
+
+            (loss, (aux, new_cache, new_prev)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(gen_params)
+            updates, gen_opt = self.gen_tx.update(grads, gen_opt, gen_params)
+            gen_params = optax.apply_updates(gen_params, updates)
+            aux = dict(aux, generator_grad_norm=optax.global_norm(grads))
+            return gen_params, gen_opt, new_cache, new_prev, loss, aux
+
+        fn = jax.jit(step, donate_argnums=(0, 1, 4))
+        self._gen_chunk_steps[key] = fn
+        return fn
+
+    def _critic_chunk_step(self, exit_idx: int, new_frames: int, overlap: int):
+        key = (exit_idx, new_frames, overlap)
+        if key in self._critic_chunk_steps:
+            return self._critic_chunk_steps[key]
+        t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
+
+        def step(critic_params, critic_opt, gen_params, cache, prev_overlap,
+                 noise, cross, cur_start, rng):
+            rng_roll, rng_crit = jax.random.split(rng)
+            chunk, new_cache, new_prev = self._chunk_pure(
+                gen_params, cache, prev_overlap, noise, cross, rng_roll,
+                cur_start, exit_idx, grad=False)
+            chunk = jax.lax.stop_gradient(chunk)
+
+            def loss_fn(cp):
+                return dmd_mod.critic_denoising_loss(
+                    cp, chunk, self.cfg, self.tables, self.sched, self.dcfg,
+                    cross, rng_crit, denoised_from=t_from, denoised_to=t_to,
+                    attn_impl=self.rcfg.attn_impl)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                critic_params)
+            updates, critic_opt = self.critic_tx.update(grads, critic_opt,
+                                                        critic_params)
+            critic_params = optax.apply_updates(critic_params, updates)
+            aux = dict(aux, critic_grad_norm=optax.global_norm(grads))
+            return critic_params, critic_opt, new_cache, new_prev, loss, aux
+
+        fn = jax.jit(step, donate_argnums=(0, 1, 3))
+        self._critic_chunk_steps[key] = fn
+        return fn
+
+    def _streaming_recache_fn(self, num_frames: int):
+        if num_frames not in self._stream_recache_fns:
+            fn = build_recache_fn(
+                self.cfg, self.cache_cfg, self.tables,
+                float(self.rcfg.context_noise), num_frames,
+                global_sink=self.scfg.global_sink, overwrite_sink=False,
+                window_frames=self.rcfg.window_frames or self.cache_cfg.total_frames,
+                attn_impl=self.rcfg.attn_impl,
+            )
+            self._stream_recache_fns[num_frames] = jax.jit(fn, donate_argnums=(1,))
+        return self._stream_recache_fns[num_frames]
+
+    # -- host orchestration -----------------------------------------------------
+
+    def streaming_train_step(self, rng: jax.Array) -> Dict[str, Any]:
+        """fwdbwd_one_step_streaming (trainer/distillation.py:1056-1170)."""
+        assert self.seq_state is not None, "call start_new_sequence first"
+        s = self.seq_state
+        step = int(self.state["step"])
+        train_generator = step % self.tcfg.dfake_gen_update_ratio == 0
+        rng = jax.random.fold_in(rng, step)
+        rng_sel, rng_exit, rng_noise, rng_step = jax.random.split(rng, 4)
+
+        # chunk sizing (streaming_training.py:438-480)
+        cur = s["current_length"]
+        prev = s["previous_frames"]
+        if prev is None:
+            new_frames, overlap = self.scfg.chunk_size, 0
+        else:
+            max_new = min(s["temp_max_length"] - cur + 1, self.scfg.chunk_size)
+            choices = (list(range(self.scfg.min_new_frame, max_new, 3))
+                       or [self.scfg.min_new_frame])
+            new_frames = choices[int(jax.random.randint(rng_sel, (), 0, len(choices)))]
+            overlap = self.scfg.chunk_size - new_frames
+            if overlap > prev.shape[1]:
+                overlap, new_frames = 0, self.scfg.chunk_size
+        exit_idx = ro.sample_exit_idx(rng_exit, len(self.rcfg.denoise_timesteps),
+                                      self.rcfg.last_step_only)
+
+        # prompt switch (streaming_training.py:137-167, 227-251)
+        si = s["switch_frame_index"]
+        switching = (si is not None and not s["has_switched"]
+                     and cur <= si < cur + new_frames)
+        use_switch_prompt = si is not None and (s["has_switched"] or cur >= si or switching)
+        cross = s["cross_switch"] if use_switch_prompt else s["cross_c"]
+        if switching and cur > 0 and prev is not None:
+            n = min(self.scfg.chunk_size, prev.shape[1], cur)
+            s["cache"] = self._streaming_recache_fn(n)(
+                self.state["gen_params"], s["cache"], cross, prev[:, -n:],
+                jnp.asarray(cur - n, jnp.int32))
+        if switching:
+            s["has_switched"] = True
+
+        batch = s["cache"].k.shape[1]
+        noise = jax.random.normal(
+            rng_noise, (batch, new_frames, self.geom.channels,
+                        self.geom.height, self.geom.width), jnp.float32)
+        prev_overlap = None if overlap == 0 else prev[:, -overlap:]
+        cur_start = jnp.asarray(cur, jnp.int32)
+
+        if train_generator:
+            fn = self._gen_chunk_step(exit_idx, new_frames, overlap)
+            gp, gopt, cache, new_prev, loss, aux = fn(
+                self.state["gen_params"], self.state["gen_opt"],
+                self.state["critic_params"], self.teacher_params, s["cache"],
+                prev_overlap, noise, cross, s["cross_u"], cur_start, rng_step)
+            self.state["gen_params"], self.state["gen_opt"] = gp, gopt
+            self._update_ema(step)
+            metrics = {"generator_loss": float(loss)}
+        else:
+            fn = self._critic_chunk_step(exit_idx, new_frames, overlap)
+            cp, copt, cache, new_prev, loss, aux = fn(
+                self.state["critic_params"], self.state["critic_opt"],
+                self.state["gen_params"], s["cache"], prev_overlap, noise,
+                cross, cur_start, rng_step)
+            self.state["critic_params"], self.state["critic_opt"] = cp, copt
+            metrics = {"critic_loss": float(loss)}
+
+        s["cache"], s["previous_frames"] = cache, new_prev
+        s["current_length"] = cur + new_frames
+        self.state["step"] = self.state["step"] + 1
+        metrics.update({k: float(v) for k, v in aux.items()})
+        metrics.update({
+            "step": step, "exit_idx": exit_idx, "new_frames": new_frames,
+            "overlap": overlap, "current_length": s["current_length"],
+            "switched": switching,
+        })
+        return metrics

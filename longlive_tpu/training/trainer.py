@@ -94,12 +94,14 @@ class ScoreDistillationTrainer:
         steps = tcfg.denoising_step_list
         if tcfg.warp_denoising_step:
             steps = tuple(float(x) for x in S.warp_denoising_steps(self.sched, steps))
+        window = None if dit_cfg.local_attn_size == -1 else dit_cfg.local_attn_size
         self.rcfg = ro.RolloutConfig(
             denoise_timesteps=steps,
             context_noise=tcfg.context_noise,
             frame_block=tcfg.num_frame_per_block,
             last_step_only=tcfg.last_step_only,
             attn_impl=tcfg.attn_impl,
+            window_frames=window,
         )
         self.dcfg = dmd_mod.DMDConfig(
             num_train_timestep=tcfg.num_train_timestep,
@@ -139,7 +141,10 @@ class ScoreDistillationTrainer:
             critic_params=critic_params,
             gen_opt=self.gen_tx.init(gen_params),
             critic_opt=self.critic_tx.init(critic_params),
-            ema_params=jax.tree.map(lambda x: x.astype(jnp.float32), gen_params),
+            # real copies: astype(f32) of f32 leaves would alias buffers
+            # that the jitted steps donate
+            ema_params=jax.tree.map(
+                lambda x: jnp.array(x, jnp.float32, copy=True), gen_params),
             step=jnp.zeros([], jnp.int32),
         )
         self._gen_steps = {}
@@ -253,7 +258,8 @@ class ScoreDistillationTrainer:
     def _update_ema(self, step: int):
         if step < self.tcfg.ema_start_step:
             self.state["ema_params"] = jax.tree.map(
-                lambda x: x.astype(jnp.float32), self.state["gen_params"])
+                lambda x: jnp.array(x, jnp.float32, copy=True),
+                self.state["gen_params"])
             return
         w = self.tcfg.ema_weight
         self.state["ema_params"] = jax.tree.map(

@@ -94,6 +94,37 @@ def test_cached_equals_uncached_sink_window(setup):
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=2e-3, atol=2e-4)
 
 
+def test_cached_window_smaller_than_cache(setup):
+    """Training-style setup: the cache retains more history than the
+    attention window (kv_frames=local+slice clipped, max_attention_size =
+    local — self_forcing_training.py:59-74).  Cached generation with
+    window_frames must equal the full forward under the sink+budget mask."""
+    cfg, geom, params, tables, cross = setup
+    block, f_total = 1, 8
+    sink, ring, window = 1, 6, 4  # budget = window - sink = 3 recent frames
+    x = jax.random.normal(
+        jax.random.PRNGKey(9), (1, f_total, geom.channels, geom.height, geom.width)
+    )
+    cache_cfg = CacheConfig(sink_frames=sink, ring_frames=ring,
+                            frame_seq=geom.frame_seq_length)
+    cache = kvc.init_cache(cache_cfg, cfg.num_layers, 1, cfg.num_heads,
+                           cfg.head_dim, jnp.float32)
+    outs = []
+    for s in range(f_total):
+        t = jnp.full((1, 1), 250.0, jnp.float32)
+        flow, cache = D.dit_forward_cached(
+            params, cfg, cache_cfg, tables, x[:, s : s + 1], t, cross, cache,
+            jnp.asarray(s, jnp.int32), attn_impl="xla", window_frames=window,
+        )
+        outs.append(flow)
+    cached = jnp.concatenate(outs, axis=1)
+
+    mask = M.sink_window_frame_mask(f_total, block, sink, window - sink)
+    t_full = jnp.full((1, f_total), 250.0, jnp.float32)
+    full = D.dit_forward_full(params, cfg, tables, x, t_full, cross, mask)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=2e-3, atol=2e-4)
+
+
 def test_forward_shapes_and_jit(setup):
     cfg, geom, params, tables, cross = setup
     cache_cfg = CacheConfig(sink_frames=1, ring_frames=3, frame_seq=geom.frame_seq_length)

@@ -1,0 +1,70 @@
+"""Streaming long-tuning state machine tests (tiny geometry)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longlive_tpu.config import tiny_dit_config, tiny_geometry
+from longlive_tpu.models import dit as D
+from longlive_tpu.models import vae as V
+from longlive_tpu.training.streaming import StreamingConfig, StreamingTrainer
+from longlive_tpu.training.trainer import TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def streaming_setup():
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    mk = lambda s: D.init_dit_params(jax.random.PRNGKey(s), cfg, jnp.float32,
+                                     zero_head=False)
+    tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                         slice_last_frames=3, attn_impl="xla",
+                         dfake_gen_update_ratio=2, ema_start_step=0)
+    scfg = StreamingConfig(chunk_size=3, max_length=8, min_new_frame=2,
+                           switch_choices=(4,), global_sink=False)
+    vcfg = V.tiny_vae_config()
+    vae_params = V.init_vae_params(jax.random.PRNGKey(9), vcfg)
+    vae_params["mean"] = jnp.zeros(vcfg.z_dim)
+    vae_params["std"] = jnp.ones(vcfg.z_dim)
+    tr = StreamingTrainer(
+        tcfg, cfg, geom, mk(0), mk(1), mk(2),
+        streaming_cfg=scfg, vae_params=vae_params, vae_cfg=vcfg)
+    prompts = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.text_len, cfg.text_dim))
+    cross_c = D.prepare_cross_kv(tr.state["gen_params"], cfg, prompts, jnp.float32)
+    cross_u = jax.tree.map(lambda x: x * 0.1, cross_c)
+    cross_s = D.prepare_cross_kv(
+        tr.state["gen_params"], cfg,
+        jax.random.normal(jax.random.PRNGKey(4), prompts.shape), jnp.float32)
+    return tr, cross_c, cross_u, cross_s
+
+
+def test_streaming_sequence_with_switch(streaming_setup):
+    tr, cross_c, cross_u, cross_s = streaming_setup
+    tr.start_new_sequence(cross_c, cross_u, jax.random.PRNGKey(0),
+                          cross_switch=cross_s)
+    assert tr.seq_state["switch_frame_index"] == 4
+    lengths, switched_at = [], None
+    i = 0
+    while tr.can_generate_more() and i < 10:
+        m = tr.streaming_train_step(jax.random.PRNGKey(42))
+        assert np.isfinite(m.get("generator_loss", m.get("critic_loss")))
+        lengths.append(m["current_length"])
+        if m["switched"]:
+            switched_at = m["current_length"] - m["new_frames"]
+        i += 1
+    # first chunk 3 frames, then 2-frame chunks up to max_length 8
+    assert lengths[0] == 3
+    assert lengths[-1] >= 7
+    assert tr.seq_state["has_switched"]
+    assert switched_at is not None and switched_at <= 4
+    # supervised chunks stay chunk_size frames with overlap
+    assert tr.seq_state["previous_frames"].shape[1] == 3
+
+
+def test_streaming_no_switch_runs(streaming_setup):
+    tr, cross_c, cross_u, _ = streaming_setup
+    tr.start_new_sequence(cross_c, cross_u, jax.random.PRNGKey(1))
+    m = tr.streaming_train_step(jax.random.PRNGKey(7))
+    assert np.isfinite(m.get("generator_loss", m.get("critic_loss")))
+    assert not m["switched"]
