@@ -56,13 +56,23 @@ def dense_attention(
     return out.astype(q.dtype)
 
 
-def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+_LANES = 128
+
+
+def _flash_kernel(*refs, has_bias: bool):
     """One (head, q_block, kv_block) grid step of flash attention.
 
-    Refs: q [1, bq, D]; k, v [1, bkv, D]; bias [1, bkv] f32; out [1, bq, D].
-    Scratch: m, l [bq, 1] f32; acc [bq, D] f32.  The kv grid dimension is
-    innermost, so scratch carries the online-softmax state across kv blocks.
+    Refs: [bias [1, bkv] f32 if has_bias], q [1, bq, D] (pre-scaled),
+    k, v [1, bkv, D], out [1, bq, D]; scratch m, l [bq, 128] f32
+    (lane-replicated — (bq, 1) layouts relayout on every op), acc [bq, D]
+    f32.  The kv grid dimension is innermost, so scratch carries the
+    online-softmax state across kv blocks.
     """
+    if has_bias:
+        bias_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        bias_ref = None
     ikv = pl.program_id(2)
     nkv = pl.num_programs(2)
 
@@ -74,21 +84,34 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *
 
     q = q_ref[0]  # [bq, D]
     k = k_ref[0]  # [bkv, D]
+    bkv = k.shape[0]
     s = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale + bias_ref[0][None, :]
+    if has_bias:
+        s = s + bias_ref[0][None, :]
 
-    m_prev = m_ref[:]
+    d = q.shape[-1]
+
+    def _to_w(x128, w):  # [bq, 128] -> [bq, w]
+        if w == _LANES:
+            return x128
+        if w < _LANES:
+            return x128[:, :w]
+        return pltpu.repeat(x128, w // _LANES, axis=1)
+
+    _to_d = lambda x128: _to_w(x128, d)
+
+    m_prev = m_ref[:]  # [bq, 128]
     l_prev = l_ref[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
+    m_cur = jnp.max(s, axis=-1)[:, None]  # [bq, 1]
+    m_new = jnp.maximum(m_prev, m_cur)  # [bq, 128]
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp(s - _to_w(m_new, bkv))
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1)[:, None]
     m_ref[:] = m_new
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype),
@@ -96,11 +119,11 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_ref[:] = acc_ref[:] * alpha + pv
+    acc_ref[:] = acc_ref[:] * _to_d(alpha) + pv
 
     @pl.when(ikv == nkv - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / _to_d(l_ref[:])).astype(o_ref.dtype)
 
 
 def _pad_axis(x: jax.Array, axis: int, to: int, value=0.0) -> jax.Array:
@@ -132,49 +155,61 @@ def flash_attention(
     b, sq, n, d = q.shape
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
+    has_bias = bias is not None
 
     sq_p = -(-sq // block_q) * block_q
     skv_p = -(-skv // block_kv) * block_kv
-
-    if bias is None:
+    if not has_bias and skv_p != skv:
+        # padded KV rows must be masked out
         bias = jnp.zeros((b, skv), jnp.float32)
-    bias = _pad_axis(bias.astype(jnp.float32), 1, skv_p, value=_NEG_INF)
+        has_bias = True
+
+    # fold the softmax scale into q (saves one [bq, bkv] pass per tile)
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     # [B, S, N, D] -> [B*N, S, D]
-    qt = _pad_axis(q, 1, sq_p).transpose(0, 2, 1, 3).reshape(b * n, sq_p, d)
+    qt = _pad_axis(qs, 1, sq_p).transpose(0, 2, 1, 3).reshape(b * n, sq_p, d)
     kt = _pad_axis(k, 1, skv_p).transpose(0, 2, 1, 3).reshape(b * n, skv_p, d)
     vt = _pad_axis(v, 1, skv_p).transpose(0, 2, 1, 3).reshape(b * n, skv_p, d)
 
     grid = (b * n, sq_p // block_q, skv_p // block_kv)
 
+    in_specs = []
+    operands = []
+    if has_bias:
+        bias = _pad_axis(bias.astype(jnp.float32), 1, skv_p, value=_NEG_INF)
+        in_specs.append(pl.BlockSpec(
+            (1, block_kv), lambda h, iq, ikv: (h // n, ikv),
+            memory_space=pltpu.VMEM))
+        operands.append(bias)
+    in_specs += [
+        pl.BlockSpec(
+            (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands += [qt, kt, vt]
+
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, has_bias=has_bias),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_kv), lambda h, iq, ikv: (h // n, ikv), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(bias, qt, kt, vt)
+    )(*operands)
 
     out = out.reshape(b, n, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :sq]
