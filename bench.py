@@ -5,12 +5,16 @@ decode) of the LongLive-1.3B-geometry causal DiT with frame-sink +
 ring-window KV attention — the reference's headline metric (20.7 FPS on one
 H100, README.md:50; 172.97 ms/latent-frame steady state, reports.md:21).
 
+Generation runs as ONE scanned device program per segment and the VAE
+decodes each segment under lax.scan, so the measurement reflects device
+throughput rather than host/tunnel dispatch latency.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/20.7, ...}
 
-Env knobs: BENCH_FRAMES (default 30 latent frames measured after warmup),
+Env knobs: BENCH_FRAMES (measured latent frames, default 30),
 BENCH_SWITCHES=1 to exercise the interactive prompt-switch path,
-BENCH_SKIP_VAE=1 to exclude VAE decode.
+BENCH_SKIP_VAE=1 to exclude VAE decode, BENCH_INT8=1 for the quantized DiT.
 """
 
 import json
@@ -25,106 +29,109 @@ def main():
     from longlive_tpu.config import DiTConfig, LatentGeometry, PipelineConfig
     from longlive_tpu.models import dit as D
     from longlive_tpu.models import vae as V
+    from longlive_tpu.ops.quant import quantize_dit_params
     from longlive_tpu.pipeline import InteractiveCausalInferencePipeline
 
     frames = int(os.environ.get("BENCH_FRAMES", "30"))
-    warmup_frames = 6
     use_switches = os.environ.get("BENCH_SWITCHES", "0") == "1"
     skip_vae = os.environ.get("BENCH_SKIP_VAE", "0") == "1"
+    use_int8 = os.environ.get("BENCH_INT8", "0") == "1"
 
     cfg = DiTConfig()
     geom = LatentGeometry()
-    total_frames = warmup_frames + frames
-    pc = PipelineConfig(num_output_frames=total_frames, global_sink=False)
+    warmup_frames = 6
+    pc = PipelineConfig(num_output_frames=warmup_frames + frames, global_sink=False)
 
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if use_int8:
+        params = quantize_dit_params(params)
     pipe = InteractiveCausalInferencePipeline(pc, params, geometry=geom, dit_config=cfg)
 
     prompt_a = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     cross_a = pipe.prepare_condition(prompt_a)
-    cross_list = [cross_a]
-    switches = []
+    cross_b = cross_a
     if use_switches:
         prompt_b = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
-        cross_list.append(pipe.prepare_condition(prompt_b))
-        switches = [warmup_frames + frames // 2]
+        cross_b = pipe.prepare_condition(prompt_b)
 
     vcfg = V.VAEConfig()
     vae_params = None
-    vae_chunk_fn = None
     if not skip_vae:
         vae_params = V.init_vae_params(jax.random.PRNGKey(3), vcfg, jnp.bfloat16)
-        vae_params["mean"] = jnp.asarray(V.WAN_LATENT_MEAN, jnp.float32)
-        vae_params["std"] = jnp.asarray(V.WAN_LATENT_STD, jnp.float32)
-        fpb = pc.num_frame_per_block
+        decode_first = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z, None, True))
+        decode_rest = jax.jit(lambda p, z, c: V.vae_decode_scan(p, vcfg, z, c, False))
 
-        first_fn = jax.jit(lambda p, z, c: V.vae_decode_chunk(p, vcfg, z, c, True))
-        rest_fn = jax.jit(lambda p, z, c: V.vae_decode_chunk(p, vcfg, z, c, False))
-
-    noise = jax.random.normal(
-        jax.random.PRNGKey(4), (1, total_frames, geom.channels, geom.height, geom.width),
-        jnp.float32,
-    )
-
-    # streaming decode state threaded through a block callback
-    state = {"caches": None, "pixels": 0}
-
-    def decode_block(start, latents_block):
-        # one latent frame per decode step: full-res conv activations for
-        # larger chunks exceed v5e HBM alongside the DiT + KV cache
-        if skip_vae:
-            return
-        lat = latents_block.astype(jnp.bfloat16)
-        for i in range(lat.shape[1]):
-            if state["caches"] is None:
-                state["caches"] = V.init_decoder_caches(
-                    vae_params, vcfg, 1, geom.height, geom.width, jnp.bfloat16)
-                px, state["caches"] = first_fn(vae_params, lat[:, :1], state["caches"])
+    def run_segment(noise_seg, cross, cache, rng, start, vae_caches, first_seg):
+        lat, cache, rng = pipe.generate_latents_scanned(
+            noise_seg, cross, rng=rng, cache=cache, start_frame=start)
+        pixels = None
+        if not skip_vae:
+            if first_seg:
+                pixels, vae_caches = decode_first(vae_params, lat.astype(jnp.bfloat16))
             else:
-                px, state["caches"] = rest_fn(
-                    vae_params, lat[:, i : i + 1], state["caches"])
-            state["pixels"] += px.shape[1]
-            state["last"] = px
+                pixels, vae_caches = decode_rest(vae_params, lat.astype(jnp.bfloat16),
+                                                 vae_caches)
+        return lat, cache, rng, vae_caches, pixels
 
-    # warmup (compile everything: block fn, recache fn, vae fns)
-    t0 = time.perf_counter()
-    warm_lat = pipe.generate_latents_interactive(
-        noise[:, :warmup_frames], cross_list[:1], [], rng=jax.random.PRNGKey(5),
-        block_callback=decode_block,
-    )
-    if not skip_vae:
-        jax.block_until_ready(state["last"])
-    jax.block_until_ready(warm_lat)
-    compile_time = time.perf_counter() - t0
+    total = warmup_frames + frames
+    noise = jax.random.normal(
+        jax.random.PRNGKey(4), (1, total, geom.channels, geom.height, geom.width),
+        jnp.float32)
 
-    # measured run (fresh caches, includes one prompt switch if requested)
-    state["caches"] = None
-    state["pixels"] = 0
-    t0 = time.perf_counter()
-    lat = pipe.generate_latents_interactive(
-        noise, cross_list, switches, rng=jax.random.PRNGKey(6),
-        block_callback=decode_block,
-    )
-    jax.block_until_ready(lat)
-    if not skip_vae:
-        jax.block_until_ready(state["last"])
-    elapsed = time.perf_counter() - t0
+    def full_run(measure_from_warm=True):
+        rng = jax.random.PRNGKey(5)
+        cache = pipe.init_cache(1, jnp.bfloat16)
+        vae_caches = None
+        # warmup segment (also compiles all programs)
+        lat, cache, rng, vae_caches, px = run_segment(
+            noise[:, :warmup_frames], cross_a, cache, rng, 0, vae_caches, True)
+        jax.block_until_ready(lat)
+        if px is not None:
+            _ = float(jnp.sum(px[:, -1, :, ::64, ::64]))  # force completion
+        t0 = time.perf_counter()
+        if use_switches:
+            half = frames // 2 // 3 * 3
+            lat1, cache, rng, vae_caches, px1 = run_segment(
+                noise[:, warmup_frames : warmup_frames + half], cross_a, cache,
+                rng, warmup_frames, vae_caches, False)
+            # prompt switch with KV-recache
+            s = warmup_frames + half
+            n = min(cfg.local_attn_size, s)
+            replay = jnp.concatenate([lat, lat1], axis=1)[:, s - n : s]
+            cache = pipe._recache_fn(n, False)(pipe.params, cache, cross_b, replay,
+                                               jnp.asarray(s - n, jnp.int32))
+            lat2, cache, rng, vae_caches, px2 = run_segment(
+                noise[:, s:], cross_b, cache, rng, s, vae_caches, False)
+            last_px, last_lat = (px2, lat2)
+        else:
+            lat1, cache, rng, vae_caches, px1 = run_segment(
+                noise[:, warmup_frames:], cross_a, cache, rng, warmup_frames,
+                vae_caches, False)
+            last_px, last_lat = (px1, lat1)
+        jax.block_until_ready(last_lat)
+        if last_px is not None:
+            _ = float(jnp.sum(last_px[:, -1, :, ::64, ::64]))
+        return time.perf_counter() - t0
 
-    pixel_frames = 1 + 4 * (total_frames - 1) if not skip_vae else 4 * total_frames
+    t_compile0 = time.perf_counter()
+    _ = full_run()  # first run: compiles everything
+    compile_and_run = time.perf_counter() - t_compile0
+    elapsed = full_run()
+
+    pixel_frames = 4 * frames  # measured segment only (post-warmup)
     fps = pixel_frames / elapsed
-    ms_per_latent_frame = elapsed / total_frames * 1e3
-
     baseline_fps = 20.7  # H100 reference (README.md:50)
     result = {
         "metric": "sustained 480p pixel FPS (e2e: 4-step AR denoise + streaming VAE decode)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 4),
-        "ms_per_latent_frame": round(ms_per_latent_frame, 2),
-        "latent_frames": total_frames,
-        "prompt_switches": len(switches),
+        "ms_per_latent_frame": round(elapsed / frames * 1e3, 2),
+        "latent_frames_measured": frames,
+        "prompt_switches": 1 if use_switches else 0,
         "include_vae": not skip_vae,
-        "compile_s": round(compile_time, 1),
+        "int8": use_int8,
+        "first_run_s": round(compile_and_run, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -392,6 +392,93 @@ def dit_forward_full(
     return unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
 
 
+def dit_forward_teacher_forcing(
+    params: dict,
+    cfg: DiTConfig,
+    tables: RopeTables,
+    noisy: jax.Array,  # [B, F, C, H, W]
+    clean: jax.Array,  # [B, F, C, H, W]
+    t: jax.Array,  # [B, F] timesteps for the noisy half
+    cross_kv: CrossKV,
+    aug_t: Optional[jax.Array] = None,  # [B, F] timesteps for the clean half
+    attn_impl: str = "xla",
+) -> jax.Array:
+    """Teacher-forcing forward: the sequence is [clean | noisy] with the
+    teacher-forcing mask — noisy block i attends its own noisy block plus the
+    *clean* context of earlier blocks (reference causal_model.py:130-175,
+    703-788; wan_wrapper.py:259-268).  Returns flow_pred for the noisy half.
+    """
+    from ..ops.masks import expand_frame_mask, teacher_forcing_frame_mask
+
+    b, f, c, h, w = noisy.shape
+    dtype = params["patch_embedding"]["kernel"].dtype
+    x2 = jnp.concatenate([clean, noisy], axis=1).astype(dtype)
+    tokens = nn.linear(patchify(x2, cfg), params["patch_embedding"])
+
+    if aug_t is None:
+        aug_t = jnp.zeros_like(t)
+    e_clean, e0_clean = time_modulation(params, cfg, aug_t, dtype)
+    e_noisy, e0_noisy = time_modulation(params, cfg, t, dtype)
+    e = jnp.concatenate([e_clean, e_noisy], axis=1)
+    e0 = jnp.concatenate([e0_clean, e0_noisy], axis=1)
+
+    hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
+    # RoPE positions repeat for the clean and noisy halves
+    # (causal_model.py:132-143: "rope should be same for clean and noisy")
+    rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, 0)
+    rope_cos = jnp.concatenate([rope_cos, rope_cos], axis=0)
+    rope_sin = jnp.concatenate([rope_sin, rope_sin], axis=0)
+
+    frame_mask = teacher_forcing_frame_mask(f, cfg.num_frame_per_block)
+    token_mask = expand_frame_mask(frame_mask, hp * wp)
+    bias = jnp.where(token_mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+    def scan_body(carry, xs):
+        xcur = carry
+        layer_p, ck, cv = xs
+        mod = layer_p["modulation"][None, None]
+        em = mod.astype(e0.dtype) + e0
+        e_ = [em[:, :, i][:, :, None] for i in range(6)]
+        ftot = 2 * f
+
+        hh = _per_frame(nn.layer_norm(xcur, cfg.eps), ftot)
+        hh = _flat(hh * (1 + e_[1]) + e_[0])
+        n, hd = cfg.num_heads, cfg.head_dim
+        q = nn.linear(hh, layer_p["self_attn"]["q"])
+        k = nn.linear(hh, layer_p["self_attn"]["k"])
+        if cfg.qk_norm:
+            q = nn.rms_norm(q, layer_p["self_attn"]["norm_q"]["scale"], cfg.eps)
+            k = nn.rms_norm(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
+        s = hh.shape[1]
+        v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
+        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+        y = dense_attention(q, k, v, bias)
+        y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
+        xcur = xcur + _flat(_per_frame(y, ftot) * e_[2])
+
+        norm3 = layer_p.get("norm3")
+        hh = nn.layer_norm(xcur, cfg.eps,
+                           scale=None if norm3 is None else norm3["scale"],
+                           bias=None if norm3 is None else norm3["bias"])
+        xcur = xcur + _cross_attention_layer(layer_p["cross_attn"], cfg, hh, ck, cv)
+
+        hh = _per_frame(nn.layer_norm(xcur, cfg.eps), ftot)
+        hh = _flat(hh * (1 + e_[4]) + e_[3])
+        y = nn.linear(nn.gelu_tanh(nn.linear(hh, layer_p["ffn"]["fc1"])),
+                      layer_p["ffn"]["fc2"])
+        xcur = xcur + _flat(_per_frame(y, ftot) * e_[5])
+        return xcur, None
+
+    tokens, _ = jax.lax.scan(
+        scan_body, tokens, (params["blocks"], cross_kv.k, cross_kv.v)
+    )
+    # keep the noisy half (causal_model.py:1220-1221)
+    tokens = tokens[:, tokens.shape[1] // 2 :]
+    out_tokens = _head(params, cfg, tokens, e_noisy, f)
+    return unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
+
+
 def dit_forward_cached(
     params: dict,
     cfg: DiTConfig,

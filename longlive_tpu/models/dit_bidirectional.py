@@ -101,3 +101,166 @@ def bidirectional_forward(
     y = nn.layer_norm(tokens, cfg.eps) * (1 + em[:, 1][:, None]) + em[:, 0][:, None]
     out = nn.linear(y, hp_["head"])
     return unpatchify(out.astype(jnp.float32), cfg, f, h, w)
+
+
+# ---------------------------------------------------------------------------
+# GAN / classify branch (reference model.py:357-494, 729-760;
+# wan_wrapper.py:153-173 `adding_cls_branch`) — taps hidden states at blocks
+# 13/21/29, pools each through a GanAttentionBlock against a learned
+# register token, and classifies the concatenated tokens.  Plumbed-but-unused
+# by the shipped LongLive configs, kept for parity with the GAN ablations.
+
+GAN_TAP_LAYERS = (13, 21, 29)
+
+
+def init_cls_branch(rng: jax.Array, cfg: DiTConfig, num_class: int = 4,
+                    time_embed_dim: int = 0, dtype=jnp.float32) -> dict:
+    d = cfg.dim
+    keys = iter(jax.random.split(rng, 16))
+    n_reg = len(GAN_TAP_LAYERS)
+
+    def gan_block():
+        return {
+            "norm3": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "cross_attn": {
+                "q": nn.init_linear(next(keys), d, d, dtype=dtype),
+                "k": nn.init_linear(next(keys), d, d, dtype=dtype),
+                "v": nn.init_linear(next(keys), d, d, dtype=dtype),
+                "o": nn.init_linear(next(keys), d, d, dtype=dtype),
+                "norm_q": {"scale": jnp.ones((d,), dtype)},
+                "norm_k": {"scale": jnp.ones((d,), dtype)},
+            },
+            "ffn": {
+                "fc1": nn.init_linear(next(keys), d, cfg.ffn_dim, dtype=dtype),
+                "fc2": nn.init_linear(next(keys), cfg.ffn_dim, d, dtype=dtype),
+            },
+        }
+
+    in_dim = d * n_reg + time_embed_dim
+    return {
+        "register_tokens": jax.random.normal(next(keys), (n_reg, d), dtype) * 0.02,
+        "register_norm": {"scale": jnp.ones((d,), dtype)},
+        "gan_blocks": [gan_block() for _ in range(n_reg)],
+        "cls_pred": {
+            "norm": {"scale": jnp.ones((in_dim,), dtype),
+                     "bias": jnp.zeros((in_dim,), dtype)},
+            "fc1": nn.init_linear(next(keys), in_dim, d, dtype=dtype),
+            "fc2": nn.init_linear(next(keys), d, num_class, dtype=dtype),
+        },
+    }
+
+
+def _gan_cross_attn(p: dict, cfg: DiTConfig, x: jax.Array, token: jax.Array):
+    """WanGanCrossAttention (model.py:197-221): query = register token,
+    keys/values = hidden states."""
+    b, s, _ = x.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    q = nn.rms_norm(nn.linear(token, p["q"]), p["norm_q"]["scale"], cfg.eps)
+    k = nn.rms_norm(nn.linear(x, p["k"]), p["norm_k"]["scale"], cfg.eps)
+    v = nn.linear(x, p["v"])
+    q = q.reshape(b, 1, -1, hd)  # 1 query token over n*? heads (model.py:210)
+    o = dense_attention(q, k.reshape(b, s, n, hd), v.reshape(b, s, n, hd))
+    return nn.linear(o.reshape(b, 1, -1), p["o"])
+
+
+def _gan_block(p: dict, cfg: DiTConfig, x: jax.Array, token: jax.Array):
+    """GanAttentionBlock (model.py:397-436)."""
+    h = nn.layer_norm(x, cfg.eps, p["norm3"]["scale"], p["norm3"]["bias"])
+    tok = token + _gan_cross_attn(p["cross_attn"], cfg, h, token)
+    y = nn.linear(nn.gelu_tanh(nn.linear(nn.layer_norm(tok, cfg.eps),
+                                         p["ffn"]["fc1"])), p["ffn"]["fc2"])
+    return y + tok
+
+
+def bidirectional_forward_classify(
+    params: dict,
+    cls_params: dict,
+    cfg: DiTConfig,
+    tables: RopeTables,
+    x: jax.Array,
+    t: jax.Array,
+    cross_kv: CrossKV,
+    concat_time_embeddings: bool = False,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """classify_mode forward (model.py:637-771 with classify_mode=True):
+    returns (flow_pred, logits).  The layer scan is segmented at the tap
+    layers so hidden states can be pooled without materializing all 30."""
+    b, f, c, h, w = x.shape
+    dtype = params["patch_embedding"]["kernel"].dtype
+    tokens = nn.linear(patchify(x.astype(dtype), cfg), params["patch_embedding"])
+    s = tokens.shape[1]
+    n, hd = cfg.num_heads, cfg.head_dim
+
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, t).astype(dtype)
+    e = nn.linear(nn.silu(nn.linear(emb, params["time_embedding"]["fc1"])),
+                  params["time_embedding"]["fc2"])
+    e0 = nn.linear(nn.silu(e), params["time_projection"]["fc"]).reshape(b, 6, cfg.dim)
+    hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
+    rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, 0)
+
+    def layer(xcur, layer_p, ck, cv):
+        em = layer_p["modulation"][None].astype(e0.dtype) + e0
+        e_ = [em[:, i][:, None] for i in range(6)]
+        hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[1]) + e_[0]
+        q = nn.rms_norm(nn.linear(hh, layer_p["self_attn"]["q"]),
+                        layer_p["self_attn"]["norm_q"]["scale"], cfg.eps)
+        k = nn.rms_norm(nn.linear(hh, layer_p["self_attn"]["k"]),
+                        layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
+        v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
+        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+        y = attend(q, k, v, None, impl=attn_impl)
+        xcur = xcur + nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"]) * e_[2]
+        norm3 = layer_p.get("norm3")
+        hh = nn.layer_norm(xcur, cfg.eps,
+                           scale=None if norm3 is None else norm3["scale"],
+                           bias=None if norm3 is None else norm3["bias"])
+        cq = nn.rms_norm(nn.linear(hh, layer_p["cross_attn"]["q"]),
+                         layer_p["cross_attn"]["norm_q"]["scale"], cfg.eps)
+        co = dense_attention(cq.reshape(b, s, n, hd), ck.astype(cq.dtype),
+                             cv.astype(cq.dtype))
+        xcur = xcur + nn.linear(co.reshape(b, s, n * hd), layer_p["cross_attn"]["o"])
+        hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[4]) + e_[3]
+        y = nn.linear(nn.gelu_tanh(nn.linear(hh, layer_p["ffn"]["fc1"])),
+                      layer_p["ffn"]["fc2"])
+        return xcur + y * e_[5]
+
+    def run_segment(tokens, lo, hi):
+        seg = jax.tree.map(lambda a: a[lo:hi], params["blocks"])
+        ck_seg, cv_seg = cross_kv.k[lo:hi], cross_kv.v[lo:hi]
+
+        def body(carry, xs):
+            lp, ck, cv = xs
+            return layer(carry, lp, ck, cv), None
+
+        out, _ = jax.lax.scan(body, tokens, (seg, ck_seg, cv_seg))
+        return out
+
+    registers = nn.rms_norm(cls_params["register_tokens"][None],
+                            cls_params["register_norm"]["scale"], 1e-6)
+    registers = jnp.broadcast_to(registers, (b, *registers.shape[1:])).astype(dtype)
+
+    taps = []
+    lo = 0
+    for i, tap in enumerate(GAN_TAP_LAYERS):
+        tokens = run_segment(tokens, lo, tap + 1)
+        taps.append(_gan_block(cls_params["gan_blocks"][i], cfg, tokens,
+                               registers[:, i : i + 1]))
+        lo = tap + 1
+    if lo < cfg.num_layers:
+        tokens = run_segment(tokens, lo, cfg.num_layers)
+
+    final = jnp.concatenate(taps, axis=1)  # [B, 3, dim]
+    cp = cls_params["cls_pred"]
+    if concat_time_embeddings:
+        final = jnp.concatenate([final, 10.0 * e[:, None, :]], axis=1)
+    flat = final.reshape(b, -1)
+    hh = nn.layer_norm(flat, 1e-5, cp["norm"]["scale"], cp["norm"]["bias"])
+    logits = nn.linear(nn.silu(nn.linear(hh, cp["fc1"])), cp["fc2"])
+
+    hp_ = params["head"]
+    em = hp_["modulation"][None].astype(e.dtype) + e[:, None]
+    y = nn.layer_norm(tokens, cfg.eps) * (1 + em[:, 1][:, None]) + em[:, 0][:, None]
+    out = nn.linear(y, hp_["head"])
+    return unpatchify(out.astype(jnp.float32), cfg, f, h, w), logits

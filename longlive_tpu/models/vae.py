@@ -541,6 +541,31 @@ def vae_decode(params, cfg: VAEConfig, latents, chunk: int = 1):
     return jnp.concatenate(outs, axis=1)
 
 
+def vae_decode_scan(params, cfg: VAEConfig, latents, caches=None, first: bool = True):
+    """Whole-segment streaming decode as ONE program: frame 0 via the
+    first-frame path, remaining frames under ``lax.scan`` with the conv-cache
+    pytree as carry.  Returns (pixels [B, 1+4*(T-1), 3, H, W], caches')."""
+    b, t, zc, h, w = latents.shape
+    if caches is None:
+        caches = init_decoder_caches(params, cfg, b, h, w, latents.dtype)
+    outs = []
+    rest = latents
+    if first:
+        px0, caches = vae_decode_chunk(params, cfg, latents[:, :1], caches, True)
+        outs.append(px0)
+        rest = latents[:, 1:]
+    if rest.shape[1] > 0:
+        def body(carry, z):
+            px, carry = vae_decode_chunk(params, cfg, z[:, None], carry, False)
+            return carry, px
+
+        caches, ys = jax.lax.scan(body, caches, rest.transpose(1, 0, 2, 3, 4))
+        # ys: [T', B, S, 3, H, W] -> [B, T'*S, 3, H, W]
+        tprime, bb, s = ys.shape[:3]
+        outs.append(ys.transpose(1, 0, 2, 3, 4, 5).reshape(bb, tprime * s, *ys.shape[3:]))
+    return jnp.concatenate(outs, axis=1), caches
+
+
 def vae_encode(params, cfg: VAEConfig, pixels):
     """Encode pixels [B, T, 3, H, W] (T = 1 + 4k) -> normalized latents
     [B, 1+(T-1)/4, z, h, w] (reference encode chunks time 1+4+4+...,

@@ -118,6 +118,7 @@ class CausalInferencePipeline:
         self.attn_window_frames = self.cache_cfg.total_frames
         self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
         self._recache_fns = {}
+        self._segment_fns = {}
         self._prepare_cond_fn = jax.jit(
             lambda p, pe: D.prepare_cross_kv(
                 p, self.cfg, pe, self.params["patch_embedding"]["kernel"].dtype
@@ -163,6 +164,59 @@ class CausalInferencePipeline:
             params, x0, float(self.config.context_noise), cross_kv, cache, start_frame
         )
         return x0, cache, rng
+
+    def _segment_fn(self, num_blocks: int):
+        """lax.scan over ``num_blocks`` blocks inside ONE jitted program —
+        amortizes host dispatch (the per-block Python loop pays a host->device
+        round trip per block, which dominates under remote/tunneled runtimes).
+        """
+        if num_blocks in self._segment_fns:
+            return self._segment_fns[num_blocks]
+
+        fpb = self.frame_block
+
+        def seg(params, cache, cross_kv, noise_frames, start_frame, rng):
+            # noise_frames: [B, num_blocks*fpb, C, H, W]
+            b = noise_frames.shape[0]
+            noise_blocks = noise_frames.reshape(
+                b, num_blocks, fpb, *noise_frames.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
+            starts = start_frame + jnp.arange(num_blocks, dtype=jnp.int32) * fpb
+
+            def body(carry, xs):
+                cache, rng = carry
+                nb, s = xs
+                x0, cache, rng = self._block_step(params, cache, cross_kv, nb, s, rng)
+                return (cache, rng), x0
+
+            (cache, rng), ys = jax.lax.scan(body, (cache, rng), (noise_blocks, starts))
+            # ys: [num_blocks, B, fpb, C, H, W] -> [B, T, C, H, W]
+            lat = ys.transpose(1, 0, 2, 3, 4, 5).reshape(
+                b, num_blocks * fpb, *noise_frames.shape[2:])
+            return lat, cache, rng
+
+        fn = jax.jit(seg, donate_argnums=(1,))
+        self._segment_fns[num_blocks] = fn
+        return fn
+
+    def generate_latents_scanned(
+        self,
+        noise: jax.Array,
+        cross_kv: D.CrossKV,
+        rng: Optional[jax.Array] = None,
+        cache: Optional[kvc.KVCache] = None,
+        start_frame: int = 0,
+    ):
+        """Whole-segment generation in one device dispatch.  Returns
+        (latents, cache, rng) so interactive callers can continue across
+        prompt switches."""
+        b, t_frames = noise.shape[:2]
+        assert t_frames % self.frame_block == 0
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+        if cache is None:
+            cache = self.init_cache(b, self.params["patch_embedding"]["kernel"].dtype)
+        fn = self._segment_fn(t_frames // self.frame_block)
+        return fn(self.params, cache, cross_kv, noise,
+                  jnp.asarray(start_frame, jnp.int32), rng)
 
     def _recache_fn(self, num_frames: int, global_sink: bool,
                     overwrite_sink: Optional[bool] = None):

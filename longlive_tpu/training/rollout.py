@@ -83,12 +83,15 @@ def rollout_trajectory(
     start_gradient_frame: int = 0,
     cache: Optional[kvc.KVCache] = None,
     current_start_frame: int = 0,
+    initial_latent: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, kvc.KVCache, jax.Array]:
     """Rolls out ``F_total`` frames block-by-block with the KV cache.
     Returns (latents [B,F_total,C,H,W] f32, final cache, rng').
 
     When ``cache``/``current_start_frame`` are provided, continues an ongoing
     sequence (streaming long tuning, pipeline/streaming_training.py:73-257).
+    ``initial_latent`` ([B, F0, C, H, W]) is committed at t=0 before the loop
+    (image/context conditioning, self_forcing_training.py:352-366).
     """
     b, f_total = noise.shape[:2]
     fpb = rcfg.frame_block
@@ -118,6 +121,20 @@ def rollout_trajectory(
             jnp.full((bf,), t_val, jnp.float32),
         ).reshape(flow.shape)
         return x0, cache_out
+
+    if initial_latent is not None:
+        # commit conditioning frames at t=0 (grad-free); generation starts
+        # after them (self_forcing_training.py:352-366)
+        f0 = initial_latent.shape[1]
+        t0 = jnp.zeros((b, f0), jnp.float32)
+        _, cache = D.dit_forward_cached(
+            gen_params, cfg, cache_cfg, tables,
+            jax.lax.stop_gradient(initial_latent), t0, cross_kv, cache,
+            current_start_frame, attn_impl=rcfg.attn_impl,
+            window_frames=rcfg.window_frames,
+        )
+        cache = jax.lax.stop_gradient(cache)
+        current_start_frame = current_start_frame + f0
 
     outputs = []
     for s in range(0, f_total, fpb):
