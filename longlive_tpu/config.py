@@ -190,6 +190,22 @@ def pipeline_config_from_dict(raw: dict) -> PipelineConfig:
     return PipelineConfig(extras=extras, **known)
 
 
+# Model-family presets (reference wan/configs/wan_t2v_1_3B.py:20-29,
+# wan_t2v_14B.py; the 14B is the optional DMD teacher via `real_name`,
+# configs/longlive_train_init.yaml:5-7).
+WAN_MODEL_CONFIGS = {
+    "Wan2.1-T2V-1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30),
+    "Wan2.1-T2V-14B": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40),
+}
+
+
+def dit_config_for(model_name: str, **overrides) -> DiTConfig:
+    base = WAN_MODEL_CONFIGS.get(model_name)
+    if base is None:
+        raise KeyError(f"unknown model {model_name!r}; known: {list(WAN_MODEL_CONFIGS)}")
+    return DiTConfig(**{**base, **overrides})
+
+
 # Small geometry used by unit tests: keeps every code path (sink, ring,
 # blocks, RoPE splits) while being ~1000x cheaper than the 1.3B shapes.
 def tiny_dit_config() -> DiTConfig:

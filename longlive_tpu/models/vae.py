@@ -67,8 +67,10 @@ def tiny_vae_config() -> VAEConfig:
 
 
 def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same"):
-    """x: [B,C,T,H,W]; w: [O,I,kt,kh,kw] (torch layout).  Temporal padding is
-    the caller's job (causal caches); spatial is symmetric SAME or explicit."""
+    """x: [B,T,H,W,C] (channels-last — TPU-preferred feature-minor layout);
+    w: [O,I,kt,kh,kw] (torch layout, transposed here; XLA folds the constant
+    transpose).  Temporal padding is the caller's job (causal caches);
+    spatial is symmetric SAME or explicit."""
     kt, kh, kw = w.shape[2:]
     if spatial_pad == "same":
         pads = [(0, 0), ((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
@@ -76,18 +78,19 @@ def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same"):
         pads = [(0, 0), (0, 0), (0, 0)]
     else:
         pads = spatial_pad
+    w_cl = w.astype(x.dtype).transpose(2, 3, 4, 1, 0)  # -> [kt,kh,kw,I,O]
     y = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=stride, padding=pads,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        x, w_cl, window_strides=stride, padding=pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)[None, :, None, None, None]
+        y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
 
 
 def conv2d(x, w, b=None, stride=(1, 1), pad="same"):
-    """x: [N,C,H,W]; w: [O,I,kh,kw]."""
+    """x: [N,H,W,C]; w: [O,I,kh,kw] (torch layout)."""
     kh, kw = w.shape[2:]
     if pad == "same":
         pads = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
@@ -95,25 +98,27 @@ def conv2d(x, w, b=None, stride=(1, 1), pad="same"):
         pads = [(0, 0), (0, 0)]
     else:
         pads = pad
+    w_cl = w.astype(x.dtype).transpose(2, 3, 1, 0)  # -> [kh,kw,I,O]
     y = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=stride, padding=pads,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        x, w_cl, window_strides=stride, padding=pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)[None, :, None, None]
+        y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
 
 
 def rms_norm_channel(x, gamma):
     """RMS_norm with channel_first, images=False (vae.py:39-54):
-    F.normalize over channels * sqrt(C) * gamma.  x: [B,C,T,H,W]."""
+    F.normalize over channels * sqrt(C) * gamma.  x: [..., C] channels-last
+    — the channel reduction is a cheap minor-axis reduction here."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=1, keepdims=True)) + 1e-12
-    scale = math.sqrt(x.shape[1])
+    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True)) + 1e-12
+    scale = math.sqrt(x.shape[-1])
     y = xf / norm * scale
-    return (y * gamma.astype(jnp.float32)[None, :, None, None, None]).astype(dtype)
+    return (y * gamma.astype(jnp.float32)).astype(dtype)
 
 
 class _CacheThread:
@@ -138,7 +143,7 @@ class _CacheThread:
 
 def causal_conv3d(x, p, thread: _CacheThread, stride=(1, 1, 1)):
     """CausalConv3d with explicit 2-frame input cache (vae.py:17-36).
-    Uncached mode (thread.caches None) zero-pads (kt-1) frames."""
+    x: [B,T,H,W,C].  Uncached mode (thread.caches None) zero-pads."""
     w = p["w"]
     kt = w.shape[2]
     cache = thread.pull()
@@ -147,10 +152,10 @@ def causal_conv3d(x, p, thread: _CacheThread, stride=(1, 1, 1)):
             thread.push(cache)  # kernel t=1 has no temporal context
         return conv3d(x, w, p.get("b"), stride)
     if thread.caches is None:
-        xt = jnp.pad(x, [(0, 0), (0, 0), (kt - 1, 0), (0, 0), (0, 0)])
+        xt = jnp.pad(x, [(0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)])
         return conv3d(xt, w, p.get("b"), stride)
-    full = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
-    thread.push(full[:, :, -CACHE_T:])
+    full = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    thread.push(full[:, -CACHE_T:])
     return conv3d(full, w, p.get("b"), stride)
 
 
@@ -174,33 +179,38 @@ def res_block(x, p, thread: _CacheThread):
 
 
 def attention_block(x, p):
-    """Single-head per-frame spatial attention (vae.py:223-262)."""
-    b, c, t, h, w = x.shape
+    """Single-head per-frame spatial attention (vae.py:223-262).
+    x: [B,T,H,W,C]; the 1x1 qkv/proj convs are plain matmuls here."""
+    b, t, h, w, c = x.shape
     identity = x
     y = rms_norm_channel(x, p["norm"])
-    y = y.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
-    qkv = conv2d(y, p["qkv"]["w"], p["qkv"]["b"], pad="none")  # [bt, 3c, h, w]
-    qkv = qkv.reshape(b * t, 3 * c, h * w).transpose(0, 2, 1)  # [bt, hw, 3c]
+    y = y.reshape(b * t, h * w, c)
+    wq = p["qkv"]["w"].reshape(3 * c, c).T  # [C, 3C]
+    qkv = (jnp.einsum("bsc,cd->bsd", y, wq.astype(y.dtype),
+                      preferred_element_type=jnp.float32)
+           + p["qkv"]["b"].astype(jnp.float32)).astype(y.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits / math.sqrt(c), axis=-1).astype(v.dtype)
     o = jnp.einsum("bqk,bkc->bqc", probs, v)
-    o = o.transpose(0, 2, 1).reshape(b * t, c, h, w)
-    o = conv2d(o, p["proj"]["w"], p["proj"]["b"], pad="none")
-    o = o.reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
-    return o + identity
+    wp = p["proj"]["w"].reshape(c, c).T
+    o = (jnp.einsum("bsc,cd->bsd", o, wp.astype(o.dtype),
+                    preferred_element_type=jnp.float32)
+         + p["proj"]["b"].astype(jnp.float32)).astype(o.dtype)
+    return o.reshape(b, t, h, w, c) + identity
 
 
 def _spatial(fn, x):
-    b, c, t, h, w = x.shape
-    y = x.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
-    y = fn(y)
-    c2, h2, w2 = y.shape[1:]
-    return y.reshape(b, t, c2, h2, w2).transpose(0, 2, 1, 3, 4)
+    # channels-last: folding T into batch is a pure reshape (no transpose)
+    b, t, h, w, c = x.shape
+    y = fn(x.reshape(b * t, h, w, c))
+    h2, w2, c2 = y.shape[1:]
+    return y.reshape(b, t, h2, w2, c2)
 
 
 def upsample2d_nearest(x2d):
-    return jnp.repeat(jnp.repeat(x2d, 2, axis=-2), 2, axis=-1)
+    # [N,H,W,C]: nearest 2x on H and W
+    return jnp.repeat(jnp.repeat(x2d, 2, axis=1), 2, axis=2)
 
 
 def resample_up(x, p, thread: _CacheThread, temporal: bool, first_frame: bool):
@@ -215,25 +225,22 @@ def resample_up(x, p, thread: _CacheThread, temporal: bool, first_frame: bool):
                 # (vae.py:120-127 zero-fills the short cache).
                 thread.push(jnp.zeros_like(cache))
             else:
-                full = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
-                thread.push(full[:, :, -CACHE_T:])
+                full = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+                thread.push(full[:, -CACHE_T:])
                 y = conv3d(full, p["time_conv"]["w"], p["time_conv"]["b"])
-                b, c2, t, h, w = y.shape
+                b, t, h, w, c2 = y.shape
                 c = c2 // 2
-                # interleave the two channel halves in time (vae.py:134-137)
-                y = y.reshape(b, 2, c, t, h, w).transpose(0, 2, 3, 1, 4, 5)
-                x = y.reshape(b, c, t * 2, h, w)
+                # interleave the two channel halves in time (vae.py:134-137):
+                # channel axis splits [2, c] major-minor (torch O-order)
+                y = y.reshape(b, t, h, w, 2, c).transpose(0, 1, 4, 2, 3, 5)
+                x = y.reshape(b, t * 2, h, w, c)
         else:
-            xt = jnp.pad(x, [(0, 0), (0, 0), (2, 0), (0, 0), (0, 0)])
+            xt = jnp.pad(x, [(0, 0), (2, 0), (0, 0), (0, 0), (0, 0)])
             y = conv3d(xt, p["time_conv"]["w"], p["time_conv"]["b"])
-            b, c2, t, h, w = y.shape
+            b, t, h, w, c2 = y.shape
             c = c2 // 2
-            y = y.reshape(b, 2, c, t, h, w).transpose(0, 2, 3, 1, 4, 5)
-            y = y.reshape(b, c, t * 2, h, w)
-            # uncached full decode still skips upsampling of frame 0's
-            # zero-padded outputs?  The reference never runs the decoder
-            # uncached; keep streaming semantics as canonical.
-            x = y
+            y = y.reshape(b, t, h, w, 2, c).transpose(0, 1, 4, 2, 3, 5)
+            x = y.reshape(b, t * 2, h, w, c)
     return _spatial(
         lambda z: conv2d(upsample2d_nearest(z), p["conv"]["w"], p["conv"]["b"]), x
     )
@@ -243,7 +250,7 @@ def resample_down(x, p, thread: _CacheThread, temporal: bool, first_chunk: bool)
     """Resample downsample2d/3d (vae.py:87-96, 143-159)."""
     x = _spatial(
         lambda z: conv2d(
-            jnp.pad(z, [(0, 0), (0, 0), (0, 1), (0, 1)]),
+            jnp.pad(z, [(0, 0), (0, 1), (0, 1), (0, 0)]),
             p["conv"]["w"], p["conv"]["b"], stride=(2, 2), pad="none",
         ),
         x,
@@ -252,10 +259,10 @@ def resample_down(x, p, thread: _CacheThread, temporal: bool, first_chunk: bool)
         if thread.caches is not None:
             cache = thread.pull()
             if first_chunk:
-                thread.push(x[:, :, -1:])  # cache the chunk's last frame
+                thread.push(x[:, -1:])  # cache the chunk's last frame
             else:
-                full = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
-                thread.push(x[:, :, -1:])
+                full = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+                thread.push(x[:, -1:])
                 x = conv3d(full, p["time_conv"]["w"], p["time_conv"]["b"],
                            stride=(2, 1, 1), spatial_pad="none")
         else:
@@ -270,7 +277,7 @@ def resample_down(x, p, thread: _CacheThread, temporal: bool, first_chunk: bool)
 
 def decoder_apply(params, cfg: VAEConfig, z, caches, first_frame: bool):
     """Decoder3d forward over a chunk of latent frames (vae.py:369-472).
-    z: [B, z_dim, T, h, w].  Returns (pixels [B,3,T_out,H,W], caches')."""
+    z: [B, T, h, w, z_dim] channels-last.  Returns ([B,T_out,H,W,3], caches')."""
     thread = _CacheThread(caches)
     x = causal_conv3d(z, params["conv1"], thread)
     x = res_block(x, params["middle"][0], thread)
@@ -293,7 +300,7 @@ def decoder_apply(params, cfg: VAEConfig, z, caches, first_frame: bool):
 
 def encoder_apply(params, cfg: VAEConfig, x, caches, first_chunk: bool):
     """Encoder3d forward over a chunk of pixel frames (vae.py:265-366).
-    x: [B, 3, T, H, W]."""
+    x: [B, T, H, W, 3] channels-last."""
     thread = _CacheThread(caches)
     y = causal_conv3d(x, params["conv1"], thread)
     downs = cfg.temperal_downsample
@@ -329,7 +336,7 @@ def decoder_cache_shapes(cfg: VAEConfig, b, h, w) -> List[Tuple[int, ...]]:
     shapes: List[Tuple[int, ...]] = []
 
     def conv_cache(c, hh, ww, t=CACHE_T):
-        shapes.append((b, c, t, hh, ww))
+        shapes.append((b, t, hh, ww, c))
 
     def res_caches(c_in, c_out, hh, ww):
         conv_cache(c_in, hh, ww)   # res conv1 input
@@ -366,7 +373,7 @@ def encoder_cache_shapes(cfg: VAEConfig, b, h, w) -> List[Tuple[int, ...]]:
     shapes: List[Tuple[int, ...]] = []
 
     def conv_cache(c, hh, ww, t=CACHE_T):
-        shapes.append((b, c, t, hh, ww))
+        shapes.append((b, t, hh, ww, c))
 
     def res_caches(c_in, c_out, hh, ww):
         conv_cache(c_in, hh, ww)
@@ -512,16 +519,18 @@ def init_vae_params(rng, cfg: VAEConfig = VAEConfig(), dtype=jnp.float32) -> dic
 def vae_decode_chunk(params, cfg: VAEConfig, z_chunk, caches, first: bool):
     """One streaming decode step.  z_chunk: [B, T, z, h, w] NORMALIZED latents
     (wrapper layout).  Returns (pixels [B, T_out, 3, H, W] in [-1,1], caches').
+    Internals run channels-last ([B,T,H,W,C]); only the API boundary
+    transposes.
     """
-    z = z_chunk.transpose(0, 2, 1, 3, 4)  # -> [B, z, T, h, w]
-    std = params["std"].astype(jnp.float32)[None, :, None, None, None]
-    mean = params["mean"].astype(jnp.float32)[None, :, None, None, None]
+    z = z_chunk.transpose(0, 1, 3, 4, 2)  # -> [B, T, h, w, z]
+    std = params["std"].astype(jnp.float32)
+    mean = params["mean"].astype(jnp.float32)
     z = (z.astype(jnp.float32) * std + mean).astype(z_chunk.dtype)
     thread = _CacheThread(None)
     x = causal_conv3d(z, params["conv2"], thread)  # 1x1x1
     out, caches = decoder_apply(params["decoder"], cfg, x, caches, first)
     out = jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
-    return out.transpose(0, 2, 1, 3, 4), caches
+    return out.transpose(0, 1, 4, 2, 3), caches
 
 
 def vae_decode(params, cfg: VAEConfig, latents, chunk: int = 1):
@@ -578,14 +587,14 @@ def vae_encode(params, cfg: VAEConfig, pixels):
     chunks = [(0, 1)] + [(1 + stride_t * i, 1 + stride_t * (i + 1))
                          for i in range((t - 1) // stride_t)]
     for ci, (s, e) in enumerate(chunks):
-        xc = x[:, s:e].transpose(0, 2, 1, 3, 4)
+        xc = x[:, s:e].transpose(0, 1, 3, 4, 2)  # [B, T, H, W, 3]
         y, caches = encoder_apply(params["encoder"], cfg, xc, caches, ci == 0)
         outs.append(y)
-    y = jnp.concatenate(outs, axis=2)
+    y = jnp.concatenate(outs, axis=1)  # [B, T', h, w, 2z]
     thread = _CacheThread(None)
-    y = causal_conv3d(y, params["conv1"], thread)  # 1x1x1: [B, 2z, T', h, w]
-    mu = y[:, : cfg.z_dim]
-    mean = params["mean"].astype(jnp.float32)[None, :, None, None, None]
-    std = params["std"].astype(jnp.float32)[None, :, None, None, None]
+    y = causal_conv3d(y, params["conv1"], thread)  # 1x1x1
+    mu = y[..., : cfg.z_dim]
+    mean = params["mean"].astype(jnp.float32)
+    std = params["std"].astype(jnp.float32)
     mu = (mu.astype(jnp.float32) - mean) / std
-    return mu.astype(pixels.dtype).transpose(0, 2, 1, 3, 4)
+    return mu.astype(pixels.dtype).transpose(0, 1, 4, 2, 3)

@@ -142,26 +142,16 @@ def main():
         if streaming:
             if not trainer.can_generate_more():
                 row = next(prompt_iter)
-                cc = D.prepare_cross_kv(
-                    trainer.state["gen_params"], dit_cfg, encode(row["prompts"]),
-                    jnp.float32)
-                cu = D.prepare_cross_kv(
-                    trainer.state["gen_params"], dit_cfg, encode(neg_prompt),
-                    jnp.float32)
-                cs = None
-                if "switch_prompts" in row:
-                    cs = D.prepare_cross_kv(
-                        trainer.state["gen_params"], dit_cfg,
-                        encode(row["switch_prompts"]), jnp.float32)
+                pc = encode(row["prompts"])
+                pu = encode(neg_prompt)
+                ps = encode(row["switch_prompts"]) if "switch_prompts" in row else None
                 rng, sub = jax.random.split(rng)
-                trainer.start_new_sequence(cc, cu, sub, cross_switch=cs)
+                trainer.start_new_sequence(pc, pu, sub, prompt_switch=ps)
             metrics = trainer.streaming_train_step(rng)
         else:
             row = next(prompt_iter)
-            cc = D.prepare_cross_kv(trainer.state["gen_params"], dit_cfg,
-                                    encode(row["prompts"]), jnp.float32)
-            cu = D.prepare_cross_kv(trainer.state["gen_params"], dit_cfg,
-                                    encode(neg_prompt), jnp.float32)
+            cc = encode(row["prompts"])
+            cu = encode(neg_prompt)
             rng, sub = jax.random.split(rng)
             noise = jax.random.normal(
                 sub, (shape[0], tcfg.num_training_frames, geom.channels,

@@ -92,17 +92,30 @@ def distribution_matching_loss(
     tables: RopeTables,
     sched: S.FlowMatchSchedule,
     dcfg: DMDConfig,
-    cross_cond: D.CrossKV,
-    cross_uncond: D.CrossKV,
+    prompt_cond: jax.Array,  # [B, text_len, text_dim] T5 features
+    prompt_uncond: jax.Array,
     rng: jax.Array,
     gradient_mask: Optional[jax.Array] = None,  # [B, F] bool
     denoised_from: Optional[int] = None,
     denoised_to: Optional[int] = None,
     attn_impl: str = "auto",
+    teacher_cfg: Optional[DiTConfig] = None,
 ) -> Tuple[jax.Array, dict]:
-    """DMD generator loss (dmd.py:134-200)."""
+    """DMD generator loss (dmd.py:134-200).
+
+    Cross-attention K/V are derived per model: the critic and teacher own
+    their text-embedding/projection weights (each WanDiffusionWrapper
+    encodes its own context, wan_wrapper.py:247-257), so the critic's
+    conditioning must track its trained weights, not the generator's.
+    """
+    teacher_cfg = teacher_cfg or cfg
     b, f = gen_latents.shape[:2]
     rng_t, rng_n = jax.random.split(rng)
+    dtype = critic_params["patch_embedding"]["kernel"].dtype
+    crit_c = D.prepare_cross_kv(critic_params, cfg, prompt_cond, dtype)
+    crit_u = D.prepare_cross_kv(critic_params, cfg, prompt_uncond, dtype)
+    teach_c = D.prepare_cross_kv(teacher_params, teacher_cfg, prompt_cond, dtype)
+    teach_u = D.prepare_cross_kv(teacher_params, teacher_cfg, prompt_uncond, dtype)
 
     def no_grad_branch(x):
         t = _sample_score_timestep(rng_t, dcfg, b, f, denoised_from, denoised_to)
@@ -113,15 +126,15 @@ def distribution_matching_loss(
         ).reshape(x.shape)
 
         fake_x0 = _x0_pred_bidirectional(
-            critic_params, cfg, tables, sched, noisy, t, cross_cond, attn_impl)
+            critic_params, cfg, tables, sched, noisy, t, crit_c, attn_impl)
         if dcfg.fake_guidance_scale != 0.0:
             fake_u = _x0_pred_bidirectional(
-                critic_params, cfg, tables, sched, noisy, t, cross_uncond, attn_impl)
+                critic_params, cfg, tables, sched, noisy, t, crit_u, attn_impl)
             fake_x0 = fake_x0 + (fake_x0 - fake_u) * dcfg.fake_guidance_scale
         real_c = _x0_pred_bidirectional(
-            teacher_params, cfg, tables, sched, noisy, t, cross_cond, attn_impl)
+            teacher_params, teacher_cfg, tables, sched, noisy, t, teach_c, attn_impl)
         real_u = _x0_pred_bidirectional(
-            teacher_params, cfg, tables, sched, noisy, t, cross_uncond, attn_impl)
+            teacher_params, teacher_cfg, tables, sched, noisy, t, teach_u, attn_impl)
         real_x0 = real_c + (real_c - real_u) * dcfg.real_guidance_scale
 
         grad = fake_x0.astype(jnp.float32) - real_x0.astype(jnp.float32)
@@ -156,7 +169,7 @@ def critic_denoising_loss(
     tables: RopeTables,
     sched: S.FlowMatchSchedule,
     dcfg: DMDConfig,
-    cross_cond: D.CrossKV,
+    prompt_cond: jax.Array,  # [B, text_len, text_dim] T5 features
     rng: jax.Array,
     denoised_from: Optional[int] = None,
     denoised_to: Optional[int] = None,
@@ -166,6 +179,8 @@ def critic_denoising_loss(
     (dmd.py:272-392 with denoising_loss_type='flow')."""
     b, f = gen_latents.shape[:2]
     rng_t, rng_n = jax.random.split(rng)
+    dtype = critic_params["patch_embedding"]["kernel"].dtype
+    cross_cond = D.prepare_cross_kv(critic_params, cfg, prompt_cond, dtype)
     t = _sample_score_timestep(rng_t, dcfg, b, f, denoised_from, denoised_to)
     noise = jax.random.normal(rng_n, gen_latents.shape, jnp.float32)
     x = gen_latents.astype(jnp.float32)

@@ -75,16 +75,16 @@ class StreamingTrainer(ScoreDistillationTrainer):
 
     def start_new_sequence(
         self,
-        cross_c: D.CrossKV,
-        cross_u: D.CrossKV,
+        prompt_c: jax.Array,  # [B, text_len, text_dim] T5 features
+        prompt_u: jax.Array,
         rng: jax.Array,
-        cross_switch: Optional[D.CrossKV] = None,
+        prompt_switch: Optional[jax.Array] = None,
         max_length: Optional[int] = None,
         batch: int = 1,
     ):
         """setup_sequence (streaming_training.py:282-395)."""
         switch_idx = None
-        if cross_switch is not None and self.scfg.switch_choices:
+        if prompt_switch is not None and self.scfg.switch_choices:
             i = int(jax.random.randint(rng, (), 0, len(self.scfg.switch_choices)))
             switch_idx = int(self.scfg.switch_choices[i])
         self.seq_state = {
@@ -92,9 +92,9 @@ class StreamingTrainer(ScoreDistillationTrainer):
             "previous_frames": None,
             "has_switched": False,
             "temp_max_length": max_length or self.scfg.max_length,
-            "cross_c": cross_c,
-            "cross_u": cross_u,
-            "cross_switch": cross_switch,
+            "prompt_c": prompt_c,
+            "prompt_u": prompt_u,
+            "prompt_switch": prompt_switch,
             "switch_frame_index": switch_idx,
             "cache": kvc.init_cache(
                 self.cache_cfg, self.cfg.num_layers, batch, self.cfg.num_heads,
@@ -153,12 +153,14 @@ class StreamingTrainer(ScoreDistillationTrainer):
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
         def step(gen_params, gen_opt, critic_params, teacher_params, cache,
-                 prev_overlap, noise, cross, cross_u, cur_start, rng):
+                 prev_overlap, noise, prompt, prompt_u, cur_start, rng):
             rng_roll, rng_dmd = jax.random.split(rng)
 
             def loss_fn(gp):
+                dtype = gp["patch_embedding"]["kernel"].dtype
+                cross_gen = D.prepare_cross_kv(gp, self.cfg, prompt, dtype)
                 chunk, new_cache, new_prev = self._chunk_pure(
-                    gp, cache, prev_overlap, noise, cross, rng_roll,
+                    gp, cache, prev_overlap, noise, cross_gen, rng_roll,
                     cur_start, exit_idx, grad=True)
                 total = chunk.shape[1]
                 gmask = jnp.broadcast_to(
@@ -166,9 +168,10 @@ class StreamingTrainer(ScoreDistillationTrainer):
                 ) if overlap > 0 else None
                 loss, aux = dmd_mod.distribution_matching_loss(
                     chunk, critic_params, teacher_params, self.cfg,
-                    self.tables, self.sched, self.dcfg, cross, cross_u,
+                    self.tables, self.sched, self.dcfg, prompt, prompt_u,
                     rng_dmd, gradient_mask=gmask, denoised_from=t_from,
-                    denoised_to=t_to, attn_impl=self.rcfg.attn_impl)
+                    denoised_to=t_to, attn_impl=self.rcfg.attn_impl,
+                    teacher_cfg=self.teacher_cfg)
                 return loss, (aux, new_cache, new_prev)
 
             (loss, (aux, new_cache, new_prev)), grads = jax.value_and_grad(
@@ -189,17 +192,19 @@ class StreamingTrainer(ScoreDistillationTrainer):
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
         def step(critic_params, critic_opt, gen_params, cache, prev_overlap,
-                 noise, cross, cur_start, rng):
+                 noise, prompt, cur_start, rng):
             rng_roll, rng_crit = jax.random.split(rng)
+            dtype = gen_params["patch_embedding"]["kernel"].dtype
+            cross_gen = D.prepare_cross_kv(gen_params, self.cfg, prompt, dtype)
             chunk, new_cache, new_prev = self._chunk_pure(
-                gen_params, cache, prev_overlap, noise, cross, rng_roll,
+                gen_params, cache, prev_overlap, noise, cross_gen, rng_roll,
                 cur_start, exit_idx, grad=False)
             chunk = jax.lax.stop_gradient(chunk)
 
             def loss_fn(cp):
                 return dmd_mod.critic_denoising_loss(
                     cp, chunk, self.cfg, self.tables, self.sched, self.dcfg,
-                    cross, rng_crit, denoised_from=t_from, denoised_to=t_to,
+                    prompt, rng_crit, denoised_from=t_from, denoised_to=t_to,
                     attn_impl=self.rcfg.attn_impl)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -258,11 +263,14 @@ class StreamingTrainer(ScoreDistillationTrainer):
         switching = (si is not None and not s["has_switched"]
                      and cur <= si < cur + new_frames)
         use_switch_prompt = si is not None and (s["has_switched"] or cur >= si or switching)
-        cross = s["cross_switch"] if use_switch_prompt else s["cross_c"]
+        prompt = s["prompt_switch"] if use_switch_prompt else s["prompt_c"]
         if switching and cur > 0 and prev is not None:
             n = min(self.scfg.chunk_size, prev.shape[1], cur)
+            dtype = self.state["gen_params"]["patch_embedding"]["kernel"].dtype
+            cross_new = D.prepare_cross_kv(self.state["gen_params"], self.cfg,
+                                           prompt, dtype)
             s["cache"] = self._streaming_recache_fn(n)(
-                self.state["gen_params"], s["cache"], cross, prev[:, -n:],
+                self.state["gen_params"], s["cache"], cross_new, prev[:, -n:],
                 jnp.asarray(cur - n, jnp.int32))
         if switching:
             s["has_switched"] = True
@@ -279,7 +287,7 @@ class StreamingTrainer(ScoreDistillationTrainer):
             gp, gopt, cache, new_prev, loss, aux = fn(
                 self.state["gen_params"], self.state["gen_opt"],
                 self.state["critic_params"], self.teacher_params, s["cache"],
-                prev_overlap, noise, cross, s["cross_u"], cur_start, rng_step)
+                prev_overlap, noise, prompt, s["prompt_u"], cur_start, rng_step)
             self.state["gen_params"], self.state["gen_opt"] = gp, gopt
             self._update_ema(step)
             metrics = {"generator_loss": float(loss)}
@@ -288,7 +296,7 @@ class StreamingTrainer(ScoreDistillationTrainer):
             cp, copt, cache, new_prev, loss, aux = fn(
                 self.state["critic_params"], self.state["critic_opt"],
                 self.state["gen_params"], s["cache"], prev_overlap, noise,
-                cross, cur_start, rng_step)
+                prompt, cur_start, rng_step)
             self.state["critic_params"], self.state["critic_opt"] = cp, copt
             metrics = {"critic_loss": float(loss)}
 

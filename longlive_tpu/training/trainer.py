@@ -80,12 +80,16 @@ class ScoreDistillationTrainer:
         critic_params: dict,
         teacher_params: dict,
         mesh=None,
+        teacher_cfg: Optional[DiTConfig] = None,
     ):
         self.tcfg = tcfg
         self.cfg = dit_cfg
         self.geom = geometry
         self.mesh = mesh
         self.teacher_params = teacher_params
+        # the DMD teacher may be a larger model (real_name, e.g. the 14B —
+        # longlive_train_init.yaml:5-7); critic shares the generator's arch
+        self.teacher_cfg = teacher_cfg or dit_cfg
 
         self.sched = S.make_schedule(
             1000, shift=tcfg.timestep_shift, sigma_min=0.0, extra_one_step=True,
@@ -162,11 +166,15 @@ class ScoreDistillationTrainer:
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
         def step(gen_params, gen_opt, critic_params, teacher_params, noise,
-                 cross_c, cross_u, rng):
+                 prompt_c, prompt_u, rng):
             rng_roll, rng_dmd = jax.random.split(rng)
 
             def loss_fn(gp):
-                latents, _, _ = self._rollout(gp, noise, cross_c, rng_roll,
+                # generator-owned conditioning: grads flow into its text
+                # embedding + cross projections through the rollout
+                dtype = gp["patch_embedding"]["kernel"].dtype
+                cross_gen = D.prepare_cross_kv(gp, self.cfg, prompt_c, dtype)
+                latents, _, _ = self._rollout(gp, noise, cross_gen, rng_roll,
                                               exit_idx, grad_start)
                 gmask = None
                 if use_mask:
@@ -175,10 +183,10 @@ class ScoreDistillationTrainer:
                     gmask = jnp.broadcast_to(gmask, latents.shape[:2])
                 loss, aux = dmd_mod.distribution_matching_loss(
                     latents, critic_params, teacher_params, self.cfg,
-                    self.tables, self.sched, self.dcfg, cross_c, cross_u,
+                    self.tables, self.sched, self.dcfg, prompt_c, prompt_u,
                     rng_dmd, gradient_mask=gmask,
                     denoised_from=t_from, denoised_to=t_to,
-                    attn_impl=self.rcfg.attn_impl,
+                    attn_impl=self.rcfg.attn_impl, teacher_cfg=self.teacher_cfg,
                 )
                 return loss, aux
 
@@ -193,10 +201,12 @@ class ScoreDistillationTrainer:
     def _critic_step_fn(self, exit_idx: int):
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
-        def step(critic_params, critic_opt, gen_params, noise, cross_c, rng):
+        def step(critic_params, critic_opt, gen_params, noise, prompt_c, rng):
             rng_roll, rng_crit = jax.random.split(rng)
+            dtype = gen_params["patch_embedding"]["kernel"].dtype
+            cross_gen = D.prepare_cross_kv(gen_params, self.cfg, prompt_c, dtype)
             latents, _, _ = self._rollout(
-                gen_params, noise, cross_c, rng_roll, exit_idx,
+                gen_params, noise, cross_gen, rng_roll, exit_idx,
                 grad_start=noise.shape[1] + 1,  # no grad anywhere
             )
             latents = jax.lax.stop_gradient(latents)
@@ -204,7 +214,7 @@ class ScoreDistillationTrainer:
             def loss_fn(cp):
                 return dmd_mod.critic_denoising_loss(
                     cp, latents, self.cfg, self.tables, self.sched, self.dcfg,
-                    cross_c, rng_crit, denoised_from=t_from, denoised_to=t_to,
+                    prompt_c, rng_crit, denoised_from=t_from, denoised_to=t_to,
                     attn_impl=self.rcfg.attn_impl,
                 )
 
@@ -219,7 +229,7 @@ class ScoreDistillationTrainer:
     # -- public API --------------------------------------------------------
 
     def train_step(
-        self, noise: jax.Array, cross_c: D.CrossKV, cross_u: D.CrossKV,
+        self, noise: jax.Array, prompt_c: jax.Array, prompt_u: jax.Array,
         rng: jax.Array,
     ) -> Dict[str, Any]:
         """One optimization step, alternating generator/critic at
@@ -238,7 +248,7 @@ class ScoreDistillationTrainer:
             gp, gopt, loss, aux = self._gen_steps[key](
                 self.state["gen_params"], self.state["gen_opt"],
                 self.state["critic_params"], self.teacher_params,
-                noise, cross_c, cross_u, rng_step,
+                noise, prompt_c, prompt_u, rng_step,
             )
             self.state["gen_params"], self.state["gen_opt"] = gp, gopt
             metrics.update({"generator_loss": float(loss), **{k: float(v) for k, v in aux.items()}})
@@ -248,7 +258,7 @@ class ScoreDistillationTrainer:
                 self._critic_steps[exit_idx] = self._critic_step_fn(exit_idx)
             cp, copt, loss, aux = self._critic_steps[exit_idx](
                 self.state["critic_params"], self.state["critic_opt"],
-                self.state["gen_params"], noise, cross_c, rng_step,
+                self.state["gen_params"], noise, prompt_c, rng_step,
             )
             self.state["critic_params"], self.state["critic_opt"] = cp, copt
             metrics.update({"critic_loss": float(loss), **{k: float(v) for k, v in aux.items()}})

@@ -30,19 +30,16 @@ def streaming_setup():
     tr = StreamingTrainer(
         tcfg, cfg, geom, mk(0), mk(1), mk(2),
         streaming_cfg=scfg, vae_params=vae_params, vae_cfg=vcfg)
-    prompts = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.text_len, cfg.text_dim))
-    cross_c = D.prepare_cross_kv(tr.state["gen_params"], cfg, prompts, jnp.float32)
-    cross_u = jax.tree.map(lambda x: x * 0.1, cross_c)
-    cross_s = D.prepare_cross_kv(
-        tr.state["gen_params"], cfg,
-        jax.random.normal(jax.random.PRNGKey(4), prompts.shape), jnp.float32)
-    return tr, cross_c, cross_u, cross_s
+    pe_c = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.text_len, cfg.text_dim))
+    pe_u = pe_c * 0.1
+    pe_s = jax.random.normal(jax.random.PRNGKey(4), pe_c.shape)
+    return tr, pe_c, pe_u, pe_s
 
 
 def test_streaming_sequence_with_switch(streaming_setup):
     tr, cross_c, cross_u, cross_s = streaming_setup
     tr.start_new_sequence(cross_c, cross_u, jax.random.PRNGKey(0),
-                          cross_switch=cross_s)
+                          prompt_switch=cross_s)
     assert tr.seq_state["switch_frame_index"] == 4
     lengths, switched_at = [], None
     i = 0

@@ -75,19 +75,21 @@ def test_dmd_losses_finite(setup):
     dcfg = dmd_mod.DMDConfig(timestep_shift=5.0)
     lat = jax.random.normal(jax.random.PRNGKey(8),
                             (1, 3, geom.channels, geom.height, geom.width))
+    pe_c = jax.random.normal(jax.random.PRNGKey(30), (1, cfg.text_len, cfg.text_dim))
+    pe_u = pe_c * 0.1
     loss, aux = dmd_mod.distribution_matching_loss(
-        lat, critic, teacher, cfg, tables, sched, dcfg, cross_c, cross_u,
+        lat, critic, teacher, cfg, tables, sched, dcfg, pe_c, pe_u,
         jax.random.PRNGKey(9), attn_impl="xla")
     assert np.isfinite(float(loss))
     closs, _ = dmd_mod.critic_denoising_loss(
-        critic, lat, cfg, tables, sched, dcfg, cross_c,
+        critic, lat, cfg, tables, sched, dcfg, pe_c,
         jax.random.PRNGKey(10), attn_impl="xla")
     assert np.isfinite(float(closs))
 
     # generator gradient through the DMD loss is nonzero
     def gl(l):
         loss, _ = dmd_mod.distribution_matching_loss(
-            l, critic, teacher, cfg, tables, sched, dcfg, cross_c, cross_u,
+            l, critic, teacher, cfg, tables, sched, dcfg, pe_c, pe_u,
             jax.random.PRNGKey(9), attn_impl="xla")
         return loss
 
@@ -105,11 +107,13 @@ def test_trainer_steps(setup):
     tr = ScoreDistillationTrainer(tcfg, cfg, geom, copy(gen), copy(critic), teacher)
     noise = jax.random.normal(jax.random.PRNGKey(11),
                               (1, 3, geom.channels, geom.height, geom.width))
-    m0 = tr.train_step(noise, cross_c, cross_u, jax.random.PRNGKey(12))
+    pe_c = jax.random.normal(jax.random.PRNGKey(31), (1, cfg.text_len, cfg.text_dim))
+    pe_u = pe_c * 0.1
+    m0 = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
     assert "generator_loss" in m0 and np.isfinite(m0["generator_loss"])
-    m1 = tr.train_step(noise, cross_c, cross_u, jax.random.PRNGKey(12))
+    m1 = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
     assert "critic_loss" in m1 and np.isfinite(m1["critic_loss"])
-    m2 = tr.train_step(noise, cross_c, cross_u, jax.random.PRNGKey(12))
+    m2 = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
     assert "generator_loss" in m2
 
 
