@@ -134,6 +134,31 @@ def main():
         return jax.random.normal(jax.random.PRNGKey(abs(hash(p)) % 2**31),
                                  (1, dit_cfg.text_len, dit_cfg.text_dim))
 
+    # training-time visualization: run the real inference pipeline every
+    # vis_interval steps (reference distillation.py:1462-1551)
+    vis_interval = int(raw.get("vis_interval", 0) or 0)
+    vis_lengths = list(raw.get("vis_video_lengths", [21]) or [21])
+
+    def visualize(step: int):
+        from .models import vae as Vm
+        from .pipeline import CausalInferencePipeline
+        from .utils.video_io import to_video_array, write_video
+
+        ema = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                           trainer.state["ema_params"])
+        vis_pc = pconfig
+        pipe = CausalInferencePipeline(vis_pc, ema, geometry=geom, dit_config=dit_cfg)
+        pe = encode(next(prompt_iter)["prompts"])
+        cross = pipe.prepare_condition(pe.astype(jnp.bfloat16))
+        for length in vis_lengths:
+            nz = jax.random.normal(jax.random.PRNGKey(step),
+                                   (1, length, geom.channels, geom.height,
+                                    geom.width), jnp.float32)
+            lat, _, _ = pipe.generate_latents_scanned(nz, cross)
+            px, _ = Vm.vae_decode_scan(vae_params, vcfg, lat.astype(jnp.bfloat16))
+            write_video(os.path.join(args.logdir, f"vis_{step:06d}_{length}f.mp4"),
+                        to_video_array(px), fps=16)
+
     rng = jax.random.PRNGKey(tcfg.seed)
     shape = raw.get("image_or_video_shape", [1, 21, 16, 60, 104])
     t0 = time.time()
@@ -162,6 +187,11 @@ def main():
             print(metrics)
         if step > 0 and step % log_iters == 0:
             orbax_io.save_train_state(args.logdir, step, trainer.state, max_ckpts)
+        if vis_interval and step > 0 and step % vis_interval == 0:
+            try:
+                visualize(step)
+            except Exception as e:  # non-fatal like the reference
+                print(f"[vis] failed at step {step}: {e}")
     orbax_io.save_train_state(args.logdir, int(trainer.state["step"]),
                               trainer.state, max_ckpts)
 

@@ -81,6 +81,8 @@ class ScoreDistillationTrainer:
         teacher_params: dict,
         mesh=None,
         teacher_cfg: Optional[DiTConfig] = None,
+        vae_params: Optional[dict] = None,
+        vae_cfg=None,
     ):
         self.tcfg = tcfg
         self.cfg = dit_cfg
@@ -90,6 +92,8 @@ class ScoreDistillationTrainer:
         # the DMD teacher may be a larger model (real_name, e.g. the 14B —
         # longlive_train_init.yaml:5-7); critic shares the generator's arch
         self.teacher_cfg = teacher_cfg or dit_cfg
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
 
         self.sched = S.make_schedule(
             1000, shift=tcfg.timestep_shift, sigma_min=0.0, extra_one_step=True,
@@ -162,6 +166,23 @@ class ScoreDistillationTrainer:
             noise, cross_c, rng, exit_idx, start_gradient_frame=grad_start,
         )
 
+    def _slice_reencode(self, latents):
+        """The >slice_last_frames re-encode trick (base.py:163-183): decode
+        everything before the last (slice-1) frames, re-encode the final
+        pixel frame as a 1-frame image latent, concat with the tail."""
+        from ..models import vae as V
+
+        s = self.tcfg.slice_last_frames
+        f = latents.shape[1]
+        if s == -1 or f <= s or self.vae_params is None:
+            return latents
+        head = jax.lax.stop_gradient(latents[:, : f - (s - 1)])
+        pixels = V.vae_decode(self.vae_params, self.vae_cfg, head, chunk=1)
+        relatent = V.vae_encode(self.vae_params, self.vae_cfg, pixels[:, -1:])
+        return jnp.concatenate(
+            [jax.lax.stop_gradient(relatent).astype(latents.dtype),
+             latents[:, -(s - 1):]], axis=1)
+
     def _gen_step_fn(self, exit_idx: int, grad_start: int, use_mask: bool):
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
@@ -176,6 +197,7 @@ class ScoreDistillationTrainer:
                 cross_gen = D.prepare_cross_kv(gp, self.cfg, prompt_c, dtype)
                 latents, _, _ = self._rollout(gp, noise, cross_gen, rng_roll,
                                               exit_idx, grad_start)
+                latents = self._slice_reencode(latents)
                 gmask = None
                 if use_mask:
                     f = latents.shape[1]
@@ -209,7 +231,7 @@ class ScoreDistillationTrainer:
                 gen_params, noise, cross_gen, rng_roll, exit_idx,
                 grad_start=noise.shape[1] + 1,  # no grad anywhere
             )
-            latents = jax.lax.stop_gradient(latents)
+            latents = jax.lax.stop_gradient(self._slice_reencode(latents))
 
             def loss_fn(cp):
                 return dmd_mod.critic_denoising_loss(
@@ -236,13 +258,25 @@ class ScoreDistillationTrainer:
         dfake_gen_update_ratio (distillation.py:1177)."""
         step = int(self.state["step"])
         train_generator = step % self.tcfg.dfake_gen_update_ratio == 0
-        rng_exit, rng_step = jax.random.split(jax.random.fold_in(rng, step))
+        rng_exit, rng_len, rng_step = jax.random.split(
+            jax.random.fold_in(rng, step), 3)
         exit_idx = ro.sample_exit_idx(
             rng_exit, len(self.rcfg.denoise_timesteps), self.rcfg.last_step_only)
 
-        metrics: Dict[str, Any] = {"step": step, "exit_idx": exit_idx}
+        # random rollout length in [min, max] blocks (base.py:136-154);
+        # shipped init config has min == max == 21
+        fpb = self.rcfg.frame_block
+        min_b = self.tcfg.min_num_training_frames // fpb
+        max_b = min(self.tcfg.num_training_frames // fpb, noise.shape[1] // fpb)
+        nb = (min_b if min_b >= max_b else
+              int(jax.random.randint(rng_len, (), min_b, max_b + 1)))
+        noise = noise[:, : nb * fpb]
+        use_mask = nb * fpb != self.tcfg.min_num_training_frames
+
+        metrics: Dict[str, Any] = {"step": step, "exit_idx": exit_idx,
+                                   "rollout_frames": nb * fpb}
         if train_generator:
-            key = (exit_idx, 0, False)
+            key = (exit_idx, 0, use_mask)
             if key not in self._gen_steps:
                 self._gen_steps[key] = self._gen_step_fn(*key)
             gp, gopt, loss, aux = self._gen_steps[key](
