@@ -50,6 +50,10 @@ class RolloutConfig:
     # training cache retains min(local+slice, num_training) frames but only
     # local_attn_size frames are attended (self_forcing_training.py:59-74).
     window_frames: Optional[int] = None
+    # per-denoise-step window schedule (list-valued local_attn_size,
+    # self_forcing_training.py:44-56,183-189); overrides window_frames per
+    # step when set; the commit pass uses the last entry.
+    window_schedule: Optional[Tuple[Optional[int], ...]] = None
 
 
 def denoised_timestep_bounds(
@@ -103,17 +107,24 @@ def rollout_trajectory(
             gen_params["patch_embedding"]["kernel"].dtype,
         )
 
-    def _fwd(p, xx, tt, ck, sf):
+    def _window_for(step_idx: Optional[int]) -> Optional[int]:
+        if rcfg.window_schedule is not None:
+            i = step_idx if step_idx is not None else len(rcfg.window_schedule) - 1
+            return rcfg.window_schedule[i]
+        return rcfg.window_frames
+
+    def _fwd(p, xx, tt, ck, sf, window):
         return D.dit_forward_cached(
             p, cfg, cache_cfg, tables, xx, tt, cross_kv, ck, sf,
-            attn_impl=rcfg.attn_impl, window_frames=rcfg.window_frames,
+            attn_impl=rcfg.attn_impl, window_frames=window,
         )
 
-    fwd_fn = jax.checkpoint(_fwd) if rcfg.remat else _fwd
+    fwd_fn = (jax.checkpoint(_fwd, static_argnums=(5,)) if rcfg.remat else _fwd)
 
-    def forward(x, t_val, cache_in, start_frame):
+    def forward(x, t_val, cache_in, start_frame, step_idx=None):
         t = jnp.full((b, fpb), t_val, jnp.float32)
-        flow, cache_out = fwd_fn(gen_params, x, t, cache_in, start_frame)
+        flow, cache_out = fwd_fn(gen_params, x, t, cache_in, start_frame,
+                                 _window_for(step_idx))
         bf = b * fpb
         x0 = S.convert_flow_to_x0(
             sched, flow.reshape(bf, *flow.shape[2:]),
@@ -143,7 +154,7 @@ def rollout_trajectory(
         # denoise steps before the exit: no gradient
         for i in range(exit_idx):
             x0, _ = forward(jax.lax.stop_gradient(x),
-                            rcfg.denoise_timesteps[i], cache, abs_start)
+                            rcfg.denoise_timesteps[i], cache, abs_start, i)
             x0 = jax.lax.stop_gradient(x0)
             rng, sub = jax.random.split(rng)
             t_next = jnp.full((b * fpb,), rcfg.denoise_timesteps[i + 1], jnp.float32)
@@ -156,7 +167,8 @@ def rollout_trajectory(
         # exit step: gradient iff this block is in the supervised tail
         grad_on = s >= start_gradient_frame
         x0, _ = forward(jax.lax.stop_gradient(x),
-                        rcfg.denoise_timesteps[exit_idx], cache, abs_start)
+                        rcfg.denoise_timesteps[exit_idx], cache, abs_start,
+                        exit_idx)
         if not grad_on:
             x0 = jax.lax.stop_gradient(x0)
         outputs.append(x0)
