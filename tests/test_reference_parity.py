@@ -1,0 +1,189 @@
+"""Golden parity vs the ACTUAL reference CausalWanModel (loaded read-only
+from /root/reference on CPU with stubbed diffusers/flash-attn deps).
+
+Runs the reference's cached inference path (causal_model.py:907-1068 with
+per-layer KV dict caches, clone/roll/insert and deferred commit) block by
+block against our functional ring-buffer DiT with converted weights.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from longlive_tpu.config import CacheConfig, DiTConfig, tiny_geometry
+from longlive_tpu.models import dit as D
+from longlive_tpu.ops import kv_cache as kvc
+from longlive_tpu.ops.rope import make_rope_tables
+from longlive_tpu.utils.checkpoint import dit_params_from_torch
+
+
+def _load_reference_causal_model():
+    # CPU torch builds raise on NVTX calls; make them no-ops
+    torch.cuda.nvtx.range_push = lambda *a, **k: None
+    torch.cuda.nvtx.range_pop = lambda *a, **k: None
+
+    # diffusers stubs (only mixin surface is used)
+    diffusers = types.ModuleType("diffusers")
+    conf = types.ModuleType("diffusers.configuration_utils")
+
+    class ConfigMixin:
+        pass
+
+    def register_to_config(fn):
+        return fn
+
+    conf.ConfigMixin = ConfigMixin
+    conf.register_to_config = register_to_config
+    models = types.ModuleType("diffusers.models")
+    mm = types.ModuleType("diffusers.models.modeling_utils")
+
+    class ModelMixin(torch.nn.Module):
+        pass
+
+    mm.ModelMixin = ModelMixin
+    sys.modules.setdefault("diffusers", diffusers)
+    sys.modules["diffusers.configuration_utils"] = conf
+    sys.modules["diffusers.models"] = models
+    sys.modules["diffusers.models.modeling_utils"] = mm
+
+    # reference-internal utils stubs (GPU memory helpers unused on CPU)
+    utils_pkg = types.ModuleType("utils")
+    utils_pkg.__path__ = []
+    mem = types.ModuleType("utils.memory")
+    mem.gpu = torch.device("cpu")
+    mem.get_cuda_free_memory_gb = lambda *a, **k: 0.0
+    mem.DynamicSwapInstaller = object
+    mem.log_gpu_memory = lambda *a, **k: None
+    dbg = types.ModuleType("utils.debug_option")
+    dbg.DEBUG = False
+    dbg.DEBUG_GRADIENT = False
+    dbg.LOG_GPU_MEMORY = False
+    sys.modules["utils"] = utils_pkg
+    sys.modules["utils.memory"] = mem
+    sys.modules["utils.debug_option"] = dbg
+
+    wan = types.ModuleType("wan")
+    wan.__path__ = []
+    wm = types.ModuleType("wan.modules")
+    wm.__path__ = []
+    sys.modules["wan"] = wan
+    sys.modules["wan.modules"] = wm
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    att = load("wan.modules.attention", "/root/reference/wan/modules/attention.py")
+    model_mod = load("wan.modules.model", "/root/reference/wan/modules/model.py")
+    cm = load("wan.modules.causal_model",
+              "/root/reference/wan/modules/causal_model.py")
+
+    # the reference SDPA fallback casts to bf16 by default (attention.py:163)
+    # which breaks fp32 CPU runs; pin fp32 for the numeric oracle
+    def fp32(fn):
+        def wrapped(*a, **k):
+            k["dtype"] = torch.float32
+            return fn(*a, **k)
+        return wrapped
+
+    cm.attention = fp32(att.attention)
+
+    def sdpa(q, k, v, *a, **kw):  # cross-attn calls flash_attention directly
+        out = torch.nn.functional.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2))
+        return out.transpose(1, 2).contiguous()
+
+    model_mod.flash_attention = sdpa
+    return cm
+
+
+@pytest.fixture(scope="module")
+def ref_setup():
+    cm = _load_reference_causal_model()
+    torch.manual_seed(0)
+    geom = tiny_geometry()  # 8x8 latents, 4 channels -> 16 tokens/frame
+    cfg = DiTConfig(dim=96, ffn_dim=128, num_heads=4, num_layers=2, in_dim=4,
+                    out_dim=4, text_dim=32, text_len=16, freq_dim=32,
+                    local_attn_size=4, sink_size=1, num_frame_per_block=1,
+                    rope_max_pos=1024)
+    ref = cm.CausalWanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=cfg.text_len,
+        in_dim=cfg.in_dim, dim=cfg.dim, ffn_dim=cfg.ffn_dim,
+        freq_dim=cfg.freq_dim, text_dim=cfg.text_dim, out_dim=cfg.out_dim,
+        num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        local_attn_size=cfg.local_attn_size, sink_size=cfg.sink_size,
+        qk_norm=True, cross_attn_norm=True, eps=1e-6,
+    ).eval()
+    with torch.no_grad():  # non-trivial head (reference zero-inits it)
+        ref.head.head.weight.normal_(0, 0.02)
+    params = dit_params_from_torch(ref.state_dict(), cfg, jnp.float32)
+    return cm, cfg, geom, ref, params
+
+
+def test_cached_generation_matches_reference(ref_setup):
+    cm, cfg, geom, ref, params = ref_setup
+    fs = geom.frame_seq_length  # 16
+    B, F_TOTAL = 1, 6  # exercises warmup, sink pinning, and rolls
+    head_dim = cfg.head_dim
+    torch.manual_seed(1)
+    prompt = torch.randn(B, cfg.text_len, cfg.text_dim)
+    x_all = torch.randn(B, F_TOTAL, cfg.in_dim, geom.height, geom.width)
+    t_val = 500.0
+
+    # reference caches (causal_inference.py:255-293)
+    kv_cache = [
+        {"k": torch.zeros(B, cfg.local_attn_size * fs, cfg.num_heads, head_dim),
+         "v": torch.zeros(B, cfg.local_attn_size * fs, cfg.num_heads, head_dim),
+         "global_end_index": torch.tensor([0]),
+         "local_end_index": torch.tensor([0])}
+        for _ in range(cfg.num_layers)
+    ]
+    crossattn_cache = [
+        {"k": torch.zeros(B, cfg.text_len, cfg.num_heads, head_dim),
+         "v": torch.zeros(B, cfg.text_len, cfg.num_heads, head_dim),
+         "is_init": False}
+        for _ in range(cfg.num_layers)
+    ]
+
+    ref_out = []
+    with torch.no_grad():
+        for f in range(F_TOTAL):
+            xb = x_all[:, f].unsqueeze(2)  # [B, C, 1, H, W]
+            t = torch.full((B, 1), t_val)
+            y = ref(
+                [u for u in xb], t=t, context=[prompt[0]], seq_len=10_000,
+                kv_cache=kv_cache, crossattn_cache=crossattn_cache,
+                current_start=f * fs,
+            )
+            ref_out.append(y.squeeze(2))  # [B, C, H, W]
+    ref_out = torch.stack(ref_out, dim=1).numpy()  # [B, F, C, H, W]
+
+    # ours
+    cache_cfg = CacheConfig(sink_frames=cfg.sink_size,
+                            ring_frames=cfg.local_attn_size - cfg.sink_size,
+                            frame_seq=fs)
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    cross = D.prepare_cross_kv(params, cfg, jnp.asarray(prompt.numpy()), jnp.float32)
+    cache = kvc.init_cache(cache_cfg, cfg.num_layers, B, cfg.num_heads,
+                           cfg.head_dim, jnp.float32)
+    ours = []
+    for f in range(F_TOTAL):
+        xb = jnp.asarray(x_all[:, f : f + 1].numpy())
+        t = jnp.full((B, 1), t_val, jnp.float32)
+        flow, cache = D.dit_forward_cached(
+            params, cfg, cache_cfg, tables, xb, t, cross, cache,
+            jnp.asarray(f, jnp.int32), attn_impl="xla",
+        )
+        ours.append(np.asarray(flow[:, 0]))
+    ours = np.stack(ours, axis=1)
+
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=5e-4)
