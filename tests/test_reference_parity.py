@@ -187,3 +187,152 @@ def test_cached_generation_matches_reference(ref_setup):
     ours = np.stack(ours, axis=1)
 
     np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=5e-4)
+
+
+def _ref_caches(cfg, B, fs, cache_frames):
+    kv = [
+        {"k": torch.zeros(B, cache_frames * fs, cfg.num_heads, cfg.head_dim),
+         "v": torch.zeros(B, cache_frames * fs, cfg.num_heads, cfg.head_dim),
+         "global_end_index": torch.tensor([0]),
+         "local_end_index": torch.tensor([0])}
+        for _ in range(cfg.num_layers)
+    ]
+    ca = [
+        {"k": torch.zeros(B, cfg.text_len, cfg.num_heads, cfg.head_dim),
+         "v": torch.zeros(B, cfg.text_len, cfg.num_heads, cfg.head_dim),
+         "is_init": False}
+        for _ in range(cfg.num_layers)
+    ]
+    return kv, ca
+
+
+def test_recache_after_switch_matches_reference(ref_setup):
+    """Prompt-switch KV-recache (interactive_causal_inference.py:34-106):
+    generate under prompt A, switch to B with recache (zero cache, replay the
+    last window with sink_recache_after_switch=True), continue generating —
+    outputs must match our jitted recache + ring-buffer continuation."""
+    cm, cfg, geom, ref, params = ref_setup
+    fs = geom.frame_seq_length
+    B = 1
+    window = cfg.local_attn_size  # 4
+    switch_at, f_total = 5, 7
+    torch.manual_seed(3)
+    prompt_a = torch.randn(B, cfg.text_len, cfg.text_dim)
+    prompt_b = torch.randn(B, cfg.text_len, cfg.text_dim)
+    x_all = torch.randn(B, f_total, cfg.in_dim, geom.height, geom.width)
+    t_val = 250.0
+
+    # ---- reference run
+    kv, ca = _ref_caches(cfg, B, fs, window)
+    ref_out = []
+    with torch.no_grad():
+        def ref_fwd(xb, f, prompt, sink_recache=False, nframes=1):
+            t = torch.full((B, nframes), t_val if not sink_recache else 0.0)
+            return ref([u for u in xb], t=t, context=[prompt[0]], seq_len=10_000,
+                       kv_cache=kv, crossattn_cache=ca, current_start=f * fs,
+                       sink_recache_after_switch=sink_recache)
+
+        for f in range(switch_at):
+            y = ref_fwd(x_all[:, f].unsqueeze(2), f, prompt_a)
+            ref_out.append(y.squeeze(2))
+        # switch: zero kv (global_sink=False), reset cross cache, replay
+        for blk in kv:
+            blk["k"].zero_(); blk["v"].zero_()
+        for blk in ca:
+            blk["k"].zero_(); blk["v"].zero_(); blk["is_init"] = False
+        n = min(window, switch_at)
+        replay = torch.stack(ref_out[-n:], dim=1)  # [B, n, C, H, W]
+        ref_fwd(replay.permute(0, 2, 1, 3, 4), switch_at - n, prompt_b,
+                sink_recache=True, nframes=n)
+        for blk in ca:
+            blk["k"].zero_(); blk["v"].zero_(); blk["is_init"] = False
+        for f in range(switch_at, f_total):
+            y = ref_fwd(x_all[:, f].unsqueeze(2), f, prompt_b)
+            ref_out.append(y.squeeze(2))
+    ref_out = torch.stack(ref_out, dim=1).numpy()
+
+    # ---- ours
+    from longlive_tpu.pipeline.causal_inference import build_recache_fn
+
+    cache_cfg = CacheConfig(cfg.sink_size, window - cfg.sink_size, fs)
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    cross_a = D.prepare_cross_kv(params, cfg, jnp.asarray(prompt_a.numpy()), jnp.float32)
+    cross_b = D.prepare_cross_kv(params, cfg, jnp.asarray(prompt_b.numpy()), jnp.float32)
+    cache = kvc.init_cache(cache_cfg, cfg.num_layers, B, cfg.num_heads,
+                           cfg.head_dim, jnp.float32)
+    ours = []
+
+    def our_fwd(f, cross, cache):
+        xb = jnp.asarray(x_all[:, f : f + 1].numpy())
+        t = jnp.full((B, 1), t_val, jnp.float32)
+        flow, cache = D.dit_forward_cached(
+            params, cfg, cache_cfg, tables, xb, t, cross, cache,
+            jnp.asarray(f, jnp.int32), attn_impl="xla")
+        return np.asarray(flow[:, 0]), cache
+
+    for f in range(switch_at):
+        y, cache = our_fwd(f, cross_a, cache)
+        ours.append(y)
+    n = min(window, switch_at)
+    replay = jnp.asarray(np.stack(ours[-n:], axis=1))
+    recache = build_recache_fn(cfg, cache_cfg, tables, 0.0, n,
+                               global_sink=False, overwrite_sink=True,
+                               window_frames=window, attn_impl="xla")
+    cache = recache(params, cache, cross_b, replay,
+                    jnp.asarray(switch_at - n, jnp.int32))
+    for f in range(switch_at, f_total):
+        y, cache = our_fwd(f, cross_b, cache)
+        ours.append(y)
+    ours = np.stack(ours, axis=1)
+
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=5e-4)
+
+
+def test_window_capped_cache_matches_reference(ref_setup):
+    """Training-style cache: retains 6 frames but attends only a 4-frame
+    budget (sink 1 + last 3).  The reference realizes this via
+    max_attention_size (set by _set_all_modules_max_attention_size,
+    self_forcing_training.py:551-581); ours via window_frames."""
+    cm, cfg, geom, ref, params = ref_setup
+    fs = geom.frame_seq_length
+    B, f_total, cache_frames, window = 1, 8, 6, 4
+    torch.manual_seed(4)
+    prompt = torch.randn(B, cfg.text_len, cfg.text_dim)
+    x_all = torch.randn(B, f_total, cfg.in_dim, geom.height, geom.width)
+    t_val = 500.0
+
+    for m in ref.modules():
+        if hasattr(m, "max_attention_size"):
+            m.max_attention_size = window * fs
+
+    kv, ca = _ref_caches(cfg, B, fs, cache_frames)
+    ref_out = []
+    with torch.no_grad():
+        for f in range(f_total):
+            t = torch.full((B, 1), t_val)
+            y = ref([u for u in x_all[:, f].unsqueeze(2)], t=t,
+                    context=[prompt[0]], seq_len=10_000, kv_cache=kv,
+                    crossattn_cache=ca, current_start=f * fs)
+            ref_out.append(y.squeeze(2))
+    ref_out = torch.stack(ref_out, dim=1).numpy()
+
+    for m in ref.modules():  # restore for other tests
+        if hasattr(m, "max_attention_size"):
+            m.max_attention_size = cfg.local_attn_size * 1560
+
+    cache_cfg = CacheConfig(cfg.sink_size, cache_frames - cfg.sink_size, fs)
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    cross = D.prepare_cross_kv(params, cfg, jnp.asarray(prompt.numpy()), jnp.float32)
+    cache = kvc.init_cache(cache_cfg, cfg.num_layers, B, cfg.num_heads,
+                           cfg.head_dim, jnp.float32)
+    ours = []
+    for f in range(f_total):
+        xb = jnp.asarray(x_all[:, f : f + 1].numpy())
+        t = jnp.full((B, 1), t_val, jnp.float32)
+        flow, cache = D.dit_forward_cached(
+            params, cfg, cache_cfg, tables, xb, t, cross, cache,
+            jnp.asarray(f, jnp.int32), attn_impl="xla", window_frames=window)
+        ours.append(np.asarray(flow[:, 0]))
+    ours = np.stack(ours, axis=1)
+
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=5e-4)
