@@ -25,9 +25,13 @@ def main():
     ap.add_argument("--config_path", required=True)
     ap.add_argument("--use_ema", action="store_true")
     ap.add_argument("--max_prompts", type=int, default=None)
+    ap.add_argument("--num_output_frames", type=int, default=None)
     args = ap.parse_args()
 
     config = load_pipeline_config(args.config_path)
+    if args.num_output_frames:
+        import dataclasses as _dc
+        config = _dc.replace(config, num_output_frames=args.num_output_frames)
     cfg = config.dit_config()
     geom = LatentGeometry()
 
@@ -48,7 +52,8 @@ def main():
     if args.max_prompts:
         rows = rows[: args.max_prompts]
 
-    decode = jax.jit(lambda p, z: V.vae_decode(p, vcfg, z, chunk=config.num_frame_per_block))
+    # frame-by-frame scanned decode: larger chunks exceed v5e HBM at 480p
+    decode = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z)[0])
 
     rng = jax.random.PRNGKey(config.seed)
     out_dir = config.output_folder or "videos/interactive"

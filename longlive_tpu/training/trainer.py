@@ -266,12 +266,12 @@ class ScoreDistillationTrainer:
         # random rollout length in [min, max] blocks (base.py:136-154);
         # shipped init config has min == max == 21
         fpb = self.rcfg.frame_block
-        min_b = self.tcfg.min_num_training_frames // fpb
         max_b = min(self.tcfg.num_training_frames // fpb, noise.shape[1] // fpb)
+        min_b = min(self.tcfg.min_num_training_frames // fpb, max_b)
         nb = (min_b if min_b >= max_b else
               int(jax.random.randint(rng_len, (), min_b, max_b + 1)))
         noise = noise[:, : nb * fpb]
-        use_mask = nb * fpb != self.tcfg.min_num_training_frames
+        use_mask = nb != min_b
 
         metrics: Dict[str, Any] = {"step": step, "exit_idx": exit_idx,
                                    "rollout_frames": nb * fpb}
