@@ -56,6 +56,20 @@ def latest_checkpoint_step(logdir: str) -> Optional[int]:
     return steps[-1] if steps else None
 
 
+def save_params(path: str, params: Any) -> str:
+    """Saves a converted parameter pytree (e.g. torch->JAX DiT/VAE/T5 params)
+    so later runs skip re-conversion."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_params(path: str, abstract_params: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), abstract_params)
+
+
 def restore_train_state(logdir: str, abstract_state: Any,
                         step: Optional[int] = None) -> Any:
     """Restores into the sharding/dtype layout of ``abstract_state``
