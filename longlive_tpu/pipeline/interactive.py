@@ -85,14 +85,58 @@ class InteractiveCausalInferencePipeline(CausalInferencePipeline):
                 (switch_times if switched else block_times).append(dt)
 
         if profile and block_times:
-            steady = block_times[2:] or block_times
-            per_frame = float(np.mean(steady)) / fpb
-            print(
-                f"[profile] steady-state latency={per_frame * 1e3:.2f} ms/latent-frame; "
-                f"switch blocks avg="
-                f"{(float(np.mean(switch_times)) * 1e3 if switch_times else 0):.2f} ms "
-                f"(+{((float(np.mean(switch_times)) - float(np.mean(steady))) * 1e3 if switch_times else 0):.2f} ms recache overhead)"
-            )
-            self.last_block_times = block_times
-            self.last_switch_times = switch_times
+            self._report_profile(block_times, switch_times, fpb)
         return jnp.concatenate(outputs, axis=1)
+
+    def generate_latents_interactive_scanned(
+        self,
+        noise: jax.Array,
+        cross_kv_list: Sequence[D.CrossKV],
+        switch_frame_indices: Sequence[int],
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Same semantics as generate_latents_interactive but each
+        between-switch segment runs as ONE scanned device program (see
+        generate_latents_scanned) — the production path."""
+        assert len(switch_frame_indices) == len(cross_kv_list) - 1
+        b, t_frames = noise.shape[:2]
+        fpb = self.frame_block
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+        global_sink = bool(self.config.global_sink)
+        local = self.cfg.local_attn_size
+
+        # segment boundaries: the reference switches at the first block whose
+        # start is >= the switch index (interactive_causal_inference.py:237)
+        bounds = [0]
+        for si in switch_frame_indices:
+            bounds.append(-(-si // fpb) * fpb)  # round switch up to a block
+        bounds.append(t_frames)
+
+        cache = self.init_cache(b, self.params["patch_embedding"]["kernel"].dtype)
+        outputs: List[jax.Array] = []
+        for seg in range(len(cross_kv_list)):
+            s, e = bounds[seg], bounds[seg + 1]
+            if seg > 0 and s > 0:
+                n = s if local == -1 else min(local, s)
+                replay = jnp.concatenate(outputs, axis=1)[:, s - n : s]
+                cache = self._recache_fn(n, global_sink)(
+                    self.params, cache, cross_kv_list[seg], replay,
+                    jnp.asarray(s - n, jnp.int32))
+            if e > s:
+                lat, cache, rng = self.generate_latents_scanned(
+                    noise[:, s:e], cross_kv_list[seg], rng=rng, cache=cache,
+                    start_frame=s)
+                outputs.append(lat)
+        return jnp.concatenate(outputs, axis=1)
+
+    def _report_profile(self, block_times, switch_times, fpb):
+        steady = block_times[2:] or block_times
+        per_frame = float(np.mean(steady)) / fpb
+        print(
+            f"[profile] steady-state latency={per_frame * 1e3:.2f} ms/latent-frame; "
+            f"switch blocks avg="
+            f"{(float(np.mean(switch_times)) * 1e3 if switch_times else 0):.2f} ms "
+            f"(+{((float(np.mean(switch_times)) - float(np.mean(steady))) * 1e3 if switch_times else 0):.2f} ms recache overhead)"
+        )
+        self.last_block_times = block_times
+        self.last_switch_times = switch_times
