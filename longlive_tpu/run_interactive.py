@@ -75,8 +75,12 @@ def main():
             sub, (1, config.num_output_frames, geom.channels, geom.height, geom.width),
             jnp.float32,
         )
-        latents = pipe.generate_latents_interactive(
-            noise, cross_list, switch_indices, rng=sub, profile=config.profile)
+        if config.profile:
+            latents = pipe.generate_latents_interactive(
+                noise, cross_list, switch_indices, rng=sub, profile=True)
+        else:
+            latents = pipe.generate_latents_interactive_scanned(
+                noise, cross_list, switch_indices, rng=sub)
         pixels = decode(vae_params, latents.astype(jnp.bfloat16))
         path = os.path.join(out_dir, f"video_{row['idx']:04d}.mp4")
         write_video(path, to_video_array(pixels), fps=16)
