@@ -109,24 +109,26 @@ class InteractiveCausalInferencePipeline(CausalInferencePipeline):
         # start is >= the switch index (interactive_causal_inference.py:237)
         bounds = [0]
         for si in switch_frame_indices:
-            bounds.append(-(-si // fpb) * fpb)  # round switch up to a block
+            # round the switch up to a block start; clamp to the video end
+            bounds.append(min(-(-si // fpb) * fpb, t_frames))
         bounds.append(t_frames)
 
         cache = self.init_cache(b, self.params["patch_embedding"]["kernel"].dtype)
         outputs: List[jax.Array] = []
         for seg in range(len(cross_kv_list)):
             s, e = bounds[seg], bounds[seg + 1]
+            if e <= s:
+                continue  # switch index at/after the video end
             if seg > 0 and s > 0:
                 n = s if local == -1 else min(local, s)
                 replay = jnp.concatenate(outputs, axis=1)[:, s - n : s]
                 cache = self._recache_fn(n, global_sink)(
                     self.params, cache, cross_kv_list[seg], replay,
                     jnp.asarray(s - n, jnp.int32))
-            if e > s:
-                lat, cache, rng = self.generate_latents_scanned(
-                    noise[:, s:e], cross_kv_list[seg], rng=rng, cache=cache,
-                    start_frame=s)
-                outputs.append(lat)
+            lat, cache, rng = self.generate_latents_scanned(
+                noise[:, s:e], cross_kv_list[seg], rng=rng, cache=cache,
+                start_frame=s)
+            outputs.append(lat)
         return jnp.concatenate(outputs, axis=1)
 
     def _report_profile(self, block_times, switch_times, fpb):
