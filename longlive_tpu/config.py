@@ -9,8 +9,7 @@ dataclasses so the geometry is static under jit.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import yaml
 

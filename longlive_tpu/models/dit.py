@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from ..config import CacheConfig, DiTConfig
 from ..ops import kv_cache as kvc
 from ..ops.attention import attend, dense_attention
 from ..ops.embeddings import sinusoidal_embedding_1d
-from ..ops.rope import RopeTables, apply_rotary, make_rope_tables, rope_multipliers
+from ..ops.rope import RopeTables, apply_rotary, rope_multipliers
 from . import nn
 
 

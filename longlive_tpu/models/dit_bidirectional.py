@@ -23,7 +23,7 @@ from ..ops.attention import attend, dense_attention
 from ..ops.embeddings import sinusoidal_embedding_1d
 from ..ops.rope import RopeTables, apply_rotary, rope_multipliers
 from . import nn
-from .dit import CrossKV, patchify, unpatchify, prepare_cross_kv  # noqa: F401
+from .dit import CrossKV, patchify, prepare_cross_kv, unpatchify  # noqa: F401  (prepare_cross_kv re-exported for teacher/critic users)
 
 
 def bidirectional_forward(

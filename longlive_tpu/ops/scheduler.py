@@ -24,7 +24,7 @@ use float32 throughout (documented deviation; error << bf16 model noise).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

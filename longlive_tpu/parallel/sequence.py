@@ -17,15 +17,13 @@ Implemented with ``shard_map`` + ``jax.lax.all_to_all`` over ICI.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..config import DiTConfig
-from ..models import dit as Dm
 from ..models import nn
 from ..models.dit import CrossKV, patchify, unpatchify
 from ..ops.attention import attend, dense_attention

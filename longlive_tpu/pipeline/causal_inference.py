@@ -17,10 +17,8 @@ construction.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import time
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ single-switch special case of the interactive pipeline.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from .config import DiTConfig, LatentGeometry, PipelineConfig, pipeline_config_from_dict
+from .config import LatentGeometry, pipeline_config_from_dict
 from .models import dit as D
 from .parallel import mesh as M
 from .training.streaming import StreamingConfig, StreamingTrainer

@@ -24,7 +24,7 @@ variants); ``rng`` drives the re-noising.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

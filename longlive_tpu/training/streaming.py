@@ -30,7 +30,6 @@ it is read from config (default False, matching the shipped behavior).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -17,7 +17,6 @@ Functional re-design of the reference ``Trainer`` (trainer/distillation.py):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

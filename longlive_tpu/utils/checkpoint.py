@@ -18,7 +18,6 @@ All outputs are numpy/jnp pytrees matching ``models.dit.init_dit_params`` /
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
