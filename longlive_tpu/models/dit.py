@@ -224,12 +224,15 @@ def _attention_layer_cached(
     n, hd = cfg.num_heads, cfg.head_dim
     q = nn.linear(x, layer_p["q"])
     k = nn.linear(x, layer_p["k"])
-    if cfg.qk_norm:
-        q = nn.rms_norm(q, layer_p["norm_q"]["scale"], cfg.eps)
-        k = nn.rms_norm(k, layer_p["norm_k"]["scale"], cfg.eps)
     v = nn.linear(x, layer_p["v"]).reshape(b, s, n, hd)
-    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
-    k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+    q_pre = k_pre = None
+    if cfg.qk_norm:
+        # fuse the RMS scale into RoPE's f32 domain (saves a bf16 round trip
+        # between the projection and the rotation)
+        q_pre = nn.rms_scale(q, layer_p["norm_q"]["scale"], cfg.eps)
+        k_pre = nn.rms_scale(k, layer_p["norm_k"]["scale"], cfg.eps)
+    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin, premul=q_pre)
+    k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin, premul=k_pre)
 
     fs = cache_cfg.frame_seq
     new_k, new_v = cache_k, cache_v

@@ -50,11 +50,24 @@ def layer_norm(
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """RMSNorm in f32, cast back, then scale (WanRMSNorm, model.py:70-86)."""
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
-    return y.astype(dtype) * weight
+    """RMSNorm with f32 statistics (WanRMSNorm, model.py:70-86).
+
+    The scale is applied in the input dtype: upcasting the whole tensor and
+    casting back (the literal reference recipe) blocks XLA fusion and costs
+    ~1.7 ms/layer on the 4680x1536 decode activations; only the reduction
+    runs in f32 here (identical result in f32, ~1 ulp difference in bf16).
+    """
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return x * scale * weight
+
+
+def rms_scale(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Returns the elementwise factor of an RMS norm (rsqrt(mean x^2) * w)
+    WITHOUT applying it — for fusion into a downstream f32 op (see
+    ops.rope.apply_rotary premul)."""
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
 
 
 def gelu_tanh(x: jax.Array) -> jax.Array:

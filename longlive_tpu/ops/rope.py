@@ -83,13 +83,21 @@ def rope_multipliers(
     return grid_cat(cf, ch, cw), grid_cat(sf, sh, sw)
 
 
-def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array,
+                 premul: jax.Array | None = None) -> jax.Array:
     """Rotates ``x`` of shape [B, S, N, D] by per-token multipliers
     (cos, sin) of shape [S, D//2]; complex pairs are interleaved along D as
-    (re, im) — matching torch.view_as_complex of a [..., D//2, 2] reshape."""
+    (re, im) — matching torch.view_as_complex of a [..., D//2, 2] reshape.
+
+    ``premul`` (broadcastable to [B, S, N*D] pre-reshape) is an optional
+    elementwise factor applied inside the f32 domain — used to fuse the q/k
+    RMS-norm scale into the rotation and avoid an extra bf16 round trip."""
     orig_dtype = x.dtype
     b, s, n, d = x.shape
-    xf = x.astype(jnp.float32).reshape(b, s, n, d // 2, 2)
+    xf = x.astype(jnp.float32)
+    if premul is not None:
+        xf = xf * premul.astype(jnp.float32).reshape(b, s, n, d)
+    xf = xf.reshape(b, s, n, d // 2, 2)
     xr, xi = xf[..., 0], xf[..., 1]
     c = cos[None, :, None, :]
     si = sin[None, :, None, :]
