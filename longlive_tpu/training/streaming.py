@@ -218,6 +218,23 @@ class StreamingTrainer(ScoreDistillationTrainer):
         self._critic_chunk_steps[key] = fn
         return fn
 
+    def _plain_chunk_fn(self, exit_idx: int, new_frames: int, overlap: int):
+        """Grad-free chunk advance (used when train_first_chunk=False: the
+        first chunk only seeds the cache, trainer/distillation.py:1088-1098).
+        """
+        key = ("plain", exit_idx, new_frames, overlap)
+        if key not in self._gen_chunk_steps:
+            def step(gen_params, cache, prev_overlap, noise, prompt, cur_start, rng):
+                dtype = gen_params["patch_embedding"]["kernel"].dtype
+                cross = D.prepare_cross_kv(gen_params, self.cfg, prompt, dtype)
+                chunk, new_cache, new_prev = self._chunk_pure(
+                    gen_params, cache, prev_overlap, noise, cross, rng,
+                    cur_start, exit_idx, grad=False)
+                return new_cache, new_prev
+
+            self._gen_chunk_steps[key] = jax.jit(step, donate_argnums=(1,))
+        return self._gen_chunk_steps[key]
+
     def _streaming_recache_fn(self, num_frames: int):
         if num_frames not in self._stream_recache_fns:
             fn = build_recache_fn(
@@ -240,6 +257,23 @@ class StreamingTrainer(ScoreDistillationTrainer):
         train_generator = step % self.tcfg.dfake_gen_update_ratio == 0
         rng = jax.random.fold_in(rng, step)
         rng_sel, rng_exit, rng_noise, rng_step = jax.random.split(rng, 4)
+
+        if not self.scfg.train_first_chunk and s["current_length"] == 0:
+            # seed the cache with an untrained first chunk
+            # (trainer/distillation.py:1088-1098)
+            rng_seed = jax.random.fold_in(rng, 999)
+            k1, k2, k3 = jax.random.split(rng_seed, 3)
+            exit0 = ro.sample_exit_idx(k1, len(self.rcfg.denoise_timesteps),
+                                       self.rcfg.last_step_only)
+            batch = s["cache"].k.shape[1]
+            nz = jax.random.normal(
+                k2, (batch, self.scfg.chunk_size, self.geom.channels,
+                     self.geom.height, self.geom.width), jnp.float32)
+            fn = self._plain_chunk_fn(exit0, self.scfg.chunk_size, 0)
+            s["cache"], s["previous_frames"] = fn(
+                self.state["gen_params"], s["cache"], None, nz,
+                s["prompt_c"], jnp.asarray(0, jnp.int32), k3)
+            s["current_length"] = self.scfg.chunk_size
 
         # chunk sizing (streaming_training.py:438-480)
         cur = s["current_length"]

@@ -65,3 +65,17 @@ def test_streaming_no_switch_runs(streaming_setup):
     m = tr.streaming_train_step(jax.random.PRNGKey(7))
     assert np.isfinite(m.get("generator_loss", m.get("critic_loss")))
     assert not m["switched"]
+
+
+def test_streaming_skip_first_chunk(streaming_setup):
+    tr, pe_c, pe_u, _ = streaming_setup
+    old = tr.scfg.train_first_chunk
+    tr.scfg.train_first_chunk = False
+    try:
+        tr.start_new_sequence(pe_c, pe_u, jax.random.PRNGKey(5))
+        m = tr.streaming_train_step(jax.random.PRNGKey(6))
+        # the first trained chunk starts AFTER the untrained seed chunk
+        assert m["current_length"] > tr.scfg.chunk_size
+        assert np.isfinite(m.get("generator_loss", m.get("critic_loss")))
+    finally:
+        tr.scfg.train_first_chunk = old
