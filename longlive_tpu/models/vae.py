@@ -70,40 +70,14 @@ def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same"):
     """x: [B,T,H,W,C] (channels-last — TPU-preferred feature-minor layout);
     w: [O,I,kt,kh,kw] (torch layout, transposed here; XLA folds the constant
     transpose).  Temporal padding is the caller's job (causal caches);
-    spatial is symmetric SAME or explicit.
-
-    kt>1, unit-temporal-stride convs are rewritten with time FOLDED into the
-    channel axis (one conv2d per output frame): XLA:TPU lowers the 3D conv at
-    ~26 TF/s vs ~40 TF/s for the folded 2D form at VAE channel counts."""
+    spatial is symmetric SAME or explicit."""
     kt, kh, kw = w.shape[2:]
     if spatial_pad == "same":
-        pads2 = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
+        pads = [(0, 0), ((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
     elif spatial_pad == "none":
-        pads2 = [(0, 0), (0, 0)]
+        pads = [(0, 0), (0, 0), (0, 0)]
     else:
-        pads2 = spatial_pad[1:]
-
-    if kt > 1 and stride[0] == 1:
-        b_, t_in, hh, ww, c = x.shape
-        t_out = t_in - (kt - 1)
-        # windows stacked on channels, time-major to match the kernel fold
-        w2 = w.astype(x.dtype).transpose(3, 4, 2, 1, 0).reshape(kh, kw, kt * c, -1)
-        outs = []
-        for t in range(t_out):
-            win = x[:, t : t + kt]  # [B, kt, H, W, C]
-            win = win.transpose(0, 2, 3, 1, 4).reshape(b_, hh, ww, kt * c)
-            y = jax.lax.conv_general_dilated(
-                win, w2, window_strides=stride[1:], padding=pads2,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
-            outs.append(y)
-        y = jnp.stack(outs, axis=1)
-        if b is not None:
-            y = y + b.astype(jnp.float32)
-        return y.astype(x.dtype)
-
-    pads = [(0, 0)] + pads2
+        pads = spatial_pad
     w_cl = w.astype(x.dtype).transpose(2, 3, 4, 1, 0)  # -> [kt,kh,kw,I,O]
     y = jax.lax.conv_general_dilated(
         x, w_cl, window_strides=stride, padding=pads,
