@@ -79,14 +79,17 @@ def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same"):
     else:
         pads = spatial_pad
     w_cl = w.astype(x.dtype).transpose(2, 3, 4, 1, 0)  # -> [kt,kh,kw,I,O]
+    # output in the input dtype: f32 conv output buffers cost an extra
+    # materialization pass per conv (~4% of decode time) with no accuracy
+    # benefit (the MXU accumulates bf16 inputs in f32 regardless)
     y = jax.lax.conv_general_dilated(
         x, w_cl, window_strides=stride, padding=pads,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + b.astype(x.dtype)
+    return y
 
 
 def conv2d(x, w, b=None, stride=(1, 1), pad="same"):
@@ -102,11 +105,11 @@ def conv2d(x, w, b=None, stride=(1, 1), pad="same"):
     y = jax.lax.conv_general_dilated(
         x, w_cl, window_strides=stride, padding=pads,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + b.astype(x.dtype)
+    return y
 
 
 def rms_norm_channel(x, gamma):
