@@ -28,6 +28,7 @@ from .training.streaming import StreamingConfig, StreamingTrainer
 from .training.trainer import ScoreDistillationTrainer, TrainerConfig
 from .utils import loading, orbax_io
 from .utils.dataset import TextDataset, TwoTextDataset, cycle, shard
+from .utils.metrics import MetricsLogger
 
 
 def build_trainer_config(raw: dict) -> TrainerConfig:
@@ -72,18 +73,40 @@ def main():
         raw = yaml.safe_load(f)
     pconfig = pipeline_config_from_dict(raw)
     tcfg = build_trainer_config(raw)
-    dit_cfg = pconfig.dit_config()
-    geom = LatentGeometry()
+    if raw.get("tiny_debug"):
+        # CI/smoke: tiny geometry exercising every code path
+        from .config import tiny_dit_config, tiny_geometry
+
+        dit_cfg = tiny_dit_config()
+        geom = tiny_geometry()
+        tcfg.num_frame_per_block = dit_cfg.num_frame_per_block
+        tcfg.num_training_frames = min(tcfg.num_training_frames, 4)
+        tcfg.min_num_training_frames = min(tcfg.min_num_training_frames, 4)
+        tcfg.slice_last_frames = min(tcfg.slice_last_frames, 4)
+        tcfg.attn_impl = "xla"
+    else:
+        dit_cfg = pconfig.dit_config()
+        geom = LatentGeometry()
     max_iters = args.max_iters or int(raw.get("max_iters", 10000))
     log_iters = int(raw.get("log_iters", 100))
     max_ckpts = int(raw.get("max_checkpoints", 5))
 
     # models: generator (causal), teacher + critic (bidirectional, same arch)
-    gen_params = loading.load_dit_params(pconfig, dit_cfg, jnp.float32)
+    if raw.get("tiny_debug"):
+        from .models import dit as _dit
+        from .models import vae as _vae
+
+        gen_params = _dit.init_dit_params(jax.random.PRNGKey(0), dit_cfg,
+                                          jnp.float32, zero_head=False)
+        vcfg = _vae.tiny_vae_config()
+        vae_params = None  # skip re-encode paths needing matched geometry
+        text_encoder = None
+    else:
+        gen_params = loading.load_dit_params(pconfig, dit_cfg, jnp.float32)
+        vae_params, vcfg = loading.load_vae_params(pconfig, jnp.float32)
+        text_encoder = loading.load_text_encoder(pconfig)
     teacher_params = jax.tree.map(jnp.copy, gen_params)
     critic_params = jax.tree.map(jnp.copy, gen_params)
-    vae_params, vcfg = loading.load_vae_params(pconfig, jnp.float32)
-    text_encoder = loading.load_text_encoder(pconfig)
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -159,6 +182,16 @@ def main():
             write_video(os.path.join(args.logdir, f"vis_{step:06d}_{length}f.mp4"),
                         to_video_array(px), fps=16)
 
+    logger = MetricsLogger(
+        logdir=args.logdir,
+        wandb_config=(dict(project=raw["wandb_project"],
+                           entity=raw.get("wandb_entity"))
+                      if raw.get("wandb_project") not in (None, "YOUR_WANDB_PROJECT")
+                      else None),
+        is_main_process=jax.process_index() == 0,
+    )
+    logger.event("on_app_start", {"config": args.config_path})
+
     rng = jax.random.PRNGKey(tcfg.seed)
     shape = raw.get("image_or_video_shape", [1, 21, 16, 60, 104])
     t0 = time.time()
@@ -185,6 +218,7 @@ def main():
         if step % log_iters == 0 or step < 3:
             metrics["wall_s"] = round(time.time() - t0, 1)
             print(metrics)
+        logger.log(metrics, step=step)
         if step > 0 and step % log_iters == 0:
             orbax_io.save_train_state(args.logdir, step, trainer.state, max_ckpts)
         if vis_interval and step > 0 and step % vis_interval == 0:
@@ -194,6 +228,7 @@ def main():
                 print(f"[vis] failed at step {step}: {e}")
     orbax_io.save_train_state(args.logdir, int(trainer.state["step"]),
                               trainer.state, max_ckpts)
+    logger.event("on_app_end", {"final_step": int(trainer.state["step"])})
 
 
 if __name__ == "__main__":
