@@ -162,6 +162,39 @@ def distribution_matching_loss(
     return loss, aux
 
 
+def denoising_loss(
+    loss_type: str,
+    sched: S.FlowMatchSchedule,
+    x: jax.Array,       # clean generator sample
+    x_pred: jax.Array,  # critic x0 prediction
+    noise: jax.Array,
+    xt: jax.Array,      # the noised input the critic saw
+    timestep: jax.Array,
+    flow_pred: Optional[jax.Array] = None,
+    gradient_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The reference's denoising-loss family (utils/loss.py:29-98):
+    x0 / noise / flow MSE variants.  Shipped configs use 'flow'; 'v'
+    requires DDPM alphas_cumprod which the flow-match schedule doesn't
+    define (the reference crashes likewise, utils/scheduler.py:9)."""
+    if loss_type == "x0":
+        err = jnp.square(x - x_pred)
+    elif loss_type == "noise":
+        noise_pred = S.convert_x0_to_noise(sched, x_pred, xt, timestep)
+        err = jnp.square(noise - noise_pred)
+    elif loss_type == "flow":
+        assert flow_pred is not None
+        err = jnp.square(flow_pred - (noise - x))
+    else:
+        raise ValueError(f"unsupported denoising_loss_type {loss_type!r}")
+    if gradient_mask is not None:
+        m = gradient_mask.astype(err.dtype)
+        while m.ndim < err.ndim:
+            m = m[..., None]
+        return jnp.sum(err * m) / jnp.maximum(jnp.sum(jnp.broadcast_to(m, err.shape)), 1.0)
+    return jnp.mean(err)
+
+
 def critic_denoising_loss(
     critic_params: dict,
     gen_latents: jax.Array,  # [B, F, C, H, W] (stop-gradded by caller)
@@ -174,9 +207,10 @@ def critic_denoising_loss(
     denoised_from: Optional[int] = None,
     denoised_to: Optional[int] = None,
     attn_impl: str = "auto",
+    loss_type: str = "flow",
 ) -> Tuple[jax.Array, dict]:
-    """Critic (fake_score) flow-matching loss on generator samples
-    (dmd.py:272-392 with denoising_loss_type='flow')."""
+    """Critic (fake_score) denoising loss on generator samples
+    (dmd.py:272-392; shipped configs use denoising_loss_type='flow')."""
     b, f = gen_latents.shape[:2]
     rng_t, rng_n = jax.random.split(rng)
     dtype = critic_params["patch_embedding"]["kernel"].dtype
@@ -191,10 +225,13 @@ def critic_denoising_loss(
 
     pred_x0 = _x0_pred_bidirectional(
         critic_params, cfg, tables, sched, noisy, t, cross_cond, attn_impl)
-    flow_pred = S.convert_x0_to_flow(
-        sched, pred_x0.reshape(b * f, *x.shape[2:]),
-        noisy.reshape(b * f, *x.shape[2:]), t.reshape(-1)
-    ).reshape(x.shape)
-    # FlowPredLoss: mse(flow_pred, noise - x) (utils/loss.py:76-89)
-    loss = jnp.mean(jnp.square(flow_pred.astype(jnp.float32) - (noise - x)))
+    flow_pred = None
+    if loss_type == "flow":
+        flow_pred = S.convert_x0_to_flow(
+            sched, pred_x0.reshape(b * f, *x.shape[2:]),
+            noisy.reshape(b * f, *x.shape[2:]), t.reshape(-1)
+        ).reshape(x.shape).astype(jnp.float32)
+    loss = denoising_loss(
+        loss_type, sched, x, pred_x0.astype(jnp.float32), noise,
+        noisy.astype(jnp.float32), t[..., None, None, None], flow_pred)
     return loss, {"critic_timestep_mean": jnp.mean(t)}

@@ -1,0 +1,56 @@
+"""Max-length generation validation (the reference's 240 s headline:
+960 latent frames, README.md:25,49): constant-HBM rolling KV cache, latents
+offloaded to host per segment.  Usage: python scripts/long_gen.py [frames]"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from longlive_tpu.config import DiTConfig, LatentGeometry, PipelineConfig
+from longlive_tpu.models import dit as D
+from longlive_tpu.pipeline import CausalInferencePipeline
+
+
+def main():
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 960
+    seg = 60
+    cfg = DiTConfig()
+    geom = LatentGeometry()
+    pc = PipelineConfig(num_output_frames=total)
+    params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    pipe = CausalInferencePipeline(pc, params, geometry=geom, dit_config=cfg)
+    prompt = jax.random.normal(jax.random.PRNGKey(1),
+                               (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    cross = pipe.prepare_condition(prompt)
+
+    cache = pipe.init_cache(1, jnp.bfloat16)
+    rng = jax.random.PRNGKey(2)
+    host_latents = []
+    t_start = None
+    for s in range(0, total, seg):
+        n = min(seg, total - s)
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(
+            sub, (1, n, geom.channels, geom.height, geom.width), jnp.float32)
+        lat, cache, rng = pipe.generate_latents_scanned(
+            noise, cross, rng=rng, cache=cache, start_frame=s)
+        host_latents.append(np.asarray(lat))  # offload; frees device memory
+        if s == 0:
+            t_start = time.perf_counter()  # exclude compile segment
+        print(f"frames {s}..{s+n}: done (finite={np.isfinite(host_latents[-1]).all()})")
+    elapsed = time.perf_counter() - t_start
+    video = np.concatenate(host_latents, axis=1)
+    steady = total - seg
+    print(f"total latent frames: {video.shape[1]}  "
+          f"steady-state: {elapsed/steady*1e3:.1f} ms/latent-frame "
+          f"({4*steady/elapsed:.2f} pixel fps DiT-only)")
+    assert np.isfinite(video).all()
+    print("OK: max-length generation validated (constant-HBM KV cache, "
+          f"RoPE positions up to {total})")
+
+
+if __name__ == "__main__":
+    main()

@@ -135,3 +135,22 @@ def test_fsdp_sharding_8dev(setup):
     out = jax.jit(lambda p: bidirectional_forward(p, cfg, tables, x, t, cross,
                                                   attn_impl="xla"))(sharded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_denoising_loss_variants(setup):
+    cfg, geom, gen, critic, teacher, tables, sched, *_ = setup
+    from longlive_tpu.training.dmd import denoising_loss
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 2, 4, 8, 8), jnp.float32)
+    xp = jnp.asarray(rng.randn(1, 2, 4, 8, 8), jnp.float32)
+    nz = jnp.asarray(rng.randn(1, 2, 4, 8, 8), jnp.float32)
+    t = jnp.full((1, 2, 1, 1, 1), 500.0)
+    xt = x * 0.5 + nz * 0.5
+    for lt in ("x0", "noise", "flow"):
+        fp = (nz - xp) if lt == "flow" else None
+        val = denoising_loss(lt, sched, x, xp, nz, xt, t, flow_pred=fp)
+        assert np.isfinite(float(val)), lt
+    # x0 variant == plain mse
+    np.testing.assert_allclose(
+        float(denoising_loss("x0", sched, x, xp, nz, xt, t)),
+        float(jnp.mean(jnp.square(x - xp))), rtol=1e-6)
