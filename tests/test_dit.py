@@ -170,3 +170,20 @@ def test_ring_slots_wrap_and_recache():
     # i.e. land on ring slots 0..2 = cache slots 3..5 (reference roll order)
     off = kvc.block_write_offsets(cc, cache, 40, 3)
     np.testing.assert_array_equal(np.asarray(off), [3, 4, 5])
+
+
+def test_cached_equals_uncached_block_straddles_sink(setup):
+    """Blocks that straddle the sink/ring boundary (sink=2, block=3) must
+    still match the full forward — exercises per-frame slot writes."""
+    cfg, geom, params, tables, cross = setup
+    block, f_total, sink, ring = 3, 9, 2, 4
+    x = jax.random.normal(
+        jax.random.PRNGKey(11), (1, f_total, geom.channels, geom.height, geom.width)
+    )
+    cache_cfg = CacheConfig(sink_frames=sink, ring_frames=ring,
+                            frame_seq=geom.frame_seq_length)
+    cached = _run_cached(cfg, geom, params, tables, cross, x, 500.0, cache_cfg, block)
+    mask = M.sink_window_frame_mask(f_total, block, sink, ring)
+    t_full = jnp.full((1, f_total), 500.0, jnp.float32)
+    full = D.dit_forward_full(params, cfg, tables, x, t_full, cross, mask)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=2e-3, atol=2e-4)
