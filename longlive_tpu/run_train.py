@@ -58,6 +58,12 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
         ts_schedule=bool(raw.get("ts_schedule", False)),
         ts_schedule_max=bool(raw.get("ts_schedule_max", False)),
         seed=int(raw.get("seed", 0)),
+        # adapter section (longlive_train_long.yaml): LoRA training
+        lora_rank=int((raw.get("adapter") or {}).get("rank", 0)
+                      if (raw.get("adapter") or {}).get("type") == "lora" else 0),
+        lora_alpha=float((raw.get("adapter") or {}).get("alpha", 256)),
+        lora_apply_to_critic=bool((raw.get("adapter") or {}).get(
+            "apply_to_critic", True)),
     )
 
 

@@ -151,11 +151,14 @@ class StreamingTrainer(ScoreDistillationTrainer):
             return self._gen_chunk_steps[key]
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
-        def step(gen_params, gen_opt, critic_params, teacher_params, cache,
-                 prev_overlap, noise, prompt, prompt_u, cur_start, rng):
+        def step(gen_train, gen_opt, gen_base, critic_train, critic_base,
+                 teacher_params, cache, prev_overlap, noise, prompt, prompt_u,
+                 cur_start, rng):
             rng_roll, rng_dmd = jax.random.split(rng)
+            critic_params = self._critic_full(critic_train, critic_base)
 
-            def loss_fn(gp):
+            def loss_fn(gt):
+                gp = self._gen_full(gt, gen_base)
                 dtype = gp["patch_embedding"]["kernel"].dtype
                 cross_gen = D.prepare_cross_kv(gp, self.cfg, prompt, dtype)
                 chunk, new_cache, new_prev = self._chunk_pure(
@@ -174,13 +177,13 @@ class StreamingTrainer(ScoreDistillationTrainer):
                 return loss, (aux, new_cache, new_prev)
 
             (loss, (aux, new_cache, new_prev)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(gen_params)
-            updates, gen_opt = self.gen_tx.update(grads, gen_opt, gen_params)
-            gen_params = optax.apply_updates(gen_params, updates)
+                loss_fn, has_aux=True)(gen_train)
+            updates, gen_opt = self.gen_tx.update(grads, gen_opt, gen_train)
+            gen_train = optax.apply_updates(gen_train, updates)
             aux = dict(aux, generator_grad_norm=optax.global_norm(grads))
-            return gen_params, gen_opt, new_cache, new_prev, loss, aux
+            return gen_train, gen_opt, new_cache, new_prev, loss, aux
 
-        fn = jax.jit(step, donate_argnums=(0, 1, 4))
+        fn = jax.jit(step, donate_argnums=(0, 1, 6))
         self._gen_chunk_steps[key] = fn
         return fn
 
@@ -190,9 +193,10 @@ class StreamingTrainer(ScoreDistillationTrainer):
             return self._critic_chunk_steps[key]
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
-        def step(critic_params, critic_opt, gen_params, cache, prev_overlap,
-                 noise, prompt, cur_start, rng):
+        def step(critic_train, critic_opt, critic_base, gen_train, gen_base,
+                 cache, prev_overlap, noise, prompt, cur_start, rng):
             rng_roll, rng_crit = jax.random.split(rng)
+            gen_params = self._gen_full(gen_train, gen_base)
             dtype = gen_params["patch_embedding"]["kernel"].dtype
             cross_gen = D.prepare_cross_kv(gen_params, self.cfg, prompt, dtype)
             chunk, new_cache, new_prev = self._chunk_pure(
@@ -200,23 +204,36 @@ class StreamingTrainer(ScoreDistillationTrainer):
                 cur_start, exit_idx, grad=False)
             chunk = jax.lax.stop_gradient(chunk)
 
-            def loss_fn(cp):
+            def loss_fn(ct):
+                cp = self._critic_full(ct, critic_base)
                 return dmd_mod.critic_denoising_loss(
                     cp, chunk, self.cfg, self.tables, self.sched, self.dcfg,
                     prompt, rng_crit, denoised_from=t_from, denoised_to=t_to,
                     attn_impl=self.rcfg.attn_impl)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                critic_params)
+                critic_train)
             updates, critic_opt = self.critic_tx.update(grads, critic_opt,
-                                                        critic_params)
-            critic_params = optax.apply_updates(critic_params, updates)
+                                                        critic_train)
+            critic_train = optax.apply_updates(critic_train, updates)
             aux = dict(aux, critic_grad_norm=optax.global_norm(grads))
-            return critic_params, critic_opt, new_cache, new_prev, loss, aux
+            return critic_train, critic_opt, new_cache, new_prev, loss, aux
 
-        fn = jax.jit(step, donate_argnums=(0, 1, 3))
+        fn = jax.jit(step, donate_argnums=(0, 1, 5))
         self._critic_chunk_steps[key] = fn
         return fn
+
+    def _gen_params_now(self):
+        """Concrete full generator params (merged when LoRA is on) for
+        host-level calls (recache, seed chunk)."""
+        if not self.use_lora:
+            return self.state["gen_params"]
+        if not hasattr(self, "_merge_jit"):
+            from . import lora as lora_mod
+
+            self._merge_jit = jax.jit(
+                lambda base, lo: lora_mod.merge_lora(base, lo, self.lora_scale))
+        return self._merge_jit(self.state["gen_params"], self.state["gen_lora"])
 
     def _plain_chunk_fn(self, exit_idx: int, new_frames: int, overlap: int):
         """Grad-free chunk advance (used when train_first_chunk=False: the
@@ -271,7 +288,7 @@ class StreamingTrainer(ScoreDistillationTrainer):
                      self.geom.height, self.geom.width), jnp.float32)
             fn = self._plain_chunk_fn(exit0, self.scfg.chunk_size, 0)
             s["cache"], s["previous_frames"] = fn(
-                self.state["gen_params"], s["cache"], None, nz,
+                self._gen_params_now(), s["cache"], None, nz,
                 s["prompt_c"], jnp.asarray(0, jnp.int32), k3)
             s["current_length"] = self.scfg.chunk_size
 
@@ -299,11 +316,11 @@ class StreamingTrainer(ScoreDistillationTrainer):
         prompt = s["prompt_switch"] if use_switch_prompt else s["prompt_c"]
         if switching and cur > 0 and prev is not None:
             n = min(self.scfg.chunk_size, prev.shape[1], cur)
-            dtype = self.state["gen_params"]["patch_embedding"]["kernel"].dtype
-            cross_new = D.prepare_cross_kv(self.state["gen_params"], self.cfg,
-                                           prompt, dtype)
+            gen_full = self._gen_params_now()
+            dtype = gen_full["patch_embedding"]["kernel"].dtype
+            cross_new = D.prepare_cross_kv(gen_full, self.cfg, prompt, dtype)
             s["cache"] = self._streaming_recache_fn(n)(
-                self.state["gen_params"], s["cache"], cross_new, prev[:, -n:],
+                gen_full, s["cache"], cross_new, prev[:, -n:],
                 jnp.asarray(cur - n, jnp.int32))
         if switching:
             s["has_switched"] = True
@@ -315,22 +332,30 @@ class StreamingTrainer(ScoreDistillationTrainer):
         prev_overlap = None if overlap == 0 else prev[:, -overlap:]
         cur_start = jnp.asarray(cur, jnp.int32)
 
+        empty = {}
+        gen_train_key = "gen_lora" if self.use_lora else "gen_params"
+        critic_train_key = "critic_lora" if self.critic_lora_on else "critic_params"
         if train_generator:
             fn = self._gen_chunk_step(exit_idx, new_frames, overlap)
-            gp, gopt, cache, new_prev, loss, aux = fn(
-                self.state["gen_params"], self.state["gen_opt"],
-                self.state["critic_params"], self.teacher_params, s["cache"],
-                prev_overlap, noise, prompt, s["prompt_u"], cur_start, rng_step)
-            self.state["gen_params"], self.state["gen_opt"] = gp, gopt
+            gt, gopt, cache, new_prev, loss, aux = fn(
+                self.state[gen_train_key], self.state["gen_opt"],
+                self.state["gen_params"] if self.use_lora else empty,
+                self.state[critic_train_key],
+                self.state["critic_params"] if self.critic_lora_on else empty,
+                self.teacher_params, s["cache"], prev_overlap, noise, prompt,
+                s["prompt_u"], cur_start, rng_step)
+            self.state[gen_train_key], self.state["gen_opt"] = gt, gopt
             self._update_ema(step)
             metrics = {"generator_loss": float(loss)}
         else:
             fn = self._critic_chunk_step(exit_idx, new_frames, overlap)
-            cp, copt, cache, new_prev, loss, aux = fn(
-                self.state["critic_params"], self.state["critic_opt"],
-                self.state["gen_params"], s["cache"], prev_overlap, noise,
-                prompt, cur_start, rng_step)
-            self.state["critic_params"], self.state["critic_opt"] = cp, copt
+            ct, copt, cache, new_prev, loss, aux = fn(
+                self.state[critic_train_key], self.state["critic_opt"],
+                self.state["critic_params"] if self.critic_lora_on else empty,
+                self.state[gen_train_key],
+                self.state["gen_params"] if self.use_lora else empty,
+                s["cache"], prev_overlap, noise, prompt, cur_start, rng_step)
+            self.state[critic_train_key], self.state["critic_opt"] = ct, copt
             metrics = {"critic_loss": float(loss)}
 
         s["cache"], s["previous_frames"] = cache, new_prev

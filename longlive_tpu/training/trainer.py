@@ -62,6 +62,11 @@ class TrainerConfig:
     num_train_timestep: int = 1000
     attn_impl: str = "auto"
     seed: int = 0
+    # LoRA adapters (reference adapter config, longlive_train_long.yaml:
+    # rank/alpha 256 on generator + critic; 0 = full fine-tune)
+    lora_rank: int = 0
+    lora_alpha: float = 256.0
+    lora_apply_to_critic: bool = True
 
 
 class TrainState(dict):
@@ -143,19 +148,54 @@ class ScoreDistillationTrainer:
                         weight_decay=tcfg.weight_decay),
         )
 
+        from . import lora as lora_mod
+
+        self.use_lora = tcfg.lora_rank > 0
+        self.critic_lora_on = self.use_lora and tcfg.lora_apply_to_critic
+        self.lora_scale = (tcfg.lora_alpha / tcfg.lora_rank) if self.use_lora else 1.0
+        if self.use_lora:
+            k1, k2 = jax.random.split(jax.random.PRNGKey(tcfg.seed + 17))
+            gen_lora = lora_mod.init_lora(k1, gen_params, tcfg.lora_rank)
+            critic_lora = (lora_mod.init_lora(k2, critic_params, tcfg.lora_rank)
+                           if self.critic_lora_on else None)
+            gen_trained, critic_trained = gen_lora, (
+                critic_lora if self.critic_lora_on else critic_params)
+        else:
+            gen_lora = critic_lora = None
+            gen_trained, critic_trained = gen_params, critic_params
+
         self.state = TrainState(
             gen_params=gen_params,
             critic_params=critic_params,
-            gen_opt=self.gen_tx.init(gen_params),
-            critic_opt=self.critic_tx.init(critic_params),
+            gen_lora=gen_lora,
+            critic_lora=critic_lora,
+            gen_opt=self.gen_tx.init(gen_trained),
+            critic_opt=self.critic_tx.init(critic_trained),
             # real copies: astype(f32) of f32 leaves would alias buffers
             # that the jitted steps donate
             ema_params=jax.tree.map(
-                lambda x: jnp.array(x, jnp.float32, copy=True), gen_params),
+                lambda x: jnp.array(x, jnp.float32, copy=True), gen_trained),
             step=jnp.zeros([], jnp.int32),
         )
         self._gen_steps = {}
         self._critic_steps = {}
+
+    # -- trainable-tree materialization ------------------------------------
+
+    def _gen_full(self, trained, base):
+        """full generator params from the trained tree (lora merge or id)."""
+        from . import lora as lora_mod
+
+        if self.use_lora:
+            return lora_mod.merge_lora(base, trained, self.lora_scale)
+        return trained
+
+    def _critic_full(self, trained, base):
+        from . import lora as lora_mod
+
+        if self.critic_lora_on:
+            return lora_mod.merge_lora(base, trained, self.lora_scale)
+        return trained
 
     # -- jitted step builders --------------------------------------------
 
@@ -185,11 +225,13 @@ class ScoreDistillationTrainer:
     def _gen_step_fn(self, exit_idx: int, grad_start: int, use_mask: bool):
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
-        def step(gen_params, gen_opt, critic_params, teacher_params, noise,
-                 prompt_c, prompt_u, rng):
+        def step(gen_train, gen_opt, gen_base, critic_train, critic_base,
+                 teacher_params, noise, prompt_c, prompt_u, rng):
             rng_roll, rng_dmd = jax.random.split(rng)
+            critic_params = self._critic_full(critic_train, critic_base)
 
-            def loss_fn(gp):
+            def loss_fn(gt):
+                gp = self._gen_full(gt, gen_base)
                 # generator-owned conditioning: grads flow into its text
                 # embedding + cross projections through the rollout
                 dtype = gp["patch_embedding"]["kernel"].dtype
@@ -211,19 +253,21 @@ class ScoreDistillationTrainer:
                 )
                 return loss, aux
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
-            updates, gen_opt = self.gen_tx.update(grads, gen_opt, gen_params)
-            gen_params = optax.apply_updates(gen_params, updates)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_train)
+            updates, gen_opt = self.gen_tx.update(grads, gen_opt, gen_train)
+            gen_train = optax.apply_updates(gen_train, updates)
             gnorm = optax.global_norm(grads)
-            return gen_params, gen_opt, loss, dict(aux, generator_grad_norm=gnorm)
+            return gen_train, gen_opt, loss, dict(aux, generator_grad_norm=gnorm)
 
         return jax.jit(step, donate_argnums=(0, 1))
 
     def _critic_step_fn(self, exit_idx: int):
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
-        def step(critic_params, critic_opt, gen_params, noise, prompt_c, rng):
+        def step(critic_train, critic_opt, critic_base, gen_train, gen_base,
+                 noise, prompt_c, rng):
             rng_roll, rng_crit = jax.random.split(rng)
+            gen_params = self._gen_full(gen_train, gen_base)
             dtype = gen_params["patch_embedding"]["kernel"].dtype
             cross_gen = D.prepare_cross_kv(gen_params, self.cfg, prompt_c, dtype)
             latents, _, _ = self._rollout(
@@ -232,18 +276,19 @@ class ScoreDistillationTrainer:
             )
             latents = jax.lax.stop_gradient(self._slice_reencode(latents))
 
-            def loss_fn(cp):
+            def loss_fn(ct):
+                cp = self._critic_full(ct, critic_base)
                 return dmd_mod.critic_denoising_loss(
                     cp, latents, self.cfg, self.tables, self.sched, self.dcfg,
                     prompt_c, rng_crit, denoised_from=t_from, denoised_to=t_to,
                     attn_impl=self.rcfg.attn_impl,
                 )
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(critic_params)
-            updates, critic_opt = self.critic_tx.update(grads, critic_opt, critic_params)
-            critic_params = optax.apply_updates(critic_params, updates)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(critic_train)
+            updates, critic_opt = self.critic_tx.update(grads, critic_opt, critic_train)
+            critic_train = optax.apply_updates(critic_train, updates)
             gnorm = optax.global_norm(grads)
-            return critic_params, critic_opt, loss, dict(aux, critic_grad_norm=gnorm)
+            return critic_train, critic_opt, loss, dict(aux, critic_grad_norm=gnorm)
 
         return jax.jit(step, donate_argnums=(0, 1))
 
@@ -274,38 +319,46 @@ class ScoreDistillationTrainer:
 
         metrics: Dict[str, Any] = {"step": step, "exit_idx": exit_idx,
                                    "rollout_frames": nb * fpb}
+        empty = {}
+        gen_train_key = "gen_lora" if self.use_lora else "gen_params"
+        critic_train_key = "critic_lora" if self.critic_lora_on else "critic_params"
         if train_generator:
             key = (exit_idx, 0, use_mask)
             if key not in self._gen_steps:
                 self._gen_steps[key] = self._gen_step_fn(*key)
-            gp, gopt, loss, aux = self._gen_steps[key](
-                self.state["gen_params"], self.state["gen_opt"],
-                self.state["critic_params"], self.teacher_params,
-                noise, prompt_c, prompt_u, rng_step,
+            gt, gopt, loss, aux = self._gen_steps[key](
+                self.state[gen_train_key], self.state["gen_opt"],
+                self.state["gen_params"] if self.use_lora else empty,
+                self.state[critic_train_key],
+                self.state["critic_params"] if self.critic_lora_on else empty,
+                self.teacher_params, noise, prompt_c, prompt_u, rng_step,
             )
-            self.state["gen_params"], self.state["gen_opt"] = gp, gopt
+            self.state[gen_train_key], self.state["gen_opt"] = gt, gopt
             metrics.update({"generator_loss": float(loss), **{k: float(v) for k, v in aux.items()}})
             self._update_ema(step)
         else:
             if exit_idx not in self._critic_steps:
                 self._critic_steps[exit_idx] = self._critic_step_fn(exit_idx)
-            cp, copt, loss, aux = self._critic_steps[exit_idx](
-                self.state["critic_params"], self.state["critic_opt"],
-                self.state["gen_params"], noise, prompt_c, rng_step,
+            ct, copt, loss, aux = self._critic_steps[exit_idx](
+                self.state[critic_train_key], self.state["critic_opt"],
+                self.state["critic_params"] if self.critic_lora_on else empty,
+                self.state[gen_train_key],
+                self.state["gen_params"] if self.use_lora else empty,
+                noise, prompt_c, rng_step,
             )
-            self.state["critic_params"], self.state["critic_opt"] = cp, copt
+            self.state[critic_train_key], self.state["critic_opt"] = ct, copt
             metrics.update({"critic_loss": float(loss), **{k: float(v) for k, v in aux.items()}})
         self.state["step"] = self.state["step"] + 1
         return metrics
 
     def _update_ema(self, step: int):
+        trained = self.state["gen_lora" if self.use_lora else "gen_params"]
         if step < self.tcfg.ema_start_step:
             self.state["ema_params"] = jax.tree.map(
-                lambda x: jnp.array(x, jnp.float32, copy=True),
-                self.state["gen_params"])
+                lambda x: jnp.array(x, jnp.float32, copy=True), trained)
             return
         w = self.tcfg.ema_weight
         self.state["ema_params"] = jax.tree.map(
             lambda e, p: w * e + (1 - w) * p.astype(jnp.float32),
-            self.state["ema_params"], self.state["gen_params"],
+            self.state["ema_params"], trained,
         )
