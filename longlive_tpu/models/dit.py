@@ -334,14 +334,19 @@ def dit_forward_full(
     x: jax.Array,  # [B, F, C, H, W]
     t: jax.Array,  # [B, F]
     cross_kv: CrossKV,
-    frame_mask: jax.Array,  # [F, F] bool (see ops.masks)
+    frame_mask,  # [F, F] bool array OR ops.masks.FrameMaskSpec
     start_frame: jax.Array | int = 0,
     attn_impl: str = "xla",
 ) -> jax.Array:
     """Uncached full-sequence forward with a blockwise-causal mask — the
     reference's kv_cache=None path (causal_model.py:130-204) used by training
-    rollout supervision and teacher forcing.  Returns flow_pred."""
-    from ..ops.masks import expand_frame_mask
+    rollout supervision and teacher forcing.  Returns flow_pred.
+
+    When ``frame_mask`` is a FrameMaskSpec and attn_impl is a pallas variant,
+    self-attention runs through the masked flash kernel (no [S,S] bias
+    materialization — required at the 32760-token training scale)."""
+    from ..ops.attention import flash_attention_frame_masked
+    from ..ops.masks import FrameMaskSpec, expand_frame_mask
 
     b, f, c, h, w = x.shape
     dtype = params["patch_embedding"]["kernel"].dtype
@@ -349,8 +354,27 @@ def dit_forward_full(
     e, e0 = time_modulation(params, cfg, t, dtype)
     hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
     rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, start_frame)
-    token_mask = expand_frame_mask(frame_mask, hp * wp)
-    bias = jnp.where(token_mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+    spec = frame_mask if isinstance(frame_mask, FrameMaskSpec) else None
+    use_kernel = spec is not None and attn_impl in ("pallas", "pallas_interpret", "auto")
+    if use_kernel:
+        bias = None
+        fs_tokens = hp * wp
+
+        def self_attend(q, k, v):
+            return flash_attention_frame_masked(
+                q, k, v, mask_kind=spec.kind, frame_seq=fs_tokens,
+                nfb=spec.num_frame_per_block, local=spec.local_attn_size,
+                sink=spec.sink_frames, clean_frames=spec.clean_frames,
+                interpret=(attn_impl == "pallas_interpret"),
+            )
+    else:
+        fm = spec.materialize(f) if spec is not None else frame_mask
+        token_mask = expand_frame_mask(fm, hp * wp)
+        bias = jnp.where(token_mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+        def self_attend(q, k, v):
+            return dense_attention(q, k, v, bias)
 
     def scan_body(carry, xs):
         xcur = carry
@@ -371,7 +395,7 @@ def dit_forward_full(
         v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
         q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
         k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
-        y = dense_attention(q, k, v, bias)
+        y = self_attend(q, k, v)
         y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
         xcur = xcur + _flat(_per_frame(y, f) * e_[2])
 

@@ -215,6 +215,163 @@ def flash_attention(
     return out[:, :sq]
 
 
+def _masked_flash_kernel(*refs, mask_kind: str, frame_seq: int, nfb: int,
+                         local: int, sink: int, clean_frames: int,
+                         has_bias: bool = False):
+    """Flash kernel with the mask computed ARITHMETICALLY per tile from
+    token indices — the Pallas analogue of the reference's flex-attention
+    BlockMasks (causal_model.py:647-847), usable at full training scale
+    (a materialized 32760^2 mask is ~4 GB; this needs none).
+
+    mask kinds:
+      block_causal:   kv_f < ends(q_f) [& kv_f >= ends - local]
+                      (causal_model.py:677-681)
+      sink_window:    block_causal & (kv_f < sink | kv_f >= ends - (local-sink))
+                      (the cached sink+ring pattern, ops/masks.py)
+      teacher_forcing: [clean | noisy] layout (causal_model.py:762-772)
+    """
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    ikv = pl.program_id(2)
+    nkv = pl.num_programs(2)
+    iq = pl.program_id(1)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    bq, d = q.shape
+    bkv = k.shape[0]
+
+    # global token indices for this tile
+    qi = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+    ki = ikv * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+
+    if mask_kind == "teacher_forcing":
+        clean_len = clean_frames * frame_seq
+        q_noise = qi >= clean_len
+        k_noise = ki >= clean_len
+        qf = jnp.where(q_noise, (qi - clean_len) // frame_seq, qi // frame_seq)
+        kf = jnp.where(k_noise, (ki - clean_len) // frame_seq, ki // frame_seq)
+        q_blk = qf // nfb
+        k_blk = kf // nfb
+        clean_mask = (~q_noise) & (~k_noise) & (k_blk <= q_blk)
+        noise_own = q_noise & k_noise & (k_blk == q_blk)
+        noise_ctx = q_noise & (~k_noise) & (k_blk < q_blk)
+        mask = clean_mask | noise_own | noise_ctx | (qi == ki)
+    else:
+        qf = qi // frame_seq
+        kf = ki // frame_seq
+        ends = (qf // nfb + 1) * nfb
+        mask = kf < ends
+        if mask_kind == "block_causal":
+            if local != -1:
+                mask = mask & (kf >= ends - local)
+        elif mask_kind == "sink_window":
+            mask = mask & ((kf < sink) | (kf >= ends - (local - sink)))
+        mask = mask | (qi == ki)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = jnp.where(mask, s, _NEG_INF)
+
+    def _to_w(x128, w):
+        if w == _LANES:
+            return x128
+        if w < _LANES:
+            return x128[:, :w]
+        return pltpu.repeat(x128, w // _LANES, axis=1)
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=-1)[:, None]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - _to_w(m_new, bkv))
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1)[:, None]
+    m_ref[:] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * _to_w(alpha, d) + pv
+
+    @pl.when(ikv == nkv - 1)
+    def _finalize():
+        # fully-masked rows (never occur for real tokens: q attends itself)
+        denom = jnp.maximum(_to_w(l_ref[:], d), 1e-30)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mask_kind", "frame_seq", "nfb", "local", "sink", "clean_frames",
+    "block_q", "block_kv", "interpret"))
+def flash_attention_frame_masked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask_kind: str = "block_causal",
+    frame_seq: int,
+    nfb: int = 1,
+    local: int = -1,
+    sink: int = 0,
+    clean_frames: int = 0,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention with an arithmetic frame-structured mask.
+    q, k, v: [B, S, N, D] (self-attention: S_q == S_kv token layout)."""
+    b, sq, n, d = q.shape
+    skv = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    sq_p = -(-sq // block_q) * block_q
+    skv_p = -(-skv // block_kv) * block_kv
+    # padded kv tokens get frame ids beyond every `ends` -> masked out,
+    # except the qi==ki diagonal which only pairs padded q rows (sliced off)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qt = _pad_axis(qs, 1, sq_p).transpose(0, 2, 1, 3).reshape(b * n, sq_p, d)
+    kt = _pad_axis(k, 1, skv_p).transpose(0, 2, 1, 3).reshape(b * n, skv_p, d)
+    vt = _pad_axis(v, 1, skv_p).transpose(0, 2, 1, 3).reshape(b * n, skv_p, d)
+
+    grid = (b * n, sq_p // block_q, skv_p // block_kv)
+    out = pl.pallas_call(
+        functools.partial(
+            _masked_flash_kernel, mask_kind=mask_kind, frame_seq=frame_seq,
+            nfb=nfb, local=local, sink=sink, clean_frames=clean_frames,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda h, iq, ikv: (h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda h, iq, ikv: (h, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qt, kt, vt)
+    out = out.reshape(b, n, sq_p, d).transpose(0, 2, 1, 3)
+    return out[:, :sq]
+
+
 def attend(
     q: jax.Array,
     k: jax.Array,

@@ -9,8 +9,36 @@ inside kernels (Pallas path).
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameMaskSpec:
+    """Parametric description of a frame-structured mask — lets the Pallas
+    masked-flash kernel compute it arithmetically instead of materializing a
+    token-level [S, S] array (4+ GB at training scale)."""
+
+    kind: str  # 'block_causal' | 'sink_window' | 'teacher_forcing'
+    num_frame_per_block: int = 1
+    local_attn_size: int = -1
+    sink_frames: int = 0
+    clean_frames: int = 0
+
+    def materialize(self, num_frames: int) -> jax.Array:
+        if self.kind == "block_causal":
+            return blockwise_causal_frame_mask(
+                num_frames, self.num_frame_per_block, self.local_attn_size)
+        if self.kind == "sink_window":
+            return sink_window_frame_mask(
+                num_frames, self.num_frame_per_block, self.sink_frames,
+                self.local_attn_size - self.sink_frames)
+        if self.kind == "teacher_forcing":
+            return teacher_forcing_frame_mask(num_frames, self.num_frame_per_block)
+        raise ValueError(self.kind)
 
 
 def blockwise_causal_frame_mask(

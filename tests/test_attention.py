@@ -66,3 +66,53 @@ def test_sinusoidal_embedding_matches_reference():
     ref = torch.cat([torch.cos(sinusoid), torch.sin(sinusoid)], dim=1).numpy()
     out = sinusoidal_embedding_1d(256, jnp.asarray([0.0, 1.0, 250.0, 937.5]))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind,kw", [
+    ("block_causal", dict(local=-1)),
+    ("block_causal", dict(local=3)),
+    ("sink_window", dict(local=4, sink=1)),
+])
+def test_masked_flash_matches_dense(kind, kw):
+    from longlive_tpu.ops.attention import flash_attention_frame_masked
+    from longlive_tpu.ops import masks as M
+
+    rng = np.random.RandomState(0)
+    fs, f, nfb, n, d = 16, 6, 2, 2, 128
+    s = f * fs
+    q = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+
+    if kind == "block_causal":
+        fm = M.blockwise_causal_frame_mask(f, nfb, kw["local"])
+    else:
+        fm = M.sink_window_frame_mask(f, nfb, kw["sink"], kw["local"] - kw["sink"])
+    tm = M.expand_frame_mask(fm, fs)
+    bias = jnp.where(tm, 0.0, -1e30)[None, None]
+    ref = A.dense_attention(q, k, v, bias)
+
+    out = flash_attention_frame_masked(
+        q, k, v, mask_kind=kind, frame_seq=fs, nfb=nfb,
+        local=kw.get("local", -1), sink=kw.get("sink", 0),
+        block_q=32, block_kv=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_masked_flash_teacher_forcing():
+    from longlive_tpu.ops.attention import flash_attention_frame_masked
+    from longlive_tpu.ops import masks as M
+
+    rng = np.random.RandomState(1)
+    fs, f, nfb, n, d = 8, 4, 2, 1, 128
+    s = 2 * f * fs
+    q = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+    tm = M.expand_frame_mask(M.teacher_forcing_frame_mask(f, nfb), fs)
+    bias = jnp.where(tm, 0.0, -1e30)[None, None]
+    ref = A.dense_attention(q, k, v, bias)
+    out = flash_attention_frame_masked(
+        q, k, v, mask_kind="teacher_forcing", frame_seq=fs, nfb=nfb,
+        clean_frames=f, block_q=32, block_kv=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)

@@ -187,3 +187,21 @@ def test_cached_equals_uncached_block_straddles_sink(setup):
     t_full = jnp.full((1, f_total), 500.0, jnp.float32)
     full = D.dit_forward_full(params, cfg, tables, x, t_full, cross, mask)
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=2e-3, atol=2e-4)
+
+
+def test_forward_full_spec_kernel_equals_dense(setup):
+    """FrameMaskSpec + masked flash kernel == materialized mask + dense."""
+    from longlive_tpu.ops.masks import FrameMaskSpec
+
+    cfg, geom, params, tables, cross = setup
+    f_total = 6
+    x = jax.random.normal(
+        jax.random.PRNGKey(21), (1, f_total, geom.channels, geom.height, geom.width))
+    t = jnp.full((1, f_total), 500.0)
+    spec = FrameMaskSpec("block_causal", num_frame_per_block=2, local_attn_size=4)
+    dense = D.dit_forward_full(params, cfg, tables, x, t, cross,
+                               spec.materialize(f_total), attn_impl="xla")
+    kern = D.dit_forward_full(params, cfg, tables, x, t, cross, spec,
+                              attn_impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(dense),
+                               rtol=2e-3, atol=2e-4)
