@@ -41,6 +41,11 @@ class DiTConfig:
     sink_size: int = 3  # frames pinned at the start (frame sink)
     num_frame_per_block: int = 3
     rope_max_pos: int = 1024
+    # 't2v' or 'i2v' (reference wan/modules/model.py:563); 'i2v' adds the
+    # per-block k_img/v_img cross-attention and the img_emb CLIP projector,
+    # and expects in_dim = 36 (16 noise + 4 mask + 16 image latents).
+    model_type: str = "t2v"
+    clip_dim: int = 1280  # CLIP vision feature width feeding img_emb
 
     @property
     def head_dim(self) -> int:

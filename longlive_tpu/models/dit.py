@@ -83,9 +83,16 @@ def init_dit_params(
             p["norm_k"] = {"scale": jnp.ones((L, d), dtype)}
         return p
 
+    cross = attn_params()
+    if cfg.model_type == "i2v":
+        # image-branch K/V per block (WanI2VCrossAttention, model.py:234-237)
+        cross["k_img"] = stacked_lin(d, d)
+        cross["v_img"] = stacked_lin(d, d)
+        if cfg.qk_norm:
+            cross["norm_k_img"] = {"scale": jnp.ones((L, d), dtype)}
     blocks = {
         "self_attn": attn_params(),
-        "cross_attn": attn_params(),
+        "cross_attn": cross,
         "ffn": {"fc1": stacked_lin(d, ffn), "fc2": stacked_lin(ffn, d)},
         "modulation": jax.random.normal(next(keys), (L, 6, d), dtype) / math.sqrt(d),
     }
@@ -95,7 +102,19 @@ def init_dit_params(
             "bias": jnp.zeros((L, d), dtype),
         }
 
-    return {
+    extra = {}
+    if cfg.model_type == "i2v":
+        # MLPProj: LayerNorm, Linear, GELU, Linear, LayerNorm
+        # (model.py:469-482)
+        cd = cfg.clip_dim
+        extra["img_emb"] = {
+            "ln1": {"scale": jnp.ones((cd,), dtype), "bias": jnp.zeros((cd,), dtype)},
+            "fc1": lin(cd, cd),
+            "fc2": lin(cd, d),
+            "ln2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        }
+
+    return extra | {
         "patch_embedding": lin(cfg.in_dim * pt, d),
         "text_embedding": {
             "fc1": lin(cfg.text_dim, d, "normal"),

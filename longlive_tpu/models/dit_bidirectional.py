@@ -26,6 +26,36 @@ from . import nn
 from .dit import CrossKV, patchify, prepare_cross_kv, unpatchify  # noqa: F401  (prepare_cross_kv re-exported for teacher/critic users)
 
 
+def prepare_img_cross_kv(params: dict, cfg: DiTConfig,
+                         clip_fea: jax.Array) -> CrossKV:
+    """CLIP image features [B, 257, clip_dim] -> per-layer image-branch
+    cross-attention K/V.  Folds the reference's img_emb MLPProj
+    (model.py:469-482, 710-712) and each block's k_img/v_img + norm_k_img
+    (model.py:234-256) into one precomputed CrossKV, symmetric with the text
+    path's prepare_cross_kv."""
+    p = params["img_emb"]
+    dtype = params["patch_embedding"]["kernel"].dtype
+    x = nn.layer_norm(clip_fea.astype(dtype), 1e-5, p["ln1"]["scale"],
+                      p["ln1"]["bias"])
+    x = nn.gelu_exact(nn.linear(x, p["fc1"]))
+    x = nn.linear(x, p["fc2"])
+    ctx = nn.layer_norm(x, 1e-5, p["ln2"]["scale"], p["ln2"]["bias"])
+    n, hd = cfg.num_heads, cfg.head_dim
+    bp = params["blocks"]["cross_attn"]
+
+    def one_layer(layer_p):
+        k = nn.linear(ctx, layer_p["k_img"])
+        if cfg.qk_norm:
+            k = nn.rms_norm(k, layer_p["norm_k_img"]["scale"], cfg.eps)
+        v = nn.linear(ctx, layer_p["v_img"])
+        b, s, _ = k.shape
+        return k.reshape(b, s, n, hd), v.reshape(b, s, n, hd)
+
+    k, v = jax.lax.map(one_layer, {kk: bp[kk] for kk in
+                                   ("k_img", "v_img", "norm_k_img")})
+    return CrossKV(k=k, v=v)
+
+
 def bidirectional_forward(
     params: dict,
     cfg: DiTConfig,
@@ -34,9 +64,15 @@ def bidirectional_forward(
     t: jax.Array,  # [B] one timestep per sample (model.py:694-698)
     cross_kv: CrossKV,
     attn_impl: str = "auto",
+    cross_kv_img: "CrossKV | None" = None,  # i2v image branch (model.py:243-263)
 ) -> jax.Array:
     """WanModel._forward (model.py:637-771) minus the unused classify/GAN
-    branches.  Returns flow prediction [B, F, C, H, W]."""
+    branches.  Returns flow prediction [B, F, C, H, W].
+
+    With ``cross_kv_img`` set (model_type='i2v'), each block's cross
+    attention adds a second attention over the 257 CLIP image tokens to the
+    text attention output before the output projection
+    (WanI2VCrossAttention, model.py:240-266)."""
     b, f, c, h, w = x.shape
     dtype = params["patch_embedding"]["kernel"].dtype
     tokens = nn.linear(patchify(x.astype(dtype), cfg), params["patch_embedding"])
@@ -53,7 +89,7 @@ def bidirectional_forward(
     hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
     rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, 0)
 
-    def block(xcur, layer_p, ck, cv):
+    def block(xcur, layer_p, ck, cv, cki=None, cvi=None):
         em = layer_p["modulation"][None].astype(e0.dtype) + e0  # [B, 6, dim]
         e_ = [em[:, i][:, None] for i in range(6)]  # [B, 1, dim]
 
@@ -77,8 +113,13 @@ def bidirectional_forward(
         cq = nn.linear(hh, layer_p["cross_attn"]["q"])
         if cfg.qk_norm:
             cq = nn.rms_norm(cq, layer_p["cross_attn"]["norm_q"]["scale"], cfg.eps)
-        co = dense_attention(cq.reshape(b, s, n, hd), ck.astype(cq.dtype),
-                             cv.astype(cq.dtype))
+        cq = cq.reshape(b, s, n, hd)
+        co = dense_attention(cq, ck.astype(cq.dtype), cv.astype(cq.dtype))
+        if cki is not None:
+            # i2v: image-token attention added to the text attention output
+            # before the shared output projection (model.py:255-263).
+            co = co + dense_attention(cq, cki.astype(cq.dtype),
+                                      cvi.astype(cq.dtype))
         xcur = xcur + nn.linear(co.reshape(b, s, n * hd), layer_p["cross_attn"]["o"])
 
         hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[4]) + e_[3]
@@ -87,13 +128,23 @@ def bidirectional_forward(
         xcur = xcur + y * e_[5]
         return xcur, None
 
-    def scan_body(carry, xs):
-        layer_p, ck, cv = xs
-        return block(carry, layer_p, ck, cv)
+    if cross_kv_img is not None:
+        def scan_body(carry, xs):
+            layer_p, ck, cv, cki, cvi = xs
+            return block(carry, layer_p, ck, cv, cki, cvi)
 
-    tokens, _ = jax.lax.scan(
-        scan_body, tokens, (params["blocks"], cross_kv.k, cross_kv.v)
-    )
+        tokens, _ = jax.lax.scan(
+            scan_body, tokens,
+            (params["blocks"], cross_kv.k, cross_kv.v,
+             cross_kv_img.k, cross_kv_img.v))
+    else:
+        def scan_body(carry, xs):
+            layer_p, ck, cv = xs
+            return block(carry, layer_p, ck, cv)
+
+        tokens, _ = jax.lax.scan(
+            scan_body, tokens, (params["blocks"], cross_kv.k, cross_kv.v)
+        )
 
     # Head (model.py:439-466): e [B, dim], modulation [2, dim]
     hp_ = params["head"]

@@ -81,6 +81,19 @@ def silu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
 
 
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — torch nn.GELU() default, used by MLPProj and the
+    CLIP ViT (ref wan/modules/model.py:469-482, clip.py:141-144)."""
+    xf = x.astype(jnp.float32)
+    return (jax.nn.gelu(xf, approximate=False)).astype(x.dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) (ref clip.py:41-44)."""
+    xf = x.astype(jnp.float32)
+    return (xf * jax.nn.sigmoid(1.702 * xf)).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # initializers (reference init_weights: causal_model.py:1265-1287)
 

@@ -98,9 +98,18 @@ def dit_params_from_torch(
         return p
 
     pe_w = _np(sd["patch_embedding.weight"])  # [dim, in, pt, ph, pw]
+    cross = stacked_attn("cross_attn")
+    if cfg.model_type == "i2v":
+        # WanI2VCrossAttention extras (model.py:234-237)
+        cross["k_img"] = _stack_linear(sd, "blocks.{}.cross_attn.k_img", L, dtype)
+        cross["v_img"] = _stack_linear(sd, "blocks.{}.cross_attn.v_img", L, dtype)
+        if cfg.qk_norm:
+            cross["norm_k_img"] = {"scale": jnp.asarray(
+                np.stack([_np(sd[f"blocks.{i}.cross_attn.norm_k_img.weight"])
+                          for i in range(L)]), dtype)}
     blocks = {
         "self_attn": stacked_attn("self_attn"),
-        "cross_attn": stacked_attn("cross_attn"),
+        "cross_attn": cross,
         "ffn": {
             "fc1": _stack_linear(sd, "blocks.{}.ffn.0", L, dtype),
             "fc2": _stack_linear(sd, "blocks.{}.ffn.2", L, dtype),
@@ -117,7 +126,20 @@ def dit_params_from_torch(
                 np.stack([_np(sd[f"blocks.{i}.norm3.bias"]) for i in range(L)]), dtype),
         }
 
-    return {
+    extra = {}
+    if cfg.model_type == "i2v":
+        # MLPProj img_emb: Sequential(LN, Linear, GELU, Linear, LN)
+        # (model.py:469-482, 615-616)
+        extra["img_emb"] = {
+            "ln1": {"scale": jnp.asarray(_np(sd["img_emb.proj.0.weight"]), dtype),
+                    "bias": jnp.asarray(_np(sd["img_emb.proj.0.bias"]), dtype)},
+            "fc1": _linear(sd, "img_emb.proj.1", dtype),
+            "fc2": _linear(sd, "img_emb.proj.3", dtype),
+            "ln2": {"scale": jnp.asarray(_np(sd["img_emb.proj.4.weight"]), dtype),
+                    "bias": jnp.asarray(_np(sd["img_emb.proj.4.bias"]), dtype)},
+        }
+
+    return extra | {
         "patch_embedding": {
             "kernel": jnp.asarray(pe_w.reshape(cfg.dim, -1).T, dtype),
             "bias": jnp.asarray(_np(sd["patch_embedding.bias"]), dtype),
