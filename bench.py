@@ -58,6 +58,8 @@ def main():
     vae_params = None
     if not skip_vae:
         vae_params = V.init_vae_params(jax.random.PRNGKey(3), vcfg, jnp.bfloat16)
+        if use_int8:
+            vae_params = V.quantize_vae_params(vae_params)
         decode_first = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z, None, True))
         decode_rest = jax.jit(lambda p, z, c: V.vae_decode_scan(p, vcfg, z, c, False))
 

@@ -109,3 +109,29 @@ def test_roundtrip_shapes_full_geometry():
     pix = jnp.zeros((1, 9, 3, 64, 64))
     mu = V.vae_encode(params, cfg, pix)
     assert mu.shape == (1, 3, 4, 8, 8)
+
+
+def test_int8_quantized_decode_close_to_bf16():
+    """quantize_vae_params + conv3d_int8: decode output stays close to the
+    bf16 path (per-tensor activation x per-channel weight int8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    vcfg = V.tiny_vae_config()
+    params = V.init_vae_params(jax.random.PRNGKey(0), vcfg, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 3, vcfg.z_dim, 8, 8))
+    ref = np.asarray(V.vae_decode(params, vcfg, z), np.float32)
+    qparams = V.quantize_vae_params(params, min_channels=1)
+    # pointwise convs stay bf16 by design
+    assert "w" in qparams["conv2"]
+    # wide 3x3x3 convs are quantized
+    leaves = jax.tree.leaves(jax.tree.map(lambda x: x, qparams))
+    assert any(getattr(l, "dtype", None) == jnp.int8 for l in leaves)
+    got = np.asarray(V.vae_decode(qparams, vcfg, z), np.float32)
+    rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.06, rel
+    # default gate (256) leaves the tiny config untouched
+    same = V.quantize_vae_params(params)
+    assert not any(getattr(l, "dtype", None) == jnp.int8
+                   for l in jax.tree.leaves(same))
