@@ -226,3 +226,183 @@ def encode_image(params: dict, cfg: CLIPVisionConfig, img: jax.Array) -> jax.Arr
     (CLIPModel.visual, clip.py:527-542)."""
     return clip_vision_forward(params, cfg, preprocess_image(img, cfg),
                                use_31_block=True)
+
+
+# ---------------------------------------------------------------------------
+# XLM-Roberta text branch (reference wan/modules/xlm_roberta.py:76-170 and
+# clip.py:303-325 XLMRobertaWithHead).  Unused by the Wan video generate
+# paths, kept for full XLMRobertaCLIP parity (text-image similarity).
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """xlm_roberta_large defaults (xlm_roberta.py:146-165)."""
+
+    vocab_size: int = 250002
+    max_seq_len: int = 514
+    type_size: int = 1
+    pad_id: int = 1
+    dim: int = 1024
+    num_heads: int = 16
+    num_layers: int = 24
+    post_norm: bool = True
+    eps: float = 1e-5
+    out_dim: int = 1024  # embed_dim (clip.py:310-313 head)
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+def tiny_clip_text_config() -> CLIPTextConfig:
+    return CLIPTextConfig(vocab_size=64, max_seq_len=16, dim=32, num_heads=4,
+                          num_layers=2, out_dim=16)
+
+
+def xlm_roberta_forward(params: dict, cfg: CLIPTextConfig,
+                        ids: jax.Array) -> jax.Array:
+    """XLMRoberta.forward (xlm_roberta.py:118-143): ids [B, L] int32 ->
+    features [B, L, dim].  Positions = pad_id + cumsum(non-pad)*non-pad;
+    padding masked with -inf attention bias."""
+    b, s = ids.shape
+    mask = (ids != cfg.pad_id).astype(jnp.int32)
+    pos = cfg.pad_id + jnp.cumsum(mask, axis=1) * mask
+    x = (params["token_embedding"][ids]
+         + params["type_embedding"][jnp.zeros_like(ids)]
+         + params["pos_embedding"][pos])
+    if cfg.post_norm:
+        x = _ln(x, params["norm"], cfg.eps)
+
+    bias = jnp.where(mask[:, None, None, :] > 0, 0.0,
+                     jnp.finfo(jnp.float32).min)
+    n, hd = cfg.num_heads, cfg.head_dim
+
+    def block(xcur, layer_p):
+        def attn(h):
+            q = nn.linear(h, layer_p["q"]).reshape(b, s, n, hd)
+            k = nn.linear(h, layer_p["k"]).reshape(b, s, n, hd)
+            v = nn.linear(h, layer_p["v"]).reshape(b, s, n, hd)
+            a = jax.nn.dot_product_attention(
+                q, k, v, bias=bias.astype(jnp.float32))
+            return nn.linear(a.reshape(b, s, n * hd), layer_p["o"])
+
+        def ffn(h):
+            return nn.linear(nn.gelu_exact(nn.linear(h, layer_p["fc1"])),
+                             layer_p["fc2"])
+
+        if cfg.post_norm:
+            xo = _ln(xcur + attn(xcur), layer_p["norm1"], cfg.eps)
+            xo = _ln(xo + ffn(xo), layer_p["norm2"], cfg.eps)
+        else:
+            xo = xcur + attn(_ln(xcur, layer_p["norm1"], cfg.eps))
+            xo = xo + ffn(_ln(xo, layer_p["norm2"], cfg.eps))
+        return xo, None
+
+    x, _ = jax.lax.scan(block, x, params["layers"])
+    if not cfg.post_norm:
+        x = _ln(x, params["norm"], cfg.eps)
+    return x
+
+
+def clip_text_forward(params: dict, cfg: CLIPTextConfig,
+                      ids: jax.Array) -> jax.Array:
+    """XLMRobertaWithHead.forward (clip.py:315-325): masked mean pooling
+    over non-pad tokens, then the 2-layer GELU head -> [B, out_dim]."""
+    x = xlm_roberta_forward(params, cfg, ids)
+    mask = (ids != cfg.pad_id).astype(x.dtype)[..., None]
+    pooled = jnp.sum(x * mask, axis=1) / jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
+    h = params["head"]
+    return nn.linear(nn.gelu_exact(nn.linear(pooled, h["fc1"])), h["fc2"])
+
+
+def init_clip_text_params(rng: jax.Array, cfg: CLIPTextConfig,
+                          dtype=jnp.float32) -> dict:
+    d, L = cfg.dim, cfg.num_layers
+    mid = (cfg.dim + cfg.out_dim) // 2
+    keys = iter(jax.random.split(rng, 16))
+
+    def stacked_lin(d_in, d_out):
+        ks = jax.random.split(next(keys), L)
+        return jax.vmap(lambda k: nn.init_linear(k, d_in, d_out, "xavier",
+                                                 dtype=dtype))(ks)
+
+    def ln1():
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    def lnL():
+        return {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)}
+
+    emb = lambda nrows: 0.02 * jax.random.normal(next(keys), (nrows, d), dtype)
+    return {
+        "token_embedding": emb(cfg.vocab_size),
+        "type_embedding": emb(cfg.type_size),
+        "pos_embedding": emb(cfg.max_seq_len),
+        "norm": ln1(),
+        "layers": {
+            "q": stacked_lin(d, d), "k": stacked_lin(d, d),
+            "v": stacked_lin(d, d), "o": stacked_lin(d, d),
+            "norm1": lnL(),
+            "fc1": stacked_lin(d, 4 * d), "fc2": stacked_lin(4 * d, d),
+            "norm2": lnL(),
+        },
+        "head": {
+            "fc1": nn.init_linear(next(keys), d, mid, "xavier", bias=False,
+                                  dtype=dtype),
+            "fc2": nn.init_linear(next(keys), mid, cfg.out_dim, "xavier",
+                                  bias=False, dtype=dtype),
+        },
+    }
+
+
+def clip_text_params_from_torch(sd: dict,
+                                cfg: CLIPTextConfig = CLIPTextConfig(),
+                                dtype=jnp.bfloat16) -> dict:
+    """XLMRobertaCLIP state_dict `textual.*` keys -> text-branch pytree."""
+
+    def a(key):
+        t = sd[key]
+        return t.float().cpu().numpy() if hasattr(t, "float") else np.asarray(t)
+
+    L = cfg.num_layers
+
+    def stack_linear(fmt, bias=True):
+        w = np.stack([a(fmt.format(i) + ".weight") for i in range(L)])
+        p = {"kernel": jnp.asarray(w.transpose(0, 2, 1), dtype)}
+        if bias:
+            p["bias"] = jnp.asarray(
+                np.stack([a(fmt.format(i) + ".bias") for i in range(L)]), dtype)
+        return p
+
+    def stack_ln(fmt):
+        return {"scale": jnp.asarray(
+                    np.stack([a(fmt.format(i) + ".weight") for i in range(L)]), dtype),
+                "bias": jnp.asarray(
+                    np.stack([a(fmt.format(i) + ".bias") for i in range(L)]), dtype)}
+
+    def lin(prefix, bias=True):
+        p = {"kernel": jnp.asarray(a(prefix + ".weight").T, dtype)}
+        if bias:
+            p["bias"] = jnp.asarray(a(prefix + ".bias"), dtype)
+        return p
+
+    return {
+        "token_embedding": jnp.asarray(a("textual.token_embedding.weight"), dtype),
+        "type_embedding": jnp.asarray(a("textual.type_embedding.weight"), dtype),
+        "pos_embedding": jnp.asarray(a("textual.pos_embedding.weight"), dtype),
+        "norm": {"scale": jnp.asarray(a("textual.norm.weight"), dtype),
+                 "bias": jnp.asarray(a("textual.norm.bias"), dtype)},
+        "layers": {
+            "q": stack_linear("textual.blocks.{}.attn.q"),
+            "k": stack_linear("textual.blocks.{}.attn.k"),
+            "v": stack_linear("textual.blocks.{}.attn.v"),
+            "o": stack_linear("textual.blocks.{}.attn.o"),
+            "norm1": stack_ln("textual.blocks.{}.norm1"),
+            "fc1": stack_linear("textual.blocks.{}.ffn.0"),
+            "fc2": stack_linear("textual.blocks.{}.ffn.2"),
+            "norm2": stack_ln("textual.blocks.{}.norm2"),
+        },
+        "head": {
+            "fc1": lin("textual.head.0", bias=False),
+            "fc2": lin("textual.head.2", bias=False),
+        },
+    }

@@ -42,6 +42,7 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
         beta2_critic=float(raw.get("beta2_critic", 0.999)),
         weight_decay=float(raw.get("weight_decay", 0.01)),
         dfake_gen_update_ratio=int(raw.get("dfake_gen_update_ratio", 5)),
+        gradient_accumulation_steps=int(raw.get("gradient_accumulation_steps", 1)),
         ema_weight=float(raw.get("ema_weight", 0.99)),
         ema_start_step=int(raw.get("ema_start_step", 200)),
         denoising_step_list=tuple(raw.get("denoising_step_list", (1000, 750, 500, 250))),
@@ -173,8 +174,13 @@ def main():
         from .pipeline import CausalInferencePipeline
         from .utils.video_io import to_video_array, write_video
 
-        ema = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                           trainer.state["ema_params"])
+        ema = trainer.state["ema_params"]
+        if trainer.use_lora:  # EMA tracks adapters; fold into base weights
+            from .training import lora as lora_mod
+
+            ema = lora_mod.merge_lora(trainer.state["gen_params"], ema,
+                                      trainer.lora_scale)
+        ema = jax.tree.map(lambda x: x.astype(jnp.bfloat16), ema)
         vis_pc = pconfig
         pipe = CausalInferencePipeline(vis_pc, ema, geometry=geom, dit_config=dit_cfg)
         pe = encode(next(prompt_iter)["prompts"])
@@ -204,14 +210,18 @@ def main():
     while int(trainer.state["step"]) < max_iters:
         step = int(trainer.state["step"])
         if streaming:
-            if not trainer.can_generate_more():
+            def new_sequence():
                 row = next(prompt_iter)
                 pc = encode(row["prompts"])
                 pu = encode(neg_prompt)
                 ps = encode(row["switch_prompts"]) if "switch_prompts" in row else None
+                nonlocal rng
                 rng, sub = jax.random.split(rng)
                 trainer.start_new_sequence(pc, pu, sub, prompt_switch=ps)
-            metrics = trainer.streaming_train_step(rng)
+
+            if not trainer.can_generate_more():
+                new_sequence()
+            metrics = trainer.streaming_train_step(rng, new_sequence_cb=new_sequence)
         else:
             row = next(prompt_iter)
             cc = encode(row["prompts"])

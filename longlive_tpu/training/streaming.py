@@ -79,9 +79,12 @@ class StreamingTrainer(ScoreDistillationTrainer):
         rng: jax.Array,
         prompt_switch: Optional[jax.Array] = None,
         max_length: Optional[int] = None,
-        batch: int = 1,
+        batch: Optional[int] = None,
     ):
-        """setup_sequence (streaming_training.py:282-395)."""
+        """setup_sequence (streaming_training.py:282-395).  The cache batch
+        follows the prompt batch (dp>1 data-parallel training)."""
+        if batch is None:
+            batch = prompt_c.shape[0]
         switch_idx = None
         if prompt_switch is not None and self.scfg.switch_choices:
             i = int(jax.random.randint(rng, (), 0, len(self.scfg.switch_choices)))
@@ -266,13 +269,55 @@ class StreamingTrainer(ScoreDistillationTrainer):
 
     # -- host orchestration -----------------------------------------------------
 
-    def streaming_train_step(self, rng: jax.Array) -> Dict[str, Any]:
-        """fwdbwd_one_step_streaming (trainer/distillation.py:1056-1170)."""
+    def streaming_train_step(self, rng: jax.Array,
+                             new_sequence_cb=None) -> Dict[str, Any]:
+        """One streaming training step with the reference's cadence
+        (trainer/distillation.py:1187-1257): the critic does a fwdbwd on
+        EVERY step; the generator additionally every
+        ``dfake_gen_update_ratio``-th optimizer step.  Each fwdbwd consumes
+        one chunk of the streaming sequence (the reference's
+        fwdbwd_one_step_streaming generates its own chunk per call).
+
+        ``new_sequence_cb`` is invoked when the sequence is exhausted
+        between the two fwdbwds (the reference starts a new sequence inside
+        fwdbwd, :1067; here prompt encoding lives with the caller)."""
+        micro = int(self.state["step"])
+        accum = max(1, getattr(self.tcfg, "gradient_accumulation_steps", 1))
+        opt_step = micro // accum
+        train_generator = opt_step % self.tcfg.dfake_gen_update_ratio == 0
+        rng = jax.random.fold_in(rng, micro)
+        metrics: Dict[str, Any] = {"step": micro, "opt_step": opt_step}
+        gen_m: Dict[str, Any] = {}
+        if train_generator:
+            gen_m = self._one_streaming_fwdbwd(True, jax.random.fold_in(rng, 1))
+            if (micro + 1) % accum == 0:
+                self._update_ema(opt_step)
+            if not self.can_generate_more():
+                if new_sequence_cb is None:
+                    raise RuntimeError(
+                        "sequence exhausted mid-step; pass new_sequence_cb")
+                new_sequence_cb()
+        crit_m = self._one_streaming_fwdbwd(False, jax.random.fold_in(rng, 2))
+        # combine: losses keep their names; chunk-state keys reflect BOTH
+        # fwdbwds (the generator's chunk state is prefixed)
+        metrics.update({f"gen_{k}": v for k, v in gen_m.items()
+                        if k not in ("generator_loss",)})
+        if "generator_loss" in gen_m:
+            metrics["generator_loss"] = gen_m["generator_loss"]
+        metrics.update(crit_m)
+        metrics["switched"] = bool(gen_m.get("switched", False)) or bool(
+            crit_m["switched"])
+        metrics["new_frames"] = gen_m.get("new_frames", 0) + crit_m["new_frames"]
+        self.state["step"] = self.state["step"] + 1
+        return metrics
+
+    def _one_streaming_fwdbwd(self, train_generator: bool,
+                              rng: jax.Array) -> Dict[str, Any]:
+        """fwdbwd_one_step_streaming (trainer/distillation.py:1056-1170):
+        generate the next chunk with the persistent cache and update one
+        model."""
         assert self.seq_state is not None, "call start_new_sequence first"
         s = self.seq_state
-        step = int(self.state["step"])
-        train_generator = step % self.tcfg.dfake_gen_update_ratio == 0
-        rng = jax.random.fold_in(rng, step)
         rng_sel, rng_exit, rng_noise, rng_step = jax.random.split(rng, 4)
 
         if not self.scfg.train_first_chunk and s["current_length"] == 0:
@@ -345,7 +390,6 @@ class StreamingTrainer(ScoreDistillationTrainer):
                 self.teacher_params, s["cache"], prev_overlap, noise, prompt,
                 s["prompt_u"], cur_start, rng_step)
             self.state[gen_train_key], self.state["gen_opt"] = gt, gopt
-            self._update_ema(step)
             metrics = {"generator_loss": float(loss)}
         else:
             fn = self._critic_chunk_step(exit_idx, new_frames, overlap)
@@ -360,10 +404,9 @@ class StreamingTrainer(ScoreDistillationTrainer):
 
         s["cache"], s["previous_frames"] = cache, new_prev
         s["current_length"] = cur + new_frames
-        self.state["step"] = self.state["step"] + 1
         metrics.update({k: float(v) for k, v in aux.items()})
         metrics.update({
-            "step": step, "exit_idx": exit_idx, "new_frames": new_frames,
+            "exit_idx": exit_idx, "new_frames": new_frames,
             "overlap": overlap, "current_length": s["current_length"],
             "switched": switching,
         })

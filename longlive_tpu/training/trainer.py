@@ -67,6 +67,8 @@ class TrainerConfig:
     lora_rank: int = 0
     lora_alpha: float = 256.0
     lora_apply_to_critic: bool = True
+    # micro-steps per optimizer update (longlive_train_init.yaml:34)
+    gradient_accumulation_steps: int = 1
 
 
 class TrainState(dict):
@@ -147,6 +149,14 @@ class ScoreDistillationTrainer:
             optax.adamw(tcfg.lr_critic, b1=tcfg.beta1_critic, b2=tcfg.beta2_critic,
                         weight_decay=tcfg.weight_decay),
         )
+        if tcfg.gradient_accumulation_steps > 1:
+            # grad accumulation: mean grads over k micro-steps, clip+update
+            # applied on the k-th (reference scaled-loss loop,
+            # distillation.py:853-875,1267-1295)
+            self.gen_tx = optax.MultiSteps(
+                self.gen_tx, tcfg.gradient_accumulation_steps)
+            self.critic_tx = optax.MultiSteps(
+                self.critic_tx, tcfg.gradient_accumulation_steps)
 
         from . import lora as lora_mod
 
@@ -294,35 +304,43 @@ class ScoreDistillationTrainer:
 
     # -- public API --------------------------------------------------------
 
-    def train_step(
-        self, noise: jax.Array, prompt_c: jax.Array, prompt_u: jax.Array,
-        rng: jax.Array,
-    ) -> Dict[str, Any]:
-        """One optimization step, alternating generator/critic at
-        dfake_gen_update_ratio (distillation.py:1177)."""
-        step = int(self.state["step"])
-        train_generator = step % self.tcfg.dfake_gen_update_ratio == 0
-        rng_exit, rng_len, rng_step = jax.random.split(
-            jax.random.fold_in(rng, step), 3)
+    def _sample_rollout_geometry(self, noise, rng_exit, rng_len):
+        """Random exit step + rollout length (base.py:136-154)."""
         exit_idx = ro.sample_exit_idx(
             rng_exit, len(self.rcfg.denoise_timesteps), self.rcfg.last_step_only)
-
-        # random rollout length in [min, max] blocks (base.py:136-154);
-        # shipped init config has min == max == 21
         fpb = self.rcfg.frame_block
         max_b = min(self.tcfg.num_training_frames // fpb, noise.shape[1] // fpb)
         min_b = min(self.tcfg.min_num_training_frames // fpb, max_b)
         nb = (min_b if min_b >= max_b else
               int(jax.random.randint(rng_len, (), min_b, max_b + 1)))
-        noise = noise[:, : nb * fpb]
-        use_mask = nb != min_b
+        return exit_idx, nb, nb != min_b
 
-        metrics: Dict[str, Any] = {"step": step, "exit_idx": exit_idx,
-                                   "rollout_frames": nb * fpb}
+    def train_step(
+        self, noise: jax.Array, prompt_c: jax.Array, prompt_u: jax.Array,
+        rng: jax.Array,
+    ) -> Dict[str, Any]:
+        """One fwdbwd micro-step, matching the reference's cadence
+        (distillation.py:1258-1298): the critic is trained on EVERY step;
+        the generator additionally every ``dfake_gen_update_ratio``-th
+        *optimizer* step.  With ``gradient_accumulation_steps`` = k > 1 the
+        optimizers are optax.MultiSteps-wrapped, so k consecutive calls
+        accumulate (mean) gradients and apply one update on the k-th —
+        the reference's scaled-loss accumulation loop (:1110,:1162)."""
+        micro = int(self.state["step"])
+        accum = max(1, self.tcfg.gradient_accumulation_steps)
+        opt_step = micro // accum
+        train_generator = opt_step % self.tcfg.dfake_gen_update_ratio == 0
+        rng = jax.random.fold_in(rng, micro)
+        rng_exit, rng_len, rng_g, rng_exit2, rng_len2, rng_c = jax.random.split(rng, 6)
+
+        fpb = self.rcfg.frame_block
+        metrics: Dict[str, Any] = {"step": micro, "opt_step": opt_step}
         empty = {}
         gen_train_key = "gen_lora" if self.use_lora else "gen_params"
         critic_train_key = "critic_lora" if self.critic_lora_on else "critic_params"
         if train_generator:
+            exit_idx, nb, use_mask = self._sample_rollout_geometry(
+                noise, rng_exit, rng_len)
             key = (exit_idx, 0, use_mask)
             if key not in self._gen_steps:
                 self._gen_steps[key] = self._gen_step_fn(*key)
@@ -331,23 +349,31 @@ class ScoreDistillationTrainer:
                 self.state["gen_params"] if self.use_lora else empty,
                 self.state[critic_train_key],
                 self.state["critic_params"] if self.critic_lora_on else empty,
-                self.teacher_params, noise, prompt_c, prompt_u, rng_step,
+                self.teacher_params, noise[:, : nb * fpb], prompt_c, prompt_u,
+                rng_g,
             )
             self.state[gen_train_key], self.state["gen_opt"] = gt, gopt
-            metrics.update({"generator_loss": float(loss), **{k: float(v) for k, v in aux.items()}})
-            self._update_ema(step)
-        else:
-            if exit_idx not in self._critic_steps:
-                self._critic_steps[exit_idx] = self._critic_step_fn(exit_idx)
-            ct, copt, loss, aux = self._critic_steps[exit_idx](
-                self.state[critic_train_key], self.state["critic_opt"],
-                self.state["critic_params"] if self.critic_lora_on else empty,
-                self.state[gen_train_key],
-                self.state["gen_params"] if self.use_lora else empty,
-                noise, prompt_c, rng_step,
-            )
-            self.state[critic_train_key], self.state["critic_opt"] = ct, copt
-            metrics.update({"critic_loss": float(loss), **{k: float(v) for k, v in aux.items()}})
+            metrics.update({"generator_loss": float(loss), "exit_idx": exit_idx,
+                            "rollout_frames": nb * fpb,
+                            **{k: float(v) for k, v in aux.items()}})
+            if (micro + 1) % accum == 0:
+                self._update_ema(opt_step)
+
+        # critic trains every step, on its own rollout of the same prompts
+        # (reference fwdbwd_one_step(batch, False) after the generator pass)
+        exit_c, nb_c, _ = self._sample_rollout_geometry(noise, rng_exit2, rng_len2)
+        if exit_c not in self._critic_steps:
+            self._critic_steps[exit_c] = self._critic_step_fn(exit_c)
+        ct, copt, loss, aux = self._critic_steps[exit_c](
+            self.state[critic_train_key], self.state["critic_opt"],
+            self.state["critic_params"] if self.critic_lora_on else empty,
+            self.state[gen_train_key],
+            self.state["gen_params"] if self.use_lora else empty,
+            noise[:, : nb_c * fpb], prompt_c, rng_c,
+        )
+        self.state[critic_train_key], self.state["critic_opt"] = ct, copt
+        metrics.update({"critic_loss": float(loss), "critic_exit_idx": exit_c,
+                        **{k: float(v) for k, v in aux.items()}})
         self.state["step"] = self.state["step"] + 1
         return metrics
 

@@ -61,6 +61,62 @@ def load_vae_params(config: PipelineConfig, dtype=jnp.bfloat16) -> Tuple[dict, V
     return V.init_vae_params(jax.random.PRNGKey(0), vcfg, dtype), vcfg
 
 
+def _load_safetensors_dir(model_dir: str) -> Optional[dict]:
+    """Reads a (possibly sharded) diffusers-layout safetensors checkpoint —
+    the format the released Wan2.1 base DiT ships in (what the reference's
+    ``WanModel.from_pretrained`` consumes, wan/modules/model.py via
+    ModelMixin)."""
+    import glob
+    import json
+
+    from safetensors.torch import load_file
+
+    idx = os.path.join(model_dir, "diffusion_pytorch_model.safetensors.index.json")
+    if os.path.exists(idx):
+        with open(idx) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        sd = {}
+        for s in shards:
+            sd.update(load_file(os.path.join(model_dir, s)))
+        return sd
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if files:
+        sd = {}
+        for f in files:
+            sd.update(load_file(f))
+        return sd
+    return None
+
+
+def load_base_dit(model_dir: str, cfg: DiTConfig, dtype=jnp.bfloat16,
+                  seed: int = 0) -> dict:
+    """Base Wan DiT weights (teacher / critic / pre-distillation generator)
+    from ``wan_models/<name>/``: safetensors (HF release layout) or a
+    ``.pth`` state_dict.  Random init with a warning when absent."""
+    sd = _load_safetensors_dir(model_dir) if os.path.isdir(model_dir) else None
+    if sd is None and os.path.isfile(model_dir):
+        sd = _torch_load(model_dir)
+    if sd is not None:
+        return ckpt.dit_params_from_torch(sd, cfg, dtype)
+    _warn(f"base DiT weights not found under {model_dir!r} — using random init")
+    return D.init_dit_params(jax.random.PRNGKey(seed), cfg, dtype)
+
+
+def load_clip_vision(config: PipelineConfig, dtype=jnp.bfloat16):
+    """CLIP vision tower for I2V conditioning
+    (wan/configs/wan_i2v_14B.py:18 `clip_checkpoint`)."""
+    from ..models import clip as C
+
+    ccfg = C.CLIPVisionConfig()
+    path = os.path.join(
+        "wan_models", config.model_name,
+        "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth")
+    if os.path.exists(path):
+        return C.clip_vision_params_from_torch(_torch_load(path), ccfg, dtype), ccfg
+    _warn(f"CLIP checkpoint {path!r} not found — using random init")
+    return C.init_clip_vision_params(jax.random.PRNGKey(0), ccfg, dtype), ccfg
+
+
 def load_text_encoder(
     config: PipelineConfig, dtype=jnp.bfloat16
 ) -> Optional[T5.T5TextEncoder]:

@@ -159,3 +159,32 @@ def test_clip_encode_image_shapes():
     fea = C.encode_image(params, cfg, img)  # resizes to 28x28
     assert fea.shape == (1, cfg.num_patches + 1, cfg.dim)
     assert np.isfinite(np.asarray(fea)).all()
+
+
+def test_clip_text_branch_matches_reference():
+    """XLM-Roberta text branch + head vs the actual reference modules
+    (xlm_roberta.py:76-143, clip.py:303-325)."""
+    cm = load_clip()
+    torch.manual_seed(5)
+    cfg = C.tiny_clip_text_config()
+    ref = cm.XLMRobertaWithHead(
+        vocab_size=cfg.vocab_size, max_seq_len=cfg.max_seq_len,
+        type_size=cfg.type_size, pad_id=cfg.pad_id, dim=cfg.dim,
+        out_dim=cfg.out_dim, num_heads=cfg.num_heads,
+        num_layers=cfg.num_layers, post_norm=cfg.post_norm,
+        dropout=0.0).eval()
+    sd = {f"textual.{k}": v for k, v in ref.state_dict().items()}
+    params = C.clip_text_params_from_torch(sd, cfg, jnp.float32)
+
+    ids = torch.randint(2, cfg.vocab_size, (2, 12))
+    ids[0, 8:] = cfg.pad_id  # ragged padding
+    ids[1, 5:] = cfg.pad_id
+    with torch.no_grad():
+        want_feats = cm.XLMRoberta.forward(ref, ids).numpy()
+        want = ref(ids).numpy()
+    got_feats = C.xlm_roberta_forward(params, cfg, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(got_feats), want_feats,
+                               rtol=2e-4, atol=2e-4)
+    got = C.clip_text_forward(params, cfg, jnp.asarray(ids.numpy()))
+    assert got.shape == (2, cfg.out_dim)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

@@ -50,8 +50,9 @@ def test_streaming_sequence_with_switch(streaming_setup):
         if m["switched"]:
             switched_at = m["current_length"] - m["new_frames"]
         i += 1
-    # first chunk 3 frames, then 2-frame chunks up to max_length 8
-    assert lengths[0] == 3
+    # step 0 trains generator AND critic (reference cadence): first chunk of
+    # 3 frames + a 2-frame critic chunk; later steps are critic-only
+    assert lengths[0] == 5
     assert lengths[-1] >= 7
     assert tr.seq_state["has_switched"]
     assert switched_at is not None and switched_at <= 4

@@ -110,11 +110,36 @@ def test_trainer_steps(setup):
     pe_c = jax.random.normal(jax.random.PRNGKey(31), (1, cfg.text_len, cfg.text_dim))
     pe_u = pe_c * 0.1
     m0 = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
+    # reference cadence: critic every step, generator every ratio-th step
     assert "generator_loss" in m0 and np.isfinite(m0["generator_loss"])
+    assert "critic_loss" in m0 and np.isfinite(m0["critic_loss"])
     m1 = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
-    assert "critic_loss" in m1 and np.isfinite(m1["critic_loss"])
+    assert "critic_loss" in m1 and "generator_loss" not in m1
     m2 = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
     assert "generator_loss" in m2
+
+
+def test_gradient_accumulation(setup):
+    """With gradient_accumulation_steps=2 (optax.MultiSteps), params change
+    only on every 2nd micro-step — the reference's scaled-loss accumulation
+    (distillation.py:853-875)."""
+    cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
+    tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                         slice_last_frames=3, attn_impl="xla",
+                         dfake_gen_update_ratio=3,
+                         gradient_accumulation_steps=2)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    tr = ScoreDistillationTrainer(tcfg, cfg, geom, copy(gen), copy(critic), teacher)
+    noise = jax.random.normal(jax.random.PRNGKey(11),
+                              (1, 3, geom.channels, geom.height, geom.width))
+    pe_c = jax.random.normal(jax.random.PRNGKey(31), (1, cfg.text_len, cfg.text_dim))
+    before = jax.tree.leaves(tr.state["critic_params"])[0].copy()
+    tr.train_step(noise, pe_c, pe_c * 0.1, jax.random.PRNGKey(12))
+    mid = jax.tree.leaves(tr.state["critic_params"])[0]
+    np.testing.assert_array_equal(np.asarray(mid), np.asarray(before))
+    tr.train_step(noise, pe_c, pe_c * 0.1, jax.random.PRNGKey(13))
+    after = jax.tree.leaves(tr.state["critic_params"])[0]
+    assert not np.array_equal(np.asarray(after), np.asarray(before))
 
 
 def test_fsdp_sharding_8dev(setup):
@@ -154,3 +179,28 @@ def test_denoising_loss_variants(setup):
     np.testing.assert_allclose(
         float(denoising_loss("x0", sched, x, xp, nz, xt, t)),
         float(jnp.mean(jnp.square(x - xp))), rtol=1e-6)
+
+
+def test_streaming_trainer_dp2_mesh(setup):
+    """Streaming long tuning with data-parallel batch 2 over a (dp=2, fsdp=4)
+    mesh: sharded params + batch-sharded sequence state run a full step."""
+    from longlive_tpu.training.streaming import StreamingConfig, StreamingTrainer
+
+    cfg, geom, gen, critic, teacher, *_ = setup
+    mesh = M.make_mesh(dp=2, fsdp=4, sp=1)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    gen_s = M.shard_params(copy(gen), mesh)
+    critic_s = M.shard_params(copy(critic), mesh)
+    teacher_s = M.shard_params(copy(teacher), mesh)
+    tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                         slice_last_frames=-1, attn_impl="xla",
+                         dfake_gen_update_ratio=5)
+    scfg = StreamingConfig(chunk_size=3, min_new_frame=2, max_length=8)
+    tr = StreamingTrainer(tcfg, cfg, geom, gen_s, critic_s, teacher_s,
+                          streaming_cfg=scfg, mesh=mesh)
+    pe_c = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.text_len, cfg.text_dim))
+    pe_c = jax.device_put(pe_c, M.batch_sharding(mesh))
+    tr.start_new_sequence(pe_c, pe_c * 0.1, jax.random.PRNGKey(0))
+    m = tr.streaming_train_step(jax.random.PRNGKey(1))
+    assert np.isfinite(m["generator_loss"]) and np.isfinite(m["critic_loss"])
+    assert m["current_length"] >= scfg.chunk_size
