@@ -76,6 +76,12 @@ def main():
     ap.add_argument("--no_auto_resume", action="store_true")
     args = ap.parse_args()
 
+    # multi-host rendezvous — XLA-collective analogue of the reference's
+    # NCCL TCP-store init (utils/distributed.py:75-88); a no-op single-host
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     with open(args.config_path) as f:
         raw = yaml.safe_load(f)
     pconfig = pipeline_config_from_dict(raw)
@@ -116,8 +122,15 @@ def main():
     critic_params = jax.tree.map(jnp.copy, gen_params)
 
     mesh = None
-    if len(jax.devices()) > 1:
-        mesh = M.make_mesh(dp=1, fsdp=len(jax.devices()))
+    ndev = len(jax.devices())
+    if ndev > 1:
+        # mesh layout from yaml: parallel: {dp: N, fsdp: M}; default = pure
+        # FSDP over all devices (reference `sharding_strategy: full/hybrid`,
+        # longlive_train_init.yaml:26)
+        par = raw.get("parallel") or {}
+        dp = int(par.get("dp", 1))
+        fsdp_n = int(par.get("fsdp", ndev // dp))
+        mesh = M.make_mesh(dp=dp, fsdp=fsdp_n)
         gen_params = M.shard_params(gen_params, mesh)
         teacher_params = M.shard_params(teacher_params, mesh)
         critic_params = M.shard_params(critic_params, mesh)
