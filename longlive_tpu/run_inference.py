@@ -52,14 +52,24 @@ def main():
     # frame-by-frame scanned decode: larger chunks exceed v5e HBM at 480p
     decode = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z)[0])
 
-    rng = jax.random.PRNGKey(config.seed)
-    out_dir = config.output_folder or "videos/long"
+    # encode all prompts up front, then evict the 11 GB T5 from HBM so the
+    # generation loop has headroom — the reference's DynamicSwapInstaller
+    # low-mem analogue (inference.py:62,135-136; utils/memory.py:13-58)
+    conds = []
     for row in rows:
         if text_encoder is not None:
-            cond = text_encoder([row["prompts"]])["prompt_embeds"]
+            conds.append(text_encoder([row["prompts"]])["prompt_embeds"])
         else:
-            cond = jax.random.normal(
-                jax.random.PRNGKey(config.seed), (1, cfg.text_len, cfg.text_dim))
+            conds.append(jax.random.normal(
+                jax.random.PRNGKey(config.seed), (1, cfg.text_len, cfg.text_dim)))
+    if text_encoder is not None:
+        from .utils import memory
+
+        text_encoder.params = memory.offload_to_host(text_encoder.params)
+
+    rng = jax.random.PRNGKey(config.seed)
+    out_dir = config.output_folder or "videos/long"
+    for row, cond in zip(rows, conds):
         cross = pipe.prepare_condition(cond)
         rng, sub = jax.random.split(rng)
         noise = jax.random.normal(

@@ -55,21 +55,32 @@ def main():
     # frame-by-frame scanned decode: larger chunks exceed v5e HBM at 480p
     decode = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z)[0])
 
-    rng = jax.random.PRNGKey(config.seed)
-    out_dir = config.output_folder or "videos/interactive"
+    # encode every row's prompt segments up front (the reference encodes all
+    # segments before generation, interactive_causal_inference.py:158), then
+    # evict T5 from HBM (low-mem DynamicSwapInstaller analogue)
+    all_conds = []
     for row in rows:
         prompts = row["prompts"]
         assert len(prompts) == len(switch_indices) + 1, (
             f"{len(prompts)} segments vs {len(switch_indices)} switches")
-        cross_list = []
+        conds = []
         for i, p in enumerate(prompts):
             if text_encoder is not None:
-                cond = text_encoder([p])["prompt_embeds"]
+                conds.append(text_encoder([p])["prompt_embeds"])
             else:
-                cond = jax.random.normal(
+                conds.append(jax.random.normal(
                     jax.random.PRNGKey(config.seed + i),
-                    (1, cfg.text_len, cfg.text_dim))
-            cross_list.append(pipe.prepare_condition(cond))
+                    (1, cfg.text_len, cfg.text_dim)))
+        all_conds.append(conds)
+    if text_encoder is not None:
+        from .utils import memory
+
+        text_encoder.params = memory.offload_to_host(text_encoder.params)
+
+    rng = jax.random.PRNGKey(config.seed)
+    out_dir = config.output_folder or "videos/interactive"
+    for row, conds in zip(rows, all_conds):
+        cross_list = [pipe.prepare_condition(c) for c in conds]
         rng, sub = jax.random.split(rng)
         noise = jax.random.normal(
             sub, (1, config.num_output_frames, geom.channels, geom.height, geom.width),
