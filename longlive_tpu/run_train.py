@@ -126,11 +126,18 @@ def main():
     if ndev > 1:
         # mesh layout from yaml: parallel: {dp: N, fsdp: M}; default = pure
         # FSDP over all devices (reference `sharding_strategy: full/hybrid`,
-        # longlive_train_init.yaml:26)
+        # longlive_train_init.yaml:26).  dp*fsdp may select a subset of the
+        # visible devices; dp=fsdp=1 forces a single-device run (useful on
+        # hosts where many-virtual-device CPU collectives starve).
         par = raw.get("parallel") or {}
         dp = int(par.get("dp", 1))
         fsdp_n = int(par.get("fsdp", ndev // dp))
-        mesh = M.make_mesh(dp=dp, fsdp=fsdp_n)
+        if dp * fsdp_n == 1:
+            mesh = None
+        else:
+            mesh = M.make_mesh(dp=dp, fsdp=fsdp_n,
+                               devices=jax.devices()[: dp * fsdp_n])
+    if mesh is not None:
         gen_params = M.shard_params(gen_params, mesh)
         teacher_params = M.shard_params(teacher_params, mesh)
         critic_params = M.shard_params(critic_params, mesh)

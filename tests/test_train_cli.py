@@ -24,6 +24,11 @@ def test_run_train_tiny(tmp_path, monkeypatch):
         "model_kwargs": {"timestep_shift": 5.0, "local_attn_size": 4, "sink_size": 1},
         "image_or_video_shape": [1, 4, 4, 8, 8],
         "negative_prompt": "low quality",
+        # single-device: the 8-virtual-device CPU FSDP path is covered by
+        # dryrun_multichip + tests/test_training.py; running the full CLI
+        # loop sharded starves XLA:CPU's collective rendezvous on small
+        # hosts (AwaitAndLogIfStuck abort on 1-core runners)
+        "parallel": {"dp": 1, "fsdp": 1},
     }
     cfg_path = tmp_path / "tiny.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
