@@ -1,0 +1,96 @@
+"""Pipelined serving: overlap VAE decode with next-segment generation.
+
+The reference decodes the whole video serially AFTER generation (22 s on
+H100, vae.py:545-569, reports.md:37).  Our single-chip path already streams
+the decode per segment; this module goes one step further for multi-chip
+serving: the causal DiT generates on one device (or an ``sp`` mesh) while
+the VAE decodes the PREVIOUS segment on another device.  JAX dispatch is
+asynchronous, so simply issuing the decode for segment ``n`` before blocking
+on generation of segment ``n+1`` overlaps the two on disjoint devices — no
+threads, no streams, no host synchronization; the latents hop devices via an
+async ICI copy.
+
+Steady-state wall time per segment = max(T_generate, T_decode) instead of
+their sum (~250 ms/latent-frame of VAE decode disappears behind the ~400 ms
+DiT time on v5e; on a v5e-4 SP mesh the DiT drops to ~120 ms/frame and the
+decode chip becomes the critical path).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import vae as V
+from .causal_inference import CausalInferencePipeline
+
+
+class PipelinedRenderer:
+    """Drives generate -> transfer -> decode with segment-level overlap.
+
+    pipe:          a CausalInferencePipeline (optionally SP-meshed).
+    vae_params:    VAE parameter pytree; placed on ``decode_device``.
+    decode_device: device for the VAE stream (default: last visible device;
+                   pass the generation device to run serially on one chip).
+    segment_frames: latent frames per pipeline stage (multiple of the
+                   pipeline's frame block; larger = better dispatch
+                   amortization, smaller = lower first-frame latency).
+    """
+
+    def __init__(
+        self,
+        pipe: CausalInferencePipeline,
+        vae_params: dict,
+        vae_cfg: V.VAEConfig,
+        segment_frames: int = 12,
+        decode_device: Optional[jax.Device] = None,
+    ):
+        assert segment_frames % pipe.frame_block == 0
+        self.pipe = pipe
+        self.vcfg = vae_cfg
+        self.segment_frames = segment_frames
+        self.decode_device = decode_device or jax.devices()[-1]
+        self.vae_params = jax.device_put(vae_params, self.decode_device)
+        dd = self.decode_device
+        self._decode_first = jax.jit(
+            lambda p, z: V.vae_decode_scan(p, vae_cfg, z, None, True), device=dd)
+        self._decode_rest = jax.jit(
+            lambda p, z, c: V.vae_decode_scan(p, vae_cfg, z, c, False), device=dd)
+
+    def render(
+        self,
+        noise: jax.Array,  # [B, T, C, H, W]
+        cross_kv,
+        rng: Optional[jax.Array] = None,
+        dtype=jnp.bfloat16,
+    ) -> jax.Array:
+        """Returns pixels [B, 1 + 4*(T-1), 3, H*8, W*8] in [-1, 1].
+
+        Dispatch order per segment i: generate(i) -> copy(i) -> decode(i);
+        none of these block the host, so decode(i) (on the decode device)
+        runs concurrently with generate(i+1) (on the generation device).
+        """
+        b, t = noise.shape[:2]
+        seg = self.segment_frames
+        pipe = self.pipe
+        rng = rng if rng is not None else jax.random.PRNGKey(pipe.config.seed)
+        cache = None
+        vae_caches = None
+        pixel_segs: List[jax.Array] = []
+        start = 0
+        while start < t:
+            n = min(seg, t - start)
+            lat, cache, rng = pipe.generate_latents_scanned(
+                noise[:, start : start + n], cross_kv, rng=rng, cache=cache,
+                start_frame=start)
+            lat_d = jax.device_put(lat.astype(dtype), self.decode_device)
+            if start == 0:
+                px, vae_caches = self._decode_first(self.vae_params, lat_d)
+            else:
+                px, vae_caches = self._decode_rest(self.vae_params, lat_d,
+                                                   vae_caches)
+            pixel_segs.append(px)
+            start += n
+        return jnp.concatenate(pixel_segs, axis=1)

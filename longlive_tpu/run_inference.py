@@ -26,6 +26,14 @@ def main():
     ap.add_argument("--use_ema", action="store_true")
     ap.add_argument("--max_prompts", type=int, default=None)
     ap.add_argument("--num_output_frames", type=int, default=None)
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel degree for the DiT (devices 0..sp-1)")
+    ap.add_argument("--decode_device", type=int, default=None,
+                    help="device index for the VAE stream; decode of segment "
+                         "n overlaps generation of segment n+1 when it is "
+                         "not a generation device")
+    ap.add_argument("--segment_frames", type=int, default=12,
+                    help="latent frames per pipelined segment")
     args = ap.parse_args()
 
     config = load_pipeline_config(args.config_path)
@@ -39,7 +47,22 @@ def main():
     vae_params, vcfg = loading.load_vae_params(config)
     text_encoder = loading.load_text_encoder(config)
 
-    pipe = CausalInferencePipeline(config, params, geometry=geom, dit_config=cfg)
+    mesh = None
+    if args.sp > 1:
+        from .parallel import mesh as M
+
+        assert len(jax.devices()) >= args.sp, "not enough devices for --sp"
+        mesh = M.make_mesh(dp=1, fsdp=1, sp=args.sp,
+                           devices=jax.devices()[: args.sp])
+    pipe = CausalInferencePipeline(config, params, geometry=geom,
+                                   dit_config=cfg, mesh=mesh)
+    renderer = None
+    if args.decode_device is not None:
+        from .pipeline import PipelinedRenderer
+
+        renderer = PipelinedRenderer(
+            pipe, vae_params, vcfg, segment_frames=args.segment_frames,
+            decode_device=jax.devices()[args.decode_device])
 
     if config.data_path and os.path.exists(config.data_path) and text_encoder:
         rows = shard(TextDataset(config.data_path), jax.process_index(),
@@ -76,8 +99,12 @@ def main():
             sub, (1, config.num_output_frames, geom.channels, geom.height, geom.width),
             jnp.float32,
         )
-        latents = pipe.generate_latents(noise, cross, rng=sub, profile=config.profile)
-        pixels = decode(vae_params, latents.astype(jnp.bfloat16))
+        if renderer is not None:
+            pixels = renderer.render(noise, cross, rng=sub)
+        else:
+            latents = pipe.generate_latents(noise, cross, rng=sub,
+                                            profile=config.profile)
+            pixels = decode(vae_params, latents.astype(jnp.bfloat16))
         path = os.path.join(out_dir, f"video_{row['idx']:04d}.mp4")
         write_video(path, to_video_array(pixels), fps=16)
         print(f"wrote {path}")

@@ -1,0 +1,54 @@
+"""PipelinedRenderer (two-device generate/decode overlap) == sequential."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longlive_tpu.config import PipelineConfig, tiny_dit_config, tiny_geometry
+from longlive_tpu.models import dit as D
+from longlive_tpu.models import vae as V
+from longlive_tpu.pipeline import CausalInferencePipeline, PipelinedRenderer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32, zero_head=False)
+    pconfig = PipelineConfig(
+        denoising_step_list=(1000, 500), warp_denoising_step=True,
+        num_frame_per_block=cfg.num_frame_per_block, timestep_shift=5.0,
+        local_attn_size=cfg.local_attn_size, sink_size=cfg.sink_size,
+        num_output_frames=6, context_noise=0, global_sink=False)
+    vcfg = V.tiny_vae_config()
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), vcfg, jnp.float32)
+    return cfg, geom, params, pconfig, vcfg, vae_params
+
+
+def test_pipelined_render_matches_sequential(setup):
+    cfg, geom, params, pconfig, vcfg, vae_params = setup
+    pipe = CausalInferencePipeline(pconfig, params, geometry=geom,
+                                   dit_config=cfg, attn_impl="xla")
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
+    cross = pipe.prepare_condition(pe)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 6, geom.channels, geom.height, geom.width))
+
+    # sequential reference: full generation, then one streaming decode
+    lat, _, _ = pipe.generate_latents_scanned(noise, cross)
+    lat_z = lat[:, :, : vcfg.z_dim].astype(jnp.float32)
+    px_ref, _ = V.vae_decode_scan(vae_params, vcfg, lat_z, None, True)
+
+    # pipelined: segments of 2 frames, decode on a second device
+    renderer = PipelinedRenderer(
+        pipe, vae_params, vcfg, segment_frames=2,
+        decode_device=jax.devices()[1])
+    # tiny DiT emits out_dim = z_dim channels already
+    px_pipe = renderer.render(noise, cross, dtype=jnp.float32)
+
+    assert px_pipe.shape == px_ref.shape
+    np.testing.assert_allclose(np.asarray(px_ref), np.asarray(px_pipe),
+                               rtol=2e-4, atol=2e-4)
+    # output landed on the decode device
+    assert jax.devices()[1] in {d for d in px_pipe.devices()}
