@@ -42,11 +42,17 @@ class Text2VideoPipeline:
     causal pipelines): pass prompt embeddings in, get latents out.
     """
 
-    def __init__(self, params: dict, cfg: DiTConfig, attn_impl: str = "auto"):
+    def __init__(self, params: dict, cfg: DiTConfig, attn_impl: str = "auto",
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.attn_impl = attn_impl
         self.tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+        # Ulysses SP over the mesh's `sp` axis — the reference wires its
+        # vendored xDiT context parallelism into exactly this path
+        # (wan/text2video.py:87-97); here it is parallel.sequence
+        self.mesh = mesh
+        self.sp = int(mesh.shape["sp"]) if mesh is not None and "sp" in mesh.shape else 1
         self._fn_cache = {}
 
     def prepare_condition(self, prompt_embeds: jax.Array) -> CrossKV:
@@ -58,14 +64,23 @@ class Text2VideoPipeline:
             return self._fn_cache[key]
         cfg, tables, attn_impl = self.cfg, self.tables, self.attn_impl
 
+        mesh, sp = self.mesh, self.sp
+
         def run(params, noise, cross_both: CrossKV, coeffs: SV.SolverCoeffs):
             b = noise.shape[0]
 
             def model_fn(x, t):
                 xx = jnp.concatenate([x, x], axis=0)
                 tt = jnp.full((2 * b,), t, jnp.float32)
-                out = bidirectional_forward(params, cfg, tables, xx, tt,
-                                            cross_both, attn_impl=attn_impl)
+                if sp > 1:
+                    from ..parallel.sequence import sp_bidirectional_forward
+
+                    out = sp_bidirectional_forward(
+                        params, cfg, tables, mesh, xx, tt, cross_both,
+                        attn_impl=attn_impl)
+                else:
+                    out = bidirectional_forward(params, cfg, tables, xx, tt,
+                                                cross_both, attn_impl=attn_impl)
                 cond, uncond = out[:b], out[b:]
                 return uncond + guide_scale * (cond - uncond)
 

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--use_ema", action="store_true")
     ap.add_argument("--max_prompts", type=int, default=None)
     ap.add_argument("--num_output_frames", type=int, default=None)
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel degree for the DiT (devices 0..sp-1)")
     args = ap.parse_args()
 
     config = load_pipeline_config(args.config_path)
@@ -39,8 +41,15 @@ def main():
     vae_params, vcfg = loading.load_vae_params(config)
     text_encoder = loading.load_text_encoder(config)
 
+    mesh = None
+    if args.sp > 1:
+        from .parallel import mesh as M
+
+        assert len(jax.devices()) >= args.sp, "not enough devices for --sp"
+        mesh = M.make_mesh(dp=1, fsdp=1, sp=args.sp,
+                           devices=jax.devices()[: args.sp])
     pipe = InteractiveCausalInferencePipeline(config, params, geometry=geom,
-                                              dit_config=cfg)
+                                              dit_config=cfg, mesh=mesh)
     switch_indices = list(config.switch_frame_indices)
 
     if config.data_path and os.path.exists(config.data_path) and text_encoder:

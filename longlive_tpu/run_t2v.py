@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--negative_prompt", default="")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--output", default="videos/t2v.mp4")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="Ulysses sequence-parallel degree (t2v only; the "
+                         "reference wires xDiT SP into exactly this path, "
+                         "wan/text2video.py:87-97)")
     ap.add_argument("--tiny_debug", action="store_true",
                     help="tiny random-weight model (CI / smoke runs)")
     args = ap.parse_args()
@@ -132,7 +136,14 @@ def main():
             sampling_steps=args.steps, shift=args.shift,
             guide_scale=args.guide_scale, solver=args.solver)
     else:
-        pipe = Text2VideoPipeline(params, cfg)
+        mesh = None
+        if args.sp > 1:
+            from .parallel import mesh as M
+
+            assert len(jax.devices()) >= args.sp, "not enough devices for --sp"
+            mesh = M.make_mesh(dp=1, fsdp=1, sp=args.sp,
+                               devices=jax.devices()[: args.sp])
+        pipe = Text2VideoPipeline(params, cfg, mesh=mesh)
         latents = pipe.generate_latents(
             cond, null, rng=rng, latent_shape=shape,
             sampling_steps=args.steps, shift=args.shift,

@@ -129,3 +129,21 @@ def test_recache_parity(setup):
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(new_s.ring_base),
                                np.asarray(new_p.ring_base))
+
+
+def test_t2v_sampler_sp_parity(setup):
+    """Text2VideoPipeline(mesh=) runs the 50-step sampler through
+    sp_bidirectional_forward — must match the single-device sampler."""
+    from longlive_tpu.pipeline import Text2VideoPipeline
+
+    cfg, geom, params, pconfig, mesh = setup
+    t2v = Text2VideoPipeline(params, cfg, attn_impl="xla")
+    t2v_sp = Text2VideoPipeline(params, cfg, attn_impl="xla", mesh=mesh)
+    pe = jax.random.normal(jax.random.PRNGKey(10), (1, cfg.text_len, cfg.text_dim))
+    nz = jax.random.normal(
+        jax.random.PRNGKey(11), (1, 3, geom.channels, geom.height, geom.width))
+    kw = dict(noise=nz, sampling_steps=4, solver="unipc", dtype=jnp.float32)
+    lat = t2v.generate_latents(pe, pe * 0, **kw)
+    lat_sp = t2v_sp.generate_latents(pe, pe * 0, **kw)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_sp),
+                               rtol=5e-4, atol=5e-4)
