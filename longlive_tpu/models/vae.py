@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, List, Optional, Tuple
 
 import jax
@@ -32,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import nn
+from ..ops import vae_conv as _vc
 
 CACHE_T = 2
 
@@ -211,6 +213,58 @@ def _apply_conv3d(x, p, stride=(1, 1, 1), spatial_pad="same"):
     return conv3d(x, p["w"], p.get("b"), stride, spatial_pad)
 
 
+def _fusable(x, p, thread: _CacheThread, stride) -> bool:
+    """True when the fused Pallas causal-conv kernel (ops/vae_conv.py)
+    covers this conv: cached streaming mode, B==1, bf16-path k=3x3x3
+    stride-1 convs wide enough for the MXU (C,O >= 96)."""
+    if thread.caches is None or "w" not in p or stride != (1, 1, 1):
+        return False
+    w = p["w"]
+    if tuple(w.shape[2:]) != (3, 3, 3) or x.shape[0] != 1:
+        return False
+    if x.shape[3] % 8 or x.shape[2] % 2:  # kernel tiling needs W%8, H%th
+        return False
+    # default OFF: the kernel is numerically exact but not yet faster than
+    # the XLA path on v5e (see PERF.md round-1 kernel log); opt in with
+    # LONGLIVE_VAE_FUSED=1, or =interpret for CPU tests
+    mode = os.environ.get("LONGLIVE_VAE_FUSED", "0")
+    if mode == "0":
+        return False
+    if mode == "interpret":  # tests: run the kernel anywhere, interpreted
+        return True
+    # narrow convs (decoder conv1 C=16, 3-channel heads) stay on XLA — the
+    # MXU gains nothing below one lane tile and the concat they save is tiny
+    if w.shape[0] < 96 or w.shape[1] < 96:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _fused_conv(x, p, thread: _CacheThread, gamma=None, residual=None):
+    """Dispatch to ops.vae_conv.fused_causal_conv (B folded out)."""
+    cache = thread.pull().astype(x.dtype)
+    out, nx = _vc.fused_causal_conv(
+        x[0], cache[0], p["w"], p.get("b"), gamma,
+        None if residual is None else residual[0],
+        interpret=os.environ.get("LONGLIVE_VAE_FUSED") == "interpret",
+    )
+    thread.push(nx[None])
+    return out[None]
+
+
+def norm_silu_causal_conv(x, gamma, p, thread: _CacheThread, residual=None):
+    """silu(rms_norm_channel(x, gamma)) -> causal conv3d [-> + residual]:
+    the res_block hot pattern (vae.py:186-220), fused into one Pallas kernel
+    on the TPU streaming path."""
+    if _fusable(x, p, thread, (1, 1, 1)):
+        return _fused_conv(x, p, thread, gamma=gamma, residual=residual)
+    y = rms_norm_channel(x, gamma)
+    y = nn.silu(y)
+    y = causal_conv3d(y, p, thread)
+    if residual is not None:
+        y = y + residual
+    return y
+
+
 def causal_conv3d(x, p, thread: _CacheThread, stride=(1, 1, 1)):
     """CausalConv3d with explicit 2-frame input cache (vae.py:17-36).
     x: [B,T,H,W,C].  Uncached mode (thread.caches None) zero-pads."""
@@ -238,13 +292,8 @@ def res_block(x, p, thread: _CacheThread):
     if p.get("shortcut") is not None:
         sc_thread = _CacheThread(None)
         h = causal_conv3d(x, p["shortcut"], sc_thread)  # 1x1x1, no cache use
-    y = rms_norm_channel(x, p["norm1"])
-    y = nn.silu(y)
-    y = causal_conv3d(y, p["conv1"], thread)
-    y = rms_norm_channel(y, p["norm2"])
-    y = nn.silu(y)
-    y = causal_conv3d(y, p["conv2"], thread)
-    return y + h
+    y = norm_silu_causal_conv(x, p["norm1"], p["conv1"], thread)
+    return norm_silu_causal_conv(y, p["norm2"], p["conv2"], thread, residual=h)
 
 
 def attention_block(x, p):
@@ -293,6 +342,14 @@ def resample_up(x, p, thread: _CacheThread, temporal: bool, first_frame: bool):
                 # next chunk's window is [0, 0, x] like the reference
                 # (vae.py:120-127 zero-fills the short cache).
                 thread.push(jnp.zeros_like(cache))
+            elif _fusable(x, p["time_conv"], thread, (1, 1, 1)):
+                # re-insert the pulled cache: _fused_conv pulls it itself
+                thread.idx -= 1
+                y = _fused_conv(x, p["time_conv"], thread)
+                b, t, h, w, c2 = y.shape
+                c = c2 // 2
+                y = y.reshape(b, t, h, w, 2, c).transpose(0, 1, 4, 2, 3, 5)
+                x = y.reshape(b, t * 2, h, w, c)
             else:
                 full = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
                 thread.push(full[:, -CACHE_T:])
@@ -361,9 +418,7 @@ def decoder_apply(params, cfg: VAEConfig, z, caches, first_frame: bool):
         if i != len(cfg.dim_mult) - 1:
             x = resample_up(x, params["upsamples"][bi], thread, ups[i], first_frame)
             bi += 1
-    x = rms_norm_channel(x, params["head_norm"])
-    x = nn.silu(x)
-    x = causal_conv3d(x, params["head_conv"], thread)
+    x = norm_silu_causal_conv(x, params["head_norm"], params["head_conv"], thread)
     return x, (thread.out if caches is not None else None)
 
 
@@ -384,9 +439,7 @@ def encoder_apply(params, cfg: VAEConfig, x, caches, first_chunk: bool):
     y = res_block(y, params["middle"][0], thread)
     y = attention_block(y, params["middle"][1])
     y = res_block(y, params["middle"][2], thread)
-    y = rms_norm_channel(y, params["head_norm"])
-    y = nn.silu(y)
-    y = causal_conv3d(y, params["head_conv"], thread)
+    y = norm_silu_causal_conv(y, params["head_norm"], params["head_conv"], thread)
     return y, (thread.out if caches is not None else None)
 
 

@@ -1,0 +1,82 @@
+"""Parity tests for the fused causal-conv Pallas kernel (ops/vae_conv.py)
+against the XLA concat path — the kernel replaces the reference's
+CausalConv3d concat + norm + conv shape (vae.py:17-36, 186-220) on the TPU
+streaming decode path.  Run here in interpret mode on CPU."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longlive_tpu.models import nn as lnn
+from longlive_tpu.models import vae as V
+from longlive_tpu.ops.vae_conv import fused_causal_conv
+
+
+@pytest.mark.parametrize(
+    "t,h,w,c,o,norm,res",
+    [
+        (1, 8, 16, 8, 8, False, False),
+        (2, 8, 16, 8, 12, True, False),
+        (4, 16, 16, 8, 8, True, True),
+        (4, 8, 24, 16, 8, False, False),
+        (1, 8, 16, 136, 8, True, False),  # lane-padding path (C>128, %128!=0)
+    ],
+)
+def test_kernel_matches_concat_conv(t, h, w, c, o, norm, res):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((t, h, w, c)), jnp.float32)
+    cache = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((o, c, 3, 3, 3)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((c,)), jnp.float32) if norm else None
+    residual = (
+        jnp.asarray(rng.standard_normal((t, h, w, o)), jnp.float32) if res else None
+    )
+
+    xin = x
+    if norm:
+        xin = lnn.silu(V.rms_norm_channel(x[None], gamma)[0])
+    full = jnp.concatenate([cache, xin], axis=0)
+    ref = V.conv3d(full[None], wt, b)[0]
+    if res:
+        ref = ref + residual
+    ref_cache = full[-2:]
+
+    out, nc = fused_causal_conv(x, cache, wt, b, gamma, residual, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nc), np.asarray(ref_cache), atol=1e-5)
+
+
+def test_streaming_decode_parity_fused_vs_xla():
+    """Two streaming chunks through the tiny decoder, fused vs legacy."""
+    cfg = V.tiny_vae_config()
+    params = V.init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, cfg.z_dim, 8, 8), jnp.float32)
+
+    prev = os.environ.get("LONGLIVE_VAE_FUSED")
+    try:
+        os.environ["LONGLIVE_VAE_FUSED"] = "0"
+        caches = V.init_decoder_caches(params, cfg, 1, 8, 8, jnp.float32)
+        r0, cr = V.vae_decode_chunk(params, cfg, z[:, :1], caches, True)
+        r1, cr = V.vae_decode_chunk(params, cfg, z[:, 1:2], cr, False)
+
+        os.environ["LONGLIVE_VAE_FUSED"] = "interpret"
+        caches = V.init_decoder_caches(params, cfg, 1, 8, 8, jnp.float32)
+        f0, cf = V.vae_decode_chunk(params, cfg, z[:, :1], caches, True)
+        f1, cf = V.vae_decode_chunk(params, cfg, z[:, 1:2], cf, False)
+    finally:
+        if prev is None:
+            os.environ.pop("LONGLIVE_VAE_FUSED", None)
+        else:
+            os.environ["LONGLIVE_VAE_FUSED"] = prev
+
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(r0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(r1), atol=2e-4)
+    for a, b_ in zip(cf, cr):
+        c_true = b_.shape[-1]
+        np.testing.assert_allclose(
+            np.asarray(a)[..., :c_true], np.asarray(b_), atol=1e-5
+        )
