@@ -224,10 +224,10 @@ def _fusable(x, p, thread: _CacheThread, stride) -> bool:
         return False
     if x.shape[3] % 8 or x.shape[2] % 2:  # kernel tiling needs W%8, H%th
         return False
-    # default OFF: the kernel is numerically exact but not yet faster than
-    # the XLA path on v5e (see PERF.md round-1 kernel log); opt in with
-    # LONGLIVE_VAE_FUSED=1, or =interpret for CPU tests
-    mode = os.environ.get("LONGLIVE_VAE_FUSED", "0")
+    # =0 disables (XLA concat path), =interpret runs the kernel
+    # interpreted for CPU tests; default on (TPU decode: 253 -> 239
+    # ms/latent-frame)
+    mode = os.environ.get("LONGLIVE_VAE_FUSED", "1")
     if mode == "0":
         return False
     if mode == "interpret":  # tests: run the kernel anywhere, interpreted
@@ -235,6 +235,13 @@ def _fusable(x, p, thread: _CacheThread, stride) -> bool:
     # narrow convs (decoder conv1 C=16, 3-channel heads) stay on XLA — the
     # MXU gains nothing below one lane tile and the concat they save is tiny
     if w.shape[0] < 96 or w.shape[1] < 96:
+        return False
+    # The full-res 96-channel stage pays a (128/96)^2 zero-lane MXU tax
+    # that cancels the kernel's advantage over XLA (measured: 17.7 ms
+    # fused vs ~11.5 ms XLA conv+concat+norm per stage3 conv) — keep it on
+    # the XLA path.  Wider stages win: 192ch 9.6 vs ~11.5 ms, 384ch 0.41
+    # vs ~0.7 ms, 384->768 time conv 5.4 vs ~9 ms.
+    if w.shape[0] < 128:
         return False
     return jax.default_backend() == "tpu"
 
@@ -257,6 +264,8 @@ def norm_silu_causal_conv(x, gamma, p, thread: _CacheThread, residual=None):
     on the TPU streaming path."""
     if _fusable(x, p, thread, (1, 1, 1)):
         return _fused_conv(x, p, thread, gamma=gamma, residual=residual)
+    if x.shape[-1] != gamma.shape[0]:
+        x = x[..., : gamma.shape[0]]  # strip fused-path lane padding
     y = rms_norm_channel(x, gamma)
     y = nn.silu(y)
     y = causal_conv3d(y, p, thread)
@@ -334,6 +343,13 @@ def upsample2d_nearest(x2d):
 def resample_up(x, p, thread: _CacheThread, temporal: bool, first_frame: bool):
     """Resample upsample2d/3d (vae.py:76-86, 101-141).  In streaming mode the
     first latent frame skips the temporal conv ('Rep' marker)."""
+    if temporal and "time_conv" in p:
+        tc = p["time_conv"]
+        ci = tc["w"].shape[1] if "w" in tc else tc["w_int8"].shape[3]
+    else:
+        ci = p["conv"]["w"].shape[1]
+    if x.shape[-1] != ci:
+        x = x[..., :ci]  # strip fused-path lane padding at stage boundary
     if temporal:
         if thread.caches is not None:
             cache = thread.pull()
@@ -374,6 +390,9 @@ def resample_up(x, p, thread: _CacheThread, temporal: bool, first_frame: bool):
 
 def resample_down(x, p, thread: _CacheThread, temporal: bool, first_chunk: bool):
     """Resample downsample2d/3d (vae.py:87-96, 143-159)."""
+    ci = p["conv"]["w"].shape[1]
+    if x.shape[-1] != ci:
+        x = x[..., :ci]  # strip fused-path lane padding at stage boundary
     x = _spatial(
         lambda z: conv2d(
             jnp.pad(z, [(0, 0), (0, 1), (0, 1), (0, 0)]),

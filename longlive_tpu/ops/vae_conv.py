@@ -14,24 +14,40 @@ This kernel removes all of it for the hot kt=3, unit-temporal-stride convs:
 - the three temporal taps are read directly from the cache frames and the
   current chunk (no concatenated buffer ever exists);
 - the RMS-norm + SiLU prologue of ``res_block`` (vae.py:186-220) is applied
-  in VMEM on the raw input tile, so the normalized activation never round-
-  trips through HBM;
-- the residual add of ``res_block`` is an epilogue;
-- the conv itself is an implicit GEMM: 27 (tap, dy, dx) shifted [rows, C] x
-  [C, O] matmuls accumulated in f32 — the same contraction XLA performs,
-  without the layout passes;
-- the next call's cache frames (i.e. the *normalized* last two input frames,
+  once in VMEM staging buffers, so the normalized activation never
+  round-trips through HBM;
+- the bias add and the residual add of ``res_block`` are epilogues;
+- the next call's cache frames (the *normalized* last two input frames,
   exactly what the reference's ``feat_cache`` holds) are emitted as a side
   output, so the cache update is free.
 
-Spatial SAME padding is handled in VMEM (halo rows DMA'd per tile, border
-rows/cols zeroed), time-causal padding by the caller handing in zero cache
-frames for the first chunk — identical semantics to the reference.
+The conv itself is ONE implicit-GEMM per grid step, shaped for the MXU and
+for VMEM bandwidth (the v1 design — 27 small [rows,C]x[C,O] matmuls — was
+VMEM-read-bound re-streaming the same activations 27x):
 
-Layout: frames are [T, H, W, C] channels-last; weights arrive in the torch
-[O, I, kt, kh, kw] layout and are re-packed once per call to [27, C, O]
-(tap-major).  B == 1 only — the streaming decode path; wider batches fall
-back to the XLA path in models/vae.py.
+- K packs (temporal tap x kernel row): the kernel-row (dy) shift is free at
+  copy time (row offsets are unconstrained), so 9 row-shifted VMEM copies
+  from the staging buffers build a [rows, W, 9*C] operand and the whole
+  stencil-row/tap reduction happens inside one MXU contraction;
+- N packs the 3 kernel-column (dx) variants of each O tile, so the
+  activation operand is read once for all 27 taps;
+- the dx column shifts are applied to the f32 result: in the flattened
+  [rows*W, .] layout a column shift is a row shift, i.e. a cheap 32-bit
+  sublane roll whose wrap lands in zeroed pad columns (a middle-dim roll
+  on the 3D view lowers to a catastrophe of shuffles — measured);
+- channel counts are zero-padded to lane tiles (96->128, 192->256): Mosaic
+  slices/DMAs need 128-multiple lane extents, and zero lanes are exact
+  (zero weights, zero norm contributions).  MXU time is unchanged — a
+  masked 96-lane tile costs the same as a padded 128-lane tile.
+
+Spatial SAME padding: halo rows are part of the staged tiles, border
+rows/cols zeroed in VMEM.  Time-causal padding: the caller hands in zero
+cache frames for the first chunk — identical semantics to the reference.
+
+Layout: frames [T, H, W, C] channels-last; weights arrive in the torch
+[O, I, kt, kh, kw] layout and are re-packed per call (small, fused by XLA).
+B == 1 only — the streaming decode path; wider batches fall back to the XLA
+path in models/vae.py.
 """
 
 from __future__ import annotations
@@ -59,15 +75,16 @@ def _norm_silu_tile(tile_f32: jax.Array, gamma: jax.Array, out_dtype,
 
 
 def _fused_kernel(
-    # refs (order: gamma?, bias?, residual?, w, cache, x, out, nx, scratch...)
+    # refs (order: gamma?, bias?, residual?, w, cache, x, out, nx,
+    #        stage0, stage1, stage2, kbuf, sems)
     *refs,
     th: int,
     bo: int,
     t_frames: int,
-    height: int,
     width: int,
     n_rows: int,
     true_c: int,
+    cp: int,
     apply_norm: bool,
     has_bias: bool,
     has_residual: bool,
@@ -84,78 +101,80 @@ def _fused_kernel(
         res_ref = refs[idx]; idx += 1
     w_ref, cache_ref, x_ref = refs[idx], refs[idx + 1], refs[idx + 2]
     out_ref, nx_ref = refs[idx + 3], refs[idx + 4]
-    tap0_ref, tap1_ref, tap2_ref, sem_ref = refs[idx + 5 : idx + 9]
+    stage_refs = refs[idx + 5 : idx + 8]
+    kbuf_ref, sems_ref = refs[idx + 8], refs[idx + 9]
 
     r = pl.program_id(0)
     t = pl.program_id(1)
     o = pl.program_id(2)
     num_r = pl.num_programs(0)
 
-    def _load(src_ref, src_idx, tap_ref, normalize, nx_idx):
-        """DMA rows [r*th-1, r*th+th] of frame ``src_idx`` into ``tap_ref``
-        (halo-padded), zero the borders, optionally norm+silu, optionally
-        emit the tile to nx[nx_idx] (the next cache frames).  The tap refs
-        are static — Mosaic cannot slice a dynamically-indexed buffer whose
-        lane dim is not a multiple of 128 (e.g. C=192)."""
+    def _load_stage(src_ref, src_idx, stage_ref, normalize, nx_idx):
+        """DMA rows [r*th-1, r*th+th] of frame ``src_idx`` into a staging
+        buffer (halo rows included), zero the borders, optionally
+        norm+silu, optionally emit the tile to nx[nx_idx] (the next cache
+        frames)."""
         row0 = r * th - 1
 
         if n_rows == 1:  # single row tile: th == H, zero both halo rows
-            cp = pltpu.make_async_copy(
+            cp_ = pltpu.make_async_copy(
                 src_ref.at[src_idx, pl.ds(0, th)],
-                tap_ref.at[pl.ds(1, th), pl.ds(8, width)],
-                sem_ref,
+                stage_ref.at[pl.ds(1, th), pl.ds(8, width)],
+                sems_ref.at[0],
             )
-            cp.start()
-            cp.wait()
-            tap_ref[0:1] = jnp.zeros_like(tap_ref[0:1])
-            tap_ref[th + 1 : th + 2] = jnp.zeros_like(tap_ref[th + 1 : th + 2])
+            cp_.start()
+            cp_.wait()
+            stage_ref[0:1] = jnp.zeros_like(stage_ref[0:1])
+            stage_ref[th + 1 : th + 2] = jnp.zeros_like(
+                stage_ref[th + 1 : th + 2]
+            )
         else:
             @pl.when(r == 0)
             def _top():
-                cp = pltpu.make_async_copy(
+                cp_ = pltpu.make_async_copy(
                     src_ref.at[src_idx, pl.ds(0, th + 1)],
-                    tap_ref.at[pl.ds(1, th + 1), pl.ds(8, width)],
-                    sem_ref,
+                    stage_ref.at[pl.ds(1, th + 1), pl.ds(8, width)],
+                    sems_ref.at[0],
                 )
-                cp.start()
-                cp.wait()
-                tap_ref[0:1] = jnp.zeros_like(tap_ref[0:1])
+                cp_.start()
+                cp_.wait()
+                stage_ref[0:1] = jnp.zeros_like(stage_ref[0:1])
 
             @pl.when((r > 0) & (r < num_r - 1))
             def _mid():
-                cp = pltpu.make_async_copy(
+                cp_ = pltpu.make_async_copy(
                     src_ref.at[src_idx, pl.ds(row0, th + 2)],
-                    tap_ref.at[pl.ds(0, th + 2), pl.ds(8, width)],
-                    sem_ref,
+                    stage_ref.at[pl.ds(0, th + 2), pl.ds(8, width)],
+                    sems_ref.at[0],
                 )
-                cp.start()
-                cp.wait()
+                cp_.start()
+                cp_.wait()
 
             @pl.when((r == num_r - 1) & (r > 0))
             def _bot():
-                cp = pltpu.make_async_copy(
+                cp_ = pltpu.make_async_copy(
                     src_ref.at[src_idx, pl.ds(row0, th + 1)],
-                    tap_ref.at[pl.ds(0, th + 1), pl.ds(8, width)],
-                    sem_ref,
+                    stage_ref.at[pl.ds(0, th + 1), pl.ds(8, width)],
+                    sems_ref.at[0],
                 )
-                cp.start()
-                cp.wait()
-                tap_ref[th + 1 : th + 2] = jnp.zeros_like(
-                    tap_ref[th + 1 : th + 2]
+                cp_.start()
+                cp_.wait()
+                stage_ref[th + 1 : th + 2] = jnp.zeros_like(
+                    stage_ref[th + 1 : th + 2]
                 )
 
         # zero the border columns (SAME padding): data occupies columns
         # [8, 8+W); cols [0,8) and [W+8, W+16) are the pad, all offsets
         # 8-aligned for Mosaic's sublane tiling
-        tap_ref[:, 0:8] = jnp.zeros_like(tap_ref[:, 0:8])
-        tap_ref[:, width + 8 : width + 16] = jnp.zeros_like(
-            tap_ref[:, width + 8 : width + 16]
+        stage_ref[:, 0:8] = jnp.zeros_like(stage_ref[:, 0:8])
+        stage_ref[:, width + 8 : width + 16] = jnp.zeros_like(
+            stage_ref[:, width + 8 : width + 16]
         )
 
         if normalize:
-            tile = tap_ref[...].astype(jnp.float32)
-            tap_ref[...] = _norm_silu_tile(
-                tile, gamma_ref[0].astype(jnp.float32), tap_ref.dtype, true_c
+            tile = stage_ref[...].astype(jnp.float32)
+            stage_ref[...] = _norm_silu_tile(
+                tile, gamma_ref[0].astype(jnp.float32), stage_ref.dtype, true_c
             )
 
         # next-call cache frames: virtual frame u = src_idx + 2 (x frames),
@@ -163,65 +182,73 @@ def _fused_kernel(
         if nx_idx is not None:
             @pl.when(nx_idx >= 0)
             def _emit():
-                cp = pltpu.make_async_copy(
-                    tap_ref.at[pl.ds(1, th), pl.ds(8, width)],
+                cp_ = pltpu.make_async_copy(
+                    stage_ref.at[pl.ds(1, th), pl.ds(8, width)],
                     nx_ref.at[nx_idx, pl.ds(r * th, th)],
-                    sem_ref,
+                    sems_ref.at[0],
                 )
-                cp.start()
-                cp.wait()
+                cp_.start()
+                cp_.wait()
+
+    def _pack_kbuf():
+        """9 row-shifted VMEM copies staging -> K-packed GEMM operand."""
+        copies = []
+        for tau in range(3):
+            for dy in range(3):
+                kblk = (3 * tau + dy) * cp
+                copies.append(pltpu.make_async_copy(
+                    stage_refs[tau].at[pl.ds(dy, th)],
+                    kbuf_ref.at[:, :, pl.ds(kblk, cp)],
+                    sems_ref.at[3 * tau + dy],
+                ))
+        for c_ in copies:
+            c_.start()
+        for c_ in copies:
+            c_.wait()
 
     # ---- tap loading (only on the first O tile of each (r, t)) ----
-    # taps hold virtual frames [t, t+1, t+2] of [cache0, cache1, x...]; at
-    # each new t the window advances one frame via two VMEM shift-copies
+    # stagings hold virtual frames [t, t+1, t+2] of [cache0, cache1, x...];
+    # at each new t the window advances one frame via two VMEM shift-copies
     @pl.when((o == 0) & (t == 0))
     def _load_initial():
         zero = jnp.zeros((), jnp.int32)
         one = jnp.ones((), jnp.int32)
-        _load(cache_ref, zero, tap0_ref, normalize=False, nx_idx=None)
-        _load(cache_ref, one, tap1_ref, normalize=False, nx_idx=None)
+        _load_stage(cache_ref, zero, stage_refs[0], normalize=False,
+                    nx_idx=None)
+        _load_stage(cache_ref, one, stage_refs[1], normalize=False,
+                    nx_idx=None)
         # x frame 0 -> virtual frame 2; cache-emit when 0 >= T - 2
-        nx0 = jnp.asarray(2 - t_frames, jnp.int32)  # = 0 - (T - 2)
-        _load(x_ref, zero, tap2_ref, normalize=apply_norm, nx_idx=nx0)
+        nx0 = jnp.asarray(2 - t_frames, jnp.int32)
+        _load_stage(x_ref, zero, stage_refs[2], normalize=apply_norm,
+                    nx_idx=nx0)
+        _pack_kbuf()
 
     @pl.when((o == 0) & (t > 0))
     def _load_next():
-        tap0_ref[...] = tap1_ref[...]
-        tap1_ref[...] = tap2_ref[...]
-        _load(x_ref, t, tap2_ref, normalize=apply_norm,
-              nx_idx=t - jnp.asarray(t_frames - 2, jnp.int32))
+        stage_refs[0][...] = stage_refs[1][...]
+        stage_refs[1][...] = stage_refs[2][...]
+        _load_stage(x_ref, t, stage_refs[2], normalize=apply_norm,
+                    nx_idx=t - jnp.asarray(t_frames - 2, jnp.int32))
+        _pack_kbuf()
 
-    # ---- implicit GEMM: 27 shifted matmuls ----
-    # Unaligned second-minor slicing / bf16 sublane rotates are not
-    # available on Mosaic, so the +-1 column shifts are applied on the f32
-    # accumulators instead: matmul over the full padded width into one
-    # accumulator per dx, then three 32-bit rolls recover the stencil
-    # (wraparound lands in the zeroed pad columns).
+    # ---- the GEMM: [th*wp, 9*cp] x [9*cp, 3*bo], all taps in one pass ----
     wp = width + 16
-    c_pad = tap0_ref.shape[-1]
-    # one [th*wp, C] x [C, bo] GEMM per (tap, dy, dx) — keeping rows 3D
-    # makes Mosaic issue th separate small matmuls (measured 17x slower)
-    accs = [jnp.zeros((th * wp, bo), jnp.float32) for _ in range(3)]
-    for tau, tap_ref in enumerate((tap0_ref, tap1_ref, tap2_ref)):
-        tile = tap_ref[...]  # [th+2, W+16, C]
-        for dy in range(3):
-            a = tile[dy : dy + th].reshape(th * wp, c_pad)
-            for dx in range(3):
-                wk = w_ref[tau * 9 + dy * 3 + dx]  # [C, bo]
-                accs[dx] = accs[dx] + jax.lax.dot_general(
-                    a, wk,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-    # Output col w sums input cols w+7+dx.  In the flattened [th*wp, bo]
-    # accumulator a column shift of s is a row shift of s (rows are
-    # h*wp + w), and the wrap between h-blocks lands in the zeroed pad
-    # columns (wp - W = 16 > 9), so the shift is a cheap f32 SUBLANE roll —
-    # a middle-dim roll on the 3D view lowers to a catastrophe of shuffles.
+    lhs = kbuf_ref[...].reshape(th * wp, 9 * cp)
+    out9 = jax.lax.dot_general(
+        lhs, w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [th*wp, 3*bo]
+
+    # Output col w sums input cols w+7+dx.  In the flattened rows a column
+    # shift of s is a row shift of s, and the wrap between h-blocks lands
+    # in the zeroed pad columns (wp - W = 16 > 9): a cheap f32 sublane roll.
     n = th * wp
     acc = sum(
-        pltpu.roll(accs[dx], n - (7 + dx), 0) for dx in range(3)
-    ).reshape(th, wp, bo)[:, 0:width, :]
+        pltpu.roll(out9[:, dx * bo : (dx + 1) * bo], n - (7 + dx), 0)
+        for dx in range(3)
+    )
+    acc = acc.reshape(th, wp, bo)[:, 0:width, :]
 
     if has_bias:
         acc = acc + bias_ref[0].astype(jnp.float32)[None, None, :]
@@ -231,74 +258,70 @@ def _fused_kernel(
     out_ref[0] = y
 
 
-def _pick_tiles(c: int, o: int, h: int, w: int, dtype_bytes: int,
-                budget: float = 12.5e6) -> Tuple[int, int]:
-    """Choose (row-tile, O-tile) fitting the VMEM budget.  th must divide H."""
-    # O tiles must be the full O or a multiple of 128 (Mosaic lane tiling)
-    bo_cands = [o]
-    if o % 256 == 0 and o > 256:
-        bo_cands.append(256)
-    if o % 128 == 0 and o > 128:
-        bo_cands.append(128)
+def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
+                budget: float = 20.0e6) -> Tuple[int, int]:
+    """Choose (row-tile, O-tile) fitting the VMEM budget.  th must divide H;
+    bo must divide O_pad and be a lane-tile multiple (or the whole of a
+    sub-tile O)."""
+    bo_cands = [op]
+    if op % 128 == 0:
+        bo_cands += [b for b in (256, 128) if b < op and op % b == 0]
+    wp = w + 16
     for th in (8, 6, 4, 2):
         if h % th:
             continue
         for bo in bo_cands:
-            taps = 3 * (th + 2) * (w + 16) * c * dtype_bytes
-            wght = 27 * c * bo * dtype_bytes * 2  # double-buffered by pallas
-            accb = 3 * th * (w + 16) * bo * 4 + 2 * th * w * bo * dtype_bytes
-            if taps + wght + accb < budget:
+            kbuf = th * wp * 9 * cp * dtype_bytes
+            stag = 3 * (th + 2) * wp * cp * dtype_bytes
+            wght = 9 * cp * 3 * bo * dtype_bytes * 2  # pallas double-buffers
+            out9 = th * wp * 3 * bo * 4
+            io = 2 * 2 * th * w * bo * dtype_bytes
+            if kbuf + stag + wght + out9 + io < budget:
                 return th, bo
     return 2, min(bo_cands[-1], 128)
 
 
 @functools.partial(jax.jit, static_argnames=("true_c", "interpret"))
-def _fused_causal_conv_impl(x, cache, w27, b, gamma, residual, true_c: int,
+def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
                             interpret: bool = False):
-    t, h, wd, c = x.shape
-    o = w27.shape[-1]
-    th, bo = _pick_tiles(c, o, h, wd, x.dtype.itemsize)
-    grid = (h // th, t, o // bo if o % bo == 0 else -(-o // bo))
-    o_pad = grid[2] * bo
+    t, h, wd, cp = x.shape
+    op = wp9.shape[0] * wp9.shape[2] // 3
+    th, bo = _pick_tiles(cp, op, h, wd, x.dtype.itemsize)
+    assert wp9.shape == (op // bo, 9 * cp, 3 * bo), (wp9.shape, cp, op, bo)
+    grid = (h // th, t, op // bo)
 
     apply_norm = gamma is not None
     has_bias = b is not None
     has_residual = residual is not None
 
-    if o_pad != o:
-        w27 = jnp.pad(w27, [(0, 0), (0, 0), (0, o_pad - o)])
-        if has_bias:
-            b = jnp.pad(b, [(0, o_pad - o)])
-        if has_residual:
-            residual = jnp.pad(residual, [(0, 0)] * 3 + [(0, o_pad - o)])
-
     in_specs = []
     operands = []
     if apply_norm:
-        in_specs.append(pl.BlockSpec((1, c), lambda r, tt, oo: (0, 0),
+        in_specs.append(pl.BlockSpec((1, cp), lambda r, tt, oo: (0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(gamma.reshape(1, c).astype(jnp.float32))
+        operands.append(gamma.reshape(1, cp).astype(jnp.float32))
     if has_bias:
         in_specs.append(pl.BlockSpec((1, bo), lambda r, tt, oo: (0, oo),
                                      memory_space=pltpu.VMEM))
-        operands.append(b.reshape(1, o_pad).astype(jnp.float32))
+        operands.append(b.reshape(1, op).astype(jnp.float32))
     if has_residual:
         in_specs.append(pl.BlockSpec(
             (1, th, wd, bo), lambda r, tt, oo: (tt, r, 0, oo),
             memory_space=pltpu.VMEM))
         operands.append(residual)
     in_specs += [
-        pl.BlockSpec((27, c, bo), lambda r, tt, oo: (0, 0, oo),
+        pl.BlockSpec((1, 9 * cp, 3 * bo), lambda r, tt, oo: (oo, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),  # cache frames
         pl.BlockSpec(memory_space=pltpu.ANY),  # x frames
     ]
-    operands += [w27, cache, x]
+    operands += [wp9, cache, x]
 
+    wp_ = wd + 16
     out, nx = pl.pallas_call(
         functools.partial(
-            _fused_kernel, th=th, bo=bo, t_frames=t, height=h, width=wd,
-            n_rows=h // th, true_c=true_c, apply_norm=apply_norm,
+            _fused_kernel, th=th, bo=bo, t_frames=t, width=wd,
+            n_rows=h // th, true_c=true_c, cp=cp, apply_norm=apply_norm,
             has_bias=has_bias, has_residual=has_residual,
         ),
         grid=grid,
@@ -309,28 +332,44 @@ def _fused_causal_conv_impl(x, cache, w27, b, gamma, residual, true_c: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, h, wd, o_pad), x.dtype),
-            jax.ShapeDtypeStruct((2, h, wd, c), x.dtype),
+            jax.ShapeDtypeStruct((t, h, wd, op), x.dtype),
+            jax.ShapeDtypeStruct((2, h, wd, cp), x.dtype),
         ],
         scratch_shapes=[
             # data at columns [8, 8+W); 8 pad columns each side keep every
             # second-minor offset 8-aligned for Mosaic
-            pltpu.VMEM((th + 2, wd + 16, c), x.dtype),
-            pltpu.VMEM((th + 2, wd + 16, c), x.dtype),
-            pltpu.VMEM((th + 2, wd + 16, c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((th + 2, wp_, cp), x.dtype),
+            pltpu.VMEM((th + 2, wp_, cp), x.dtype),
+            pltpu.VMEM((th + 2, wp_, cp), x.dtype),
+            pltpu.VMEM((th, wp_, 9 * cp), x.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's scoped accounting charges the GEMM-operand and roll
+            # intermediates on top of the scratch buffers; the 16M default
+            # is far below physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
-    if o_pad != o:
-        out = out[..., :o]
     return out, nx
 
 
-def pack_weights(w: jax.Array, dtype) -> jax.Array:
-    """[O, I, 3, kh, kw] torch layout -> [27, I, O] tap-major (kt, kh, kw)."""
-    o, i = w.shape[:2]
-    return w.astype(dtype).transpose(2, 3, 4, 1, 0).reshape(27, i, o)
+def _aligned(n: int) -> int:
+    """Lane-align real channel counts; leave sub-96 (test) sizes alone."""
+    return n if (n < 96 or n % 128 == 0) else -(-n // 128) * 128
+
+
+def pack_weights(w: jax.Array, cp: int, op: int, bo: int, dtype) -> jax.Array:
+    """[O, I, 3, kh, kw] torch layout -> [9*cp, op//bo, 3*bo]: K packs
+    (tap, dy, channel), N packs each O tile's 3 dx variants contiguously."""
+    o, ci = int(w.shape[0]), int(w.shape[1])
+    wt = w.astype(dtype).transpose(2, 3, 4, 1, 0)  # [kt, kh, kw, I, O]
+    wt = jnp.pad(wt, [(0, 0), (0, 0), (0, 0), (0, cp - ci), (0, op - o)])
+    wt = wt.transpose(0, 1, 3, 2, 4)               # [tau, dy, cp, dx, op]
+    wt = wt.reshape(9 * cp, 3, op // bo, bo)
+    # NO leading (blockable dim); (9cp, 3bo) trailing (lane-tile aligned)
+    return wt.transpose(2, 0, 1, 3).reshape(op // bo, 9 * cp, 3 * bo)
 
 
 def fused_causal_conv(
@@ -346,30 +385,44 @@ def fused_causal_conv(
 
     x: [T, H, W, C] raw frames; cache: [2, H, W, C] — the previous two conv
     *input* frames (normalized when ``gamma`` is given), zeros for the first
-    chunk; w: [O, C, 3, 3, 3] torch layout; residual: [T, H, W, O].
+    chunk; w: [O, C, 3, 3, 3] torch layout; residual: [T, H, W, O_pad].
 
-    Returns (out [T, H, W, O], new_cache [2, H, W, C]) where new_cache holds
-    the last two (normalized) input frames — drop-in for the reference's
-    ``feat_cache = full[:, -2:]`` (vae.py:30-33).
+    Returns (out, new_cache).  Mosaic requires lane extents that are tile
+    multiples, so real channel counts (>= 96) are padded to 128-multiples
+    with zero lanes (zero weights and zero norm contributions make this
+    exact):
+
+    - ``x`` may arrive already lane-padded from an upstream fused conv
+      (true channel count = w's input dim); it is padded here otherwise.
+    - ``out`` is [T, H, W, O_pad] (NOT stripped — the padded layout flows
+      through the res-block chain for free; consumers with true-width
+      weights slice as needed).
+    - ``new_cache`` is [2, H, W, C_pad], holding the last two (normalized)
+      input frames — semantics of the reference's ``feat_cache =
+      full[:, -2:]`` (vae.py:30-33); feed it back verbatim.
     """
-    w27 = pack_weights(w, x.dtype)
-    c = x.shape[-1]
-    cache_in = cache
-    # lane extents in Mosaic slices/DMAs must be <= 128 or 128-multiples:
-    # pad C=192 stages to 256 (zero lanes: zero weights + zero norm terms)
-    if c > 128 and c % 128:
-        cp = -(-c // 128) * 128
-        padw = [(0, 0)] * 3 + [(0, cp - c)]
-        x = jnp.pad(x, padw)
-        cache = jnp.pad(cache, padw)
-        w27 = jnp.pad(w27, [(0, 0), (0, cp - c), (0, 0)])
-        if gamma is not None:
-            gamma = jnp.pad(gamma, [(0, cp - c)])
-    out, nx = _fused_causal_conv_impl(x, cache, w27, b, gamma, residual,
-                                      true_c=c, interpret=interpret)
-    nx = nx[..., :c]
+
+    def _lane_pad(a, to):
+        if a is None or a.shape[-1] == to:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, to - a.shape[-1])])
+
+    o, ci = int(w.shape[0]), int(w.shape[1])
+    cp = _aligned(max(x.shape[-1], ci))
+    op = _aligned(o)
+    _, bo = _pick_tiles(cp, op, x.shape[1], x.shape[2], x.dtype.itemsize)
+
+    wp9 = pack_weights(w, cp, op, bo, x.dtype)
+    x = _lane_pad(x, cp)
+    cache = _lane_pad(cache, cp)
+    gamma = _lane_pad(gamma, cp)
+    b = _lane_pad(b, op)
+    residual = _lane_pad(residual, op)
+
+    out, nx = _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual,
+                                      true_c=ci, interpret=interpret)
     if x.shape[0] == 1:
         # only nx[1] was computable from x; frame 0 of the new cache is the
         # old cache's frame 1
-        nx = jnp.concatenate([cache_in[1:2], nx[1:2]], axis=0)
+        nx = jnp.concatenate([cache[1:2], nx[1:2]], axis=0)
     return out, nx

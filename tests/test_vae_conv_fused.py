@@ -46,8 +46,11 @@ def test_kernel_matches_concat_conv(t, h, w, c, o, norm, res):
     ref_cache = full[-2:]
 
     out, nc = fused_causal_conv(x, cache, wt, b, gamma, residual, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
-    np.testing.assert_allclose(np.asarray(nc), np.asarray(ref_cache), atol=1e-5)
+    # out/new_cache keep the kernel's lane padding (zeros) when C/O >= 96
+    np.testing.assert_allclose(np.asarray(out)[..., :o], np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(nc)[..., :c], np.asarray(ref_cache), atol=1e-5
+    )
 
 
 def test_streaming_decode_parity_fused_vs_xla():
