@@ -58,7 +58,12 @@ def main():
     vae_params = None
     if not skip_vae:
         vae_params = V.init_vae_params(jax.random.PRNGKey(3), vcfg, jnp.bfloat16)
-        if use_int8:
+        if use_int8 and os.environ.get("BENCH_INT8_VAE", "0") == "1":
+            # legacy mode: int8 wide-stage convs (-7 ms vs the bf16 XLA
+            # path) — superseded by the fused bf16 conv kernel (-14 ms),
+            # and MIXING the two is pathological: the pallas calls' layout
+            # constraints force XLA's neighboring int8 convs into a
+            # T(1,128) output layout (~5x slower; xprof-verified).
             vae_params = V.quantize_vae_params(vae_params)
         decode_first = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z, None, True))
         decode_rest = jax.jit(lambda p, z, c: V.vae_decode_scan(p, vcfg, z, c, False))
