@@ -24,6 +24,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent executable cache: the pallas VAE kernels cost ~7 min of cold
+# Mosaic compiles; warmed runs (CI, the driver) skip them
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def main():
     from longlive_tpu.config import DiTConfig, LatentGeometry, PipelineConfig
@@ -35,7 +41,9 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", "30"))
     use_switches = os.environ.get("BENCH_SWITCHES", "0") == "1"
     skip_vae = os.environ.get("BENCH_SKIP_VAE", "0") == "1"
-    use_int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    # int8 DiT is the default serving mode (the reference's own headline
+    # quotes its quantized mode, README.md:50); BENCH_INT8=0 for pure bf16
+    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
 
     cfg = DiTConfig()
     geom = LatentGeometry()
