@@ -13,8 +13,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/20.7, ...}
 
 Env knobs: BENCH_FRAMES (measured latent frames, default 30),
-BENCH_SWITCHES=1 to exercise the interactive prompt-switch path,
-BENCH_SKIP_VAE=1 to exclude VAE decode, BENCH_INT8=1 for the quantized DiT.
+BENCH_SWITCHES=1 to run the measured segment with a mid-run prompt switch,
+BENCH_SKIP_VAE=1 to exclude VAE decode, BENCH_INT8=1 for the quantized DiT,
+BENCH_WINDOW="local,sink" attention window (default "9,3" — the reference's
+own tuned config, -6% latency with no quality drop on its H100 ablation,
+reports.md:57-61; "12,3" for the shipped-yaml window).
+
+The prompt-switch (KV-recache) latency is always measured and reported as
+``switch_recache_ms`` — the reference's interactive headline
+(363.88 ms avg extra per switch on H100, reports.md:17,21).
 """
 
 import json
@@ -44,16 +51,28 @@ def main():
     # int8 DiT is the default serving mode (the reference's own headline
     # quotes its quantized mode, README.md:50); BENCH_INT8=0 for pure bf16
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
+    local_attn, sink = (int(s) for s in
+                        os.environ.get("BENCH_WINDOW", "9,3").split(","))
 
-    cfg = DiTConfig()
+    cfg = DiTConfig(local_attn_size=local_attn, sink_size=sink)
     geom = LatentGeometry()
     warmup_frames = 6
-    pc = PipelineConfig(num_output_frames=warmup_frames + frames, global_sink=False)
+    pc = PipelineConfig(num_output_frames=warmup_frames + frames,
+                        local_attn_size=local_attn, sink_size=sink,
+                        global_sink=False)
 
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    attn_impl = "auto"
     if use_int8:
         params = quantize_dit_params(params)
-    pipe = InteractiveCausalInferencePipeline(pc, params, geometry=geom, dit_config=cfg)
+        # int8 serving mode also runs QK^T on the int8 MXU pipe (per-token
+        # Q/K quant, bf16 P/PV — ops/attention.py); BENCH_INT8_ATTN=0 keeps
+        # attention bf16 with int8 linears only (the round-1 mode)
+        if os.environ.get("BENCH_INT8_ATTN", "1") == "1":
+            attn_impl = "pallas_qk8"
+    pipe = InteractiveCausalInferencePipeline(pc, params, geometry=geom,
+                                              dit_config=cfg,
+                                              attn_impl=attn_impl)
 
     prompt_a = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     cross_a = pipe.prepare_condition(prompt_a)
@@ -133,6 +152,35 @@ def main():
     compile_and_run = time.perf_counter() - t_compile0
     elapsed = full_run()
 
+    def measure_switch(reps=3):
+        """Prompt-switch cost = one KV-recache (a single masked prefill of
+        min(local_attn, t) frames under the new prompt).  Timed as a
+        dependent chain so the tunnel RTT is paid once, not per rep."""
+        rng = jax.random.PRNGKey(7)
+        cache = pipe.init_cache(1, jnp.bfloat16)
+        n_gen = -(-cfg.local_attn_size // 3) * 3 + 3
+        lat, cache, rng = pipe.generate_latents_scanned(
+            noise[:, :n_gen], cross_a, rng=rng, cache=cache, start_frame=0)
+        n = min(cfg.local_attn_size, n_gen)
+        replay = lat[:, n_gen - n :]
+        start = jnp.asarray(n_gen - n, jnp.int32)
+        fn = pipe._recache_fn(n, False)
+
+        def force(c):
+            leaf = jax.tree.leaves(c)[0]
+            _ = float(jnp.sum(leaf[..., ::64, 0, 0]))
+
+        c = fn(pipe.params, cache, cross_b, replay, start)  # compile
+        force(c)
+        t0 = time.perf_counter()
+        c = cache
+        for _ in range(reps):
+            c = fn(pipe.params, c, cross_b, replay, start)
+        force(c)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    switch_ms = measure_switch()
+
     pixel_frames = 4 * frames  # measured segment only (post-warmup)
     fps = pixel_frames / elapsed
     baseline_fps = 20.7  # H100 reference (README.md:50)
@@ -144,6 +192,8 @@ def main():
         "ms_per_latent_frame": round(elapsed / frames * 1e3, 2),
         "latent_frames_measured": frames,
         "prompt_switches": 1 if use_switches else 0,
+        "switch_recache_ms": round(switch_ms, 1),
+        "attn_window": f"{local_attn},{sink}",
         "include_vae": not skip_vae,
         "int8": use_int8,
         "first_run_s": round(compile_and_run, 1),

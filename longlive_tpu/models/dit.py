@@ -265,7 +265,8 @@ def _attention_layer_cached(
             new_v, vf.astype(new_v.dtype), offsets[i], axis=1
         )
 
-    out = attend(q, new_k.astype(q.dtype), new_v.astype(q.dtype), kv_valid, impl=attn_impl)
+    out = attend(q, new_k.astype(q.dtype), new_v.astype(q.dtype), kv_valid,
+                 impl=attn_impl, frame_seq=fs)
     out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
     return out, new_k, new_v
 

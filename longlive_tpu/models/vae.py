@@ -220,7 +220,7 @@ def _fusable(x, p, thread: _CacheThread, stride) -> bool:
     if thread.caches is None or "w" not in p or stride != (1, 1, 1):
         return False
     w = p["w"]
-    if tuple(w.shape[2:]) != (3, 3, 3) or x.shape[0] != 1:
+    if tuple(w.shape[2:]) not in ((3, 3, 3), (3, 1, 1)) or x.shape[0] != 1:
         return False
     if x.shape[3] % 8 or x.shape[2] % 2:  # kernel tiling needs W%8, H%th
         return False

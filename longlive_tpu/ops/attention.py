@@ -59,20 +59,33 @@ def dense_attention(
 _LANES = 128
 
 
-def _flash_kernel(*refs, has_bias: bool):
+def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False):
     """One (head, q_block, kv_block) grid step of flash attention.
 
-    Refs: [bias [1, bkv] f32 if has_bias], q [1, bq, D] (pre-scaled),
-    k, v [1, bkv, D], out [1, bq, D]; scratch m, l [bq, 128] f32
+    Refs: [bias [1, bkv] f32 if has_bias],
+    [qsc [1, bq, 1] + ksc [1, bkv] f32 if qk_int8],
+    q [1, bq, D] (pre-scaled; int8 when qk_int8), k, v [1, bkv, D]
+    (k int8 when qk_int8), out [1, bq, D]; scratch m, l [bq, 128] f32
     (lane-replicated — (bq, 1) layouts relayout on every op), acc [bq, D]
     f32.  The kv grid dimension is innermost, so scratch carries the
     online-softmax state across kv blocks.
+
+    qk_int8: the QK^T contraction runs on the int8 MXU pipe (2x bf16
+    throughput on v5e).  Q/K are symmetrically quantized *per token*
+    outside the kernel (one fused XLA pass); the row/column scale
+    vectors are applied to the f32 logits here — unlike the round-1
+    SageAttention-style variant (P requantization cost two extra
+    [bq,bkv] VPU passes and 4%% output error; PERF.md), P stays bf16
+    and PV stays on the bf16 pipe, so the only extra VPU work is the
+    s32->f32 convert+scale, and K HBM reads halve.
     """
+    idx = 0
+    bias_ref = qsc_ref = ksc_ref = None
     if has_bias:
-        bias_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
-        bias_ref = None
+        bias_ref = refs[idx]; idx += 1
+    if qk_int8:
+        qsc_ref = refs[idx]; ksc_ref = refs[idx + 1]; idx += 2
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs[idx:]
     ikv = pl.program_id(2)
     nkv = pl.num_programs(2)
 
@@ -85,12 +98,21 @@ def _flash_kernel(*refs, has_bias: bool):
     q = q_ref[0]  # [bq, D]
     k = k_ref[0]  # [bkv, D]
     bkv = k.shape[0]
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if qk_int8:
+        s32 = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = s32.astype(jnp.float32) * qsc_ref[0] * ksc_ref[0][None, :]
+    else:
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if has_bias:
         s = s + bias_ref[0][None, :]
 
@@ -135,23 +157,35 @@ def _pad_axis(x: jax.Array, axis: int, to: int, value=0.0) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _auto_block_q(sq: int) -> int:
-    """Largest q block that tiles ``sq`` with zero padding, else 256.
+def _auto_block_q(sq: int, frame_seq: Optional[int] = None) -> int:
+    """Frame-aligned q block when the caller supplies ``frame_seq``, else 256.
 
     Measured on v5e at the decode shape (Sq=4680, Skv=18720): bq=1560
     (frame-aligned, zero pad) runs 3.76 ms vs 4.59 ms for bq=256 (+18%) —
     the pad rows cost real MXU work and the larger tile amortizes the
     online-softmax scratch passes.  KV blocks must stay multiples of 128
     (lane-replicated scratch), so Skv keeps its ~4% pad with bkv=1024.
+
+    The candidates are derived from the actual tokens-per-frame (so any
+    resolution gets a zero-pad frame-aligned tile, not just 480x832's
+    1560), capped at ~4 VMEM-resident 512-row tiles; shapes with no
+    frame structure (training full-sequence, tests) keep the profiled
+    bq=256 default.
     """
-    for bq in (1560, 936, 1024, 512, 312, 256):
-        if bq % 8 == 0 and sq % bq == 0:
-            return bq
-    return 256
+    if frame_seq is None or frame_seq <= 0 or frame_seq % 8 or sq % frame_seq:
+        return 256
+    frames = sq // frame_seq
+    cap = max(2048, frame_seq)
+    best = 256
+    for k in range(1, frames + 1):
+        if frames % k == 0 and frame_seq * k <= cap:
+            best = frame_seq * k
+    return best
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_kv", "interpret")
+    jax.jit, static_argnames=("block_q", "block_kv", "frame_seq", "qk_int8",
+                              "interpret")
 )
 def flash_attention(
     q: jax.Array,
@@ -160,16 +194,20 @@ def flash_attention(
     bias: Optional[jax.Array] = None,
     block_q: Optional[int] = None,
     block_kv: int = 1024,
+    frame_seq: Optional[int] = None,
+    qk_int8: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas flash attention.
 
     q: [B, Sq, N, D]; k, v: [B, Skv, N, D]; bias: [B, Skv] f32 additive
-    (0 for valid, -inf for masked) or None.  Returns [B, Sq, N, D].
+    (0 for valid, -inf for masked) or None.  ``frame_seq`` (tokens per
+    latent frame) unlocks frame-aligned q tiling on the decode path.
+    Returns [B, Sq, N, D].
     """
     b, sq, n, d = q.shape
     if block_q is None:
-        block_q = _auto_block_q(sq)
+        block_q = _auto_block_q(sq, frame_seq)
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
     has_bias = bias is not None
@@ -191,6 +229,20 @@ def flash_attention(
 
     grid = (b * n, sq_p // block_q, skv_p // block_kv)
 
+    qsc = ksc = None
+    if qk_int8:
+        # per-token symmetric quantization, one fused XLA pass per operand
+        # (pad rows are all-zero -> quantize to 0 with a tiny scale)
+        def _q8(x):
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) + 1e-30
+            xi = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+            return xi, amax * (1.0 / 127.0)
+
+        qt, qsc = _q8(qt)          # qsc: [B*N, Sq_p, 1]
+        kt, ksc_ = _q8(kt)
+        ksc = ksc_[..., 0]         # [B*N, Skv_p]
+
     in_specs = []
     operands = []
     if has_bias:
@@ -199,6 +251,15 @@ def flash_attention(
             (1, block_kv), lambda h, iq, ikv: (h // n, ikv),
             memory_space=pltpu.VMEM))
         operands.append(bias)
+    if qk_int8:
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, 1), lambda h, iq, ikv: (h, iq, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(qsc)
+        in_specs.append(pl.BlockSpec(
+            (1, block_kv), lambda h, iq, ikv: (h, ikv),
+            memory_space=pltpu.VMEM))
+        operands.append(ksc)
     in_specs += [
         pl.BlockSpec(
             (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
@@ -212,19 +273,21 @@ def flash_attention(
     ]
     operands += [qt, kt, vt]
 
+    scratch_shapes = [
+        pltpu.VMEM((block_q, _LANES), jnp.float32),
+        pltpu.VMEM((block_q, _LANES), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, has_bias=has_bias),
+        functools.partial(_flash_kernel, has_bias=has_bias, qk_int8=qk_int8),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*operands)
 
@@ -395,8 +458,11 @@ def attend(
     v: jax.Array,
     kv_valid: Optional[jax.Array] = None,
     impl: str = "auto",
+    frame_seq: Optional[int] = None,
 ) -> jax.Array:
-    """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend)."""
+    """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend).
+    frame_seq: tokens per latent frame (decode path) for frame-aligned
+    q tiling."""
     b, _, n, d = q.shape
     bias = None
     if kv_valid is not None:
@@ -408,8 +474,14 @@ def attend(
         impl = "pallas" if (jax.default_backend() == "tpu" and d % 128 == 0) else "xla"
 
     if impl == "pallas":
-        return flash_attention(q, k, v, bias)
+        return flash_attention(q, k, v, bias, frame_seq=frame_seq)
+    if impl == "pallas_qk8":
+        # int8-QK serving mode (per-tile Q/K quant on the int8 MXU pipe)
+        return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True)
     if impl == "pallas_interpret":
-        return flash_attention(q, k, v, bias, interpret=True)
+        return flash_attention(q, k, v, bias, frame_seq=frame_seq, interpret=True)
+    if impl == "pallas_qk8_interpret":
+        return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True,
+                               interpret=True)
     dense_bias = None if bias is None else bias[:, None, None, :]
     return dense_attention(q, k, v, dense_bias)

@@ -85,6 +85,8 @@ def _fused_kernel(
     n_rows: int,
     true_c: int,
     cp: int,
+    kh: int,
+    kw: int,
     apply_norm: bool,
     has_bias: bool,
     has_residual: bool,
@@ -191,15 +193,18 @@ def _fused_kernel(
                 cp_.wait()
 
     def _pack_kbuf():
-        """9 row-shifted VMEM copies staging -> K-packed GEMM operand."""
+        """3*kh row-shifted VMEM copies staging -> K-packed GEMM operand.
+        kh==3: dy in {0,1,2} (one-row shifts against the halo'd staging);
+        kh==1: only the center band (dy=1) — the (3,1,1) time-conv case."""
+        dys = range(3) if kh == 3 else (1,)
         copies = []
         for tau in range(3):
-            for dy in range(3):
-                kblk = (3 * tau + dy) * cp
+            for j, dy in enumerate(dys):
+                kblk = (kh * tau + j) * cp
                 copies.append(pltpu.make_async_copy(
                     stage_refs[tau].at[pl.ds(dy, th)],
                     kbuf_ref.at[:, :, pl.ds(kblk, cp)],
-                    sems_ref.at[3 * tau + dy],
+                    sems_ref.at[kh * tau + j],
                 ))
         for c_ in copies:
             c_.start()
@@ -231,22 +236,24 @@ def _fused_kernel(
                     nx_idx=t - jnp.asarray(t_frames - 2, jnp.int32))
         _pack_kbuf()
 
-    # ---- the GEMM: [th*wp, 9*cp] x [9*cp, 3*bo], all taps in one pass ----
+    # ---- the GEMM: [th*wp, 3*kh*cp] x [3*kh*cp, kw*bo], all taps at once --
     wp = width + 16
-    lhs = kbuf_ref[...].reshape(th * wp, 9 * cp)
+    lhs = kbuf_ref[...].reshape(th * wp, 3 * kh * cp)
     out9 = jax.lax.dot_general(
         lhs, w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [th*wp, 3*bo]
+    )  # [th*wp, kw*bo]
 
-    # Output col w sums input cols w+7+dx.  In the flattened rows a column
-    # shift of s is a row shift of s, and the wrap between h-blocks lands
-    # in the zeroed pad columns (wp - W = 16 > 9): a cheap f32 sublane roll.
+    # Output col w sums input cols w+8-kw//2+dx.  In the flattened rows a
+    # column shift of s is a row shift of s, and the wrap between h-blocks
+    # lands in the zeroed pad columns (wp - W = 16 > kw): a cheap f32
+    # sublane roll.  (kw==1: the single variant just shifts data from
+    # staging columns [8, 8+W) back to [0, W).)
     n = th * wp
     acc = sum(
-        pltpu.roll(out9[:, dx * bo : (dx + 1) * bo], n - (7 + dx), 0)
-        for dx in range(3)
+        pltpu.roll(out9[:, dx * bo : (dx + 1) * bo], n - (8 - kw // 2 + dx), 0)
+        for dx in range(kw)
     )
     acc = acc.reshape(th, wp, bo)[:, 0:width, :]
 
@@ -259,6 +266,7 @@ def _fused_kernel(
 
 
 def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
+                kh: int = 3, kw: int = 3,
                 budget: float = 20.0e6) -> Tuple[int, int]:
     """Choose (row-tile, O-tile) fitting the VMEM budget.  th must divide H;
     bo must divide O_pad and be a lane-tile multiple (or the whole of a
@@ -271,23 +279,24 @@ def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
         if h % th:
             continue
         for bo in bo_cands:
-            kbuf = th * wp * 9 * cp * dtype_bytes
+            kbuf = th * wp * 3 * kh * cp * dtype_bytes
             stag = 3 * (th + 2) * wp * cp * dtype_bytes
-            wght = 9 * cp * 3 * bo * dtype_bytes * 2  # pallas double-buffers
-            out9 = th * wp * 3 * bo * 4
+            wght = 3 * kh * cp * kw * bo * dtype_bytes * 2  # pallas double-buffers
+            out9 = th * wp * kw * bo * 4
             io = 2 * 2 * th * w * bo * dtype_bytes
             if kbuf + stag + wght + out9 + io < budget:
                 return th, bo
     return 2, min(bo_cands[-1], 128)
 
 
-@functools.partial(jax.jit, static_argnames=("true_c", "interpret"))
+@functools.partial(jax.jit, static_argnames=("true_c", "kh", "kw", "interpret"))
 def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
+                            kh: int = 3, kw: int = 3,
                             interpret: bool = False):
     t, h, wd, cp = x.shape
-    op = wp9.shape[0] * wp9.shape[2] // 3
-    th, bo = _pick_tiles(cp, op, h, wd, x.dtype.itemsize)
-    assert wp9.shape == (op // bo, 9 * cp, 3 * bo), (wp9.shape, cp, op, bo)
+    op = wp9.shape[0] * wp9.shape[2] // kw
+    th, bo = _pick_tiles(cp, op, h, wd, x.dtype.itemsize, kh, kw)
+    assert wp9.shape == (op // bo, 3 * kh * cp, kw * bo), (wp9.shape, cp, op, bo)
     grid = (h // th, t, op // bo)
 
     apply_norm = gamma is not None
@@ -310,10 +319,10 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             memory_space=pltpu.VMEM))
         operands.append(residual)
     in_specs += [
-        pl.BlockSpec((1, 9 * cp, 3 * bo), lambda r, tt, oo: (oo, 0, 0),
+        pl.BlockSpec((1, 3 * kh * cp, kw * bo), lambda r, tt, oo: (oo, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # cache frames
-        pl.BlockSpec(memory_space=pltpu.ANY),  # x frames
+        pl.BlockSpec(memory_space=pl.ANY),  # cache frames
+        pl.BlockSpec(memory_space=pl.ANY),  # x frames
     ]
     operands += [wp9, cache, x]
 
@@ -321,7 +330,8 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
     out, nx = pl.pallas_call(
         functools.partial(
             _fused_kernel, th=th, bo=bo, t_frames=t, width=wd,
-            n_rows=h // th, true_c=true_c, cp=cp, apply_norm=apply_norm,
+            n_rows=h // th, true_c=true_c, cp=cp, kh=kh, kw=kw,
+            apply_norm=apply_norm,
             has_bias=has_bias, has_residual=has_residual,
         ),
         grid=grid,
@@ -329,7 +339,7 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
         out_specs=[
             pl.BlockSpec((1, th, wd, bo), lambda r, tt, oo: (tt, r, 0, oo),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, h, wd, op), x.dtype),
@@ -341,7 +351,7 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             pltpu.VMEM((th + 2, wp_, cp), x.dtype),
             pltpu.VMEM((th + 2, wp_, cp), x.dtype),
             pltpu.VMEM((th + 2, wp_, cp), x.dtype),
-            pltpu.VMEM((th, wp_, 9 * cp), x.dtype),
+            pltpu.VMEM((th, wp_, 3 * kh * cp), x.dtype),
             pltpu.SemaphoreType.DMA((9,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -361,15 +371,17 @@ def _aligned(n: int) -> int:
 
 
 def pack_weights(w: jax.Array, cp: int, op: int, bo: int, dtype) -> jax.Array:
-    """[O, I, 3, kh, kw] torch layout -> [9*cp, op//bo, 3*bo]: K packs
-    (tap, dy, channel), N packs each O tile's 3 dx variants contiguously."""
+    """[O, I, 3, kh, kw] torch layout -> [op//bo, 3*kh*cp, kw*bo]: K packs
+    (tap, dy, channel), N packs each O tile's kw dx variants contiguously.
+    kh, kw in {1, 3} (the (3,3,3) res-block convs and (3,1,1) time convs)."""
     o, ci = int(w.shape[0]), int(w.shape[1])
+    kh, kw = int(w.shape[3]), int(w.shape[4])
     wt = w.astype(dtype).transpose(2, 3, 4, 1, 0)  # [kt, kh, kw, I, O]
     wt = jnp.pad(wt, [(0, 0), (0, 0), (0, 0), (0, cp - ci), (0, op - o)])
     wt = wt.transpose(0, 1, 3, 2, 4)               # [tau, dy, cp, dx, op]
-    wt = wt.reshape(9 * cp, 3, op // bo, bo)
-    # NO leading (blockable dim); (9cp, 3bo) trailing (lane-tile aligned)
-    return wt.transpose(2, 0, 1, 3).reshape(op // bo, 9 * cp, 3 * bo)
+    wt = wt.reshape(3 * kh * cp, kw, op // bo, bo)
+    # NO leading (blockable dim); (3kh*cp, kw*bo) trailing (lane-tile aligned)
+    return wt.transpose(2, 0, 1, 3).reshape(op // bo, 3 * kh * cp, kw * bo)
 
 
 def fused_causal_conv(
@@ -408,9 +420,12 @@ def fused_causal_conv(
         return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, to - a.shape[-1])])
 
     o, ci = int(w.shape[0]), int(w.shape[1])
+    kt, kh, kw = (int(s) for s in w.shape[2:])
+    assert kt == 3 and kh in (1, 3) and kw in (1, 3), w.shape
     cp = _aligned(max(x.shape[-1], ci))
     op = _aligned(o)
-    _, bo = _pick_tiles(cp, op, x.shape[1], x.shape[2], x.dtype.itemsize)
+    _, bo = _pick_tiles(cp, op, x.shape[1], x.shape[2], x.dtype.itemsize,
+                        kh, kw)
 
     wp9 = pack_weights(w, cp, op, bo, x.dtype)
     x = _lane_pad(x, cp)
@@ -420,7 +435,8 @@ def fused_causal_conv(
     residual = _lane_pad(residual, op)
 
     out, nx = _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual,
-                                      true_c=ci, interpret=interpret)
+                                      true_c=ci, kh=kh, kw=kw,
+                                      interpret=interpret)
     if x.shape[0] == 1:
         # only nx[1] was computable from x; frame 0 of the new cache is the
         # old cache's frame 1

@@ -172,7 +172,7 @@ def sp_dit_forward_cached(
                     new_v, vf.astype(new_v.dtype), offsets[i], axis=1)
 
             y = attend(qg, new_k.astype(qg.dtype), new_v.astype(qg.dtype),
-                       kv_valid, impl=attn_impl)
+                       kv_valid, impl=attn_impl, frame_seq=fs)
             y = _a2a_tokens(y.reshape(b, f, fs, nloc, hd), axis_name)
             y = nn.linear(y.reshape(b, s_loc, n * hd), layer_p["self_attn"]["o"])
             xc = xc + _flat(_per_frame(y, f) * e_[2])

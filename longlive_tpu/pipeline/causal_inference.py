@@ -89,12 +89,17 @@ class CausalInferencePipeline:
         dit_config: Optional[DiTConfig] = None,
         attn_impl: str = "auto",
         mesh=None,
+        deterministic_renoise: bool = False,
     ):
         self.config = config
         self.params = params
         self.geom = geometry
         self.cfg = dit_config or config.dit_config()
         self.attn_impl = attn_impl
+        # zero re-noise between denoise steps — cross-framework parity /
+        # debugging tool (removes the only RNG-order-dependent part of the
+        # block step; see scripts/parity_vs_reference.py)
+        self.deterministic_renoise = deterministic_renoise
         # sequence-parallel decode over the mesh's `sp` axis
         # (parallel.decode_sp); None = single-device
         self.mesh = mesh
@@ -165,7 +170,10 @@ class CausalInferencePipeline:
             if i < n_steps - 1:
                 rng, sub = jax.random.split(rng)
                 t_next = jnp.full((b * f,), self.denoise_timesteps[i + 1], jnp.float32)
-                noise = jax.random.normal(sub, x0.shape, jnp.float32)
+                if self.deterministic_renoise:
+                    noise = jnp.zeros(x0.shape, jnp.float32)
+                else:
+                    noise = jax.random.normal(sub, x0.shape, jnp.float32)
                 x = S.add_noise(
                     self.sched, x0.reshape(b * f, *x0.shape[2:]), noise.reshape(
                         b * f, *x0.shape[2:]), t_next

@@ -53,11 +53,16 @@ class PipelinedRenderer:
         self.segment_frames = segment_frames
         self.decode_device = decode_device or jax.devices()[-1]
         self.vae_params = jax.device_put(vae_params, self.decode_device)
-        dd = self.decode_device
+        # pin execution to the decode device via shardings (jit's `device=`
+        # argument is deprecated): params/latents are device_put there and
+        # out_shardings keeps the outputs in place
+        dd_sharding = jax.sharding.SingleDeviceSharding(self.decode_device)
         self._decode_first = jax.jit(
-            lambda p, z: V.vae_decode_scan(p, vae_cfg, z, None, True), device=dd)
+            lambda p, z: V.vae_decode_scan(p, vae_cfg, z, None, True),
+            out_shardings=dd_sharding)
         self._decode_rest = jax.jit(
-            lambda p, z, c: V.vae_decode_scan(p, vae_cfg, z, c, False), device=dd)
+            lambda p, z, c: V.vae_decode_scan(p, vae_cfg, z, c, False),
+            out_shardings=dd_sharding)
 
     def render(
         self,

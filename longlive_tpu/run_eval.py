@@ -26,7 +26,12 @@ def load_video(path: str) -> np.ndarray:
         v = np.load(path)
         if v.ndim == 4 and v.shape[1] == 3:  # [T, 3, H, W]
             v = v.transpose(0, 2, 3, 1)
-        return np.clip(v.astype(np.float32), 0.0, 1.0)
+        v = v.astype(np.float32)
+        # integer-valued [0, 255] arrays (uint8 saves, or float dumps of
+        # them) must be rescaled, not clipped to ~all-ones
+        if v.max() > 1.5:
+            v = v / 255.0
+        return np.clip(v, 0.0, 1.0)
     try:
         import cv2
 

@@ -173,12 +173,26 @@ def denoising_loss(
     flow_pred: Optional[jax.Array] = None,
     gradient_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """The reference's denoising-loss family (utils/loss.py:29-98):
-    x0 / noise / flow MSE variants.  Shipped configs use 'flow'; 'v'
-    requires DDPM alphas_cumprod which the flow-match schedule doesn't
-    define (the reference crashes likewise, utils/scheduler.py:9)."""
+    """The reference's denoising-loss family (utils/loss.py:28-98):
+    x0 / v / noise / flow MSE variants.  Shipped configs use 'flow'.
+
+    'v' (reference VPredLoss, utils/loss.py:43-56) weights the x0 error by
+    1/(1 - alphas_cumprod[t]).  The reference's FlowMatchScheduler never
+    defines alphas_cumprod (only the abstract SchedulerInterface declares
+    it, utils/scheduler.py:9), so 'v' crashes there; here we derive the
+    DDPM variance-preserving alpha-bar from the flow path
+    x_t = (1-sigma) x0 + sigma eps via the standard mapping
+    alpha_bar = a^2 / (a^2 + s^2), giving weight (a^2 + s^2) / s^2."""
     if loss_type == "x0":
         err = jnp.square(x - x_pred)
+    elif loss_type == "v":
+        sig = sched.sigmas[S.timestep_id(sched, timestep)].astype(jnp.float32)
+        while sig.ndim < x.ndim:
+            sig = sig[..., None]
+        a2 = jnp.square(1.0 - sig)
+        s2 = jnp.square(jnp.maximum(sig, 1e-4))
+        weight = (a2 + s2) / s2  # = 1 / (1 - alpha_bar)
+        err = weight * jnp.square(x - x_pred)
     elif loss_type == "noise":
         noise_pred = S.convert_x0_to_noise(sched, x_pred, xt, timestep)
         err = jnp.square(noise - noise_pred)

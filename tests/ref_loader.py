@@ -109,3 +109,42 @@ def load_clip():
     mod = load_module("wan.modules.clip", "/root/reference/wan/modules/clip.py")
     mod.flash_attention = sdpa
     return mod
+
+
+def load_causal_model():
+    """Reference wan/modules/causal_model.py as a CPU fp32 oracle
+    (GPU-memory helpers stubbed, SDPA attention pinned to fp32)."""
+    _ensure_stubs()
+    if "utils.memory" not in sys.modules:
+        mem = types.ModuleType("utils.memory")
+        mem.gpu = torch.device("cpu")
+        mem.get_cuda_free_memory_gb = lambda *a, **k: 0.0
+        mem.DynamicSwapInstaller = object
+        mem.log_gpu_memory = lambda *a, **k: None
+        sys.modules["utils.memory"] = mem
+    if "utils.debug_option" not in sys.modules:
+        dbg = types.ModuleType("utils.debug_option")
+        dbg.DEBUG = False
+        dbg.DEBUG_GRADIENT = False
+        dbg.LOG_GPU_MEMORY = False
+        sys.modules["utils.debug_option"] = dbg
+
+    att = load_module("wan.modules.attention",
+                      "/root/reference/wan/modules/attention.py")
+    model_mod = load_module("wan.modules.model",
+                            "/root/reference/wan/modules/model.py")
+    cm = load_module("wan.modules.causal_model",
+                     "/root/reference/wan/modules/causal_model.py")
+
+    # the reference SDPA fallback casts to bf16 by default (attention.py:163)
+    # which breaks fp32 CPU runs; pin fp32 for the numeric oracle
+    def fp32(fn):
+        def wrapped(*a, **k):
+            k["dtype"] = torch.float32
+            return fn(*a, **k)
+        return wrapped
+
+    cm.attention = fp32(att.attention)
+    cm.flash_attention = sdpa
+    model_mod.flash_attention = sdpa
+    return cm

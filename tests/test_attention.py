@@ -45,6 +45,32 @@ def test_flash_matches_dense(sq, skv):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_flash_qk_int8_close_to_dense():
+    """int8-QK serving mode: per-tile Q/K quantization puts ~0.4% RMS noise
+    on the logits; the attention output must stay within ~1% of exact
+    (the round-1 int8-P variant was 4% off and was removed, PERF.md)."""
+    rng = np.random.RandomState(3)
+    b, sq, skv, n, d = 1, 64, 256, 2, 128
+    q = jnp.asarray(rng.randn(b, sq, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, skv, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, skv, n, d), jnp.float32)
+    valid = jnp.asarray(rng.rand(b, skv) > 0.3)
+    valid = valid.at[:, :4].set(True)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+
+    ref = A.dense_attention(q, k, v, bias[:, None, None, :])
+    out = A.flash_attention(q, k, v, bias, block_q=32, block_kv=64,
+                            qk_int8=True, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = np.sqrt((err**2).mean()) / np.sqrt((np.asarray(ref)**2).mean())
+    assert rel < 0.01, rel
+    # and the exact (bf16) kernel stays exact
+    exact = A.flash_attention(q, k, v, bias, block_q=32, block_kv=64,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_flash_ragged_padding():
     # seq lengths not divisible by blocks exercise the pad/slice path
     rng = np.random.RandomState(2)

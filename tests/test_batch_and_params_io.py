@@ -1,5 +1,6 @@
 """Batched generation (B>1) and converted-params orbax round trip."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from longlive_tpu.pipeline import CausalInferencePipeline
 from longlive_tpu.utils import orbax_io
 
 
+@pytest.mark.slow
 def test_batched_generation_matches_per_sample():
     cfg = tiny_dit_config()
     geom = tiny_geometry()

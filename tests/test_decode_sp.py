@@ -73,6 +73,7 @@ def test_single_forward_parity(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_generate_latents_parity(setup):
     """Multi-block generation (covers ring wrap: 8 frames > window 4)."""
     cfg, geom, params, pconfig, mesh = setup
@@ -88,6 +89,7 @@ def test_generate_latents_parity(setup):
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_scanned_segment_parity(setup):
     cfg, geom, params, pconfig, mesh = setup
     single, sp = _pipes(cfg, geom, params, pconfig, mesh)
@@ -102,6 +104,7 @@ def test_scanned_segment_parity(setup):
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_recache_parity(setup):
     """Prompt-switch KV-recache through the SP forward == single device."""
     cfg, geom, params, pconfig, mesh = setup

@@ -71,6 +71,7 @@ def test_cached_equals_uncached_global(setup):
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cached_equals_uncached_sink_window(setup):
     """Frame-sink + ring window: cached generation == full forward under the
     sink/window mask (exercises eviction + validity during and after warmup).
@@ -94,6 +95,7 @@ def test_cached_equals_uncached_sink_window(setup):
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cached_window_smaller_than_cache(setup):
     """Training-style setup: the cache retains more history than the
     attention window (kv_frames=local+slice clipped, max_attention_size =
@@ -172,6 +174,7 @@ def test_ring_slots_wrap_and_recache():
     np.testing.assert_array_equal(np.asarray(off), [3, 4, 5])
 
 
+@pytest.mark.slow
 def test_cached_equals_uncached_block_straddles_sink(setup):
     """Blocks that straddle the sink/ring boundary (sink=2, block=3) must
     still match the full forward — exercises per-frame slot writes."""

@@ -126,6 +126,7 @@ def tiny_i2v_pipe():
     return cfg, geom, vcfg, params, vae_params, stride_t
 
 
+@pytest.mark.slow
 def test_i2v_pipeline_end_to_end(tiny_i2v_pipe):
     cfg, geom, vcfg, params, vae_params, stride_t = tiny_i2v_pipe
     pipe = Image2VideoPipeline(params, cfg, attn_impl="xla")

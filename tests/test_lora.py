@@ -32,6 +32,7 @@ def test_merge_lora_zero_delta_and_grad():
     assert float(jnp.abs(g["self_attn"]["q"]["b"]).max()) > 0
 
 
+@pytest.mark.slow
 def test_lora_trainer_step():
     cfg = tiny_dit_config()
     geom = tiny_geometry()
@@ -61,6 +62,7 @@ def test_lora_trainer_step():
     assert np.isfinite(m1["critic_loss"])
 
 
+@pytest.mark.slow
 def test_lora_streaming_step():
     cfg = tiny_dit_config()
     geom = tiny_geometry()

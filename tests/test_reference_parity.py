@@ -206,6 +206,7 @@ def _ref_caches(cfg, B, fs, cache_frames):
     return kv, ca
 
 
+@pytest.mark.slow
 def test_recache_after_switch_matches_reference(ref_setup):
     """Prompt-switch KV-recache (interactive_causal_inference.py:34-106):
     generate under prompt A, switch to B with recache (zero cache, replay the

@@ -11,6 +11,7 @@ from longlive_tpu.models import vae as V
 from longlive_tpu.pipeline import CausalInferencePipeline
 
 
+@pytest.mark.slow
 def test_segment_scan_equals_block_loop():
     cfg = tiny_dit_config()
     geom = tiny_geometry()
@@ -31,6 +32,7 @@ def test_segment_scan_equals_block_loop():
     assert int(cache.ring_filled) == 3
 
 
+@pytest.mark.slow
 def test_vae_decode_scan_equals_loop():
     vcfg = V.tiny_vae_config()
     params = V.init_vae_params(jax.random.PRNGKey(0), vcfg)
@@ -42,6 +44,7 @@ def test_vae_decode_scan_equals_loop():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_interactive_scanned_equals_per_block():
     from longlive_tpu.pipeline import InteractiveCausalInferencePipeline
 

@@ -26,6 +26,7 @@ def setup():
     return cfg, geom, params, pconfig, vcfg, vae_params
 
 
+@pytest.mark.slow
 def test_pipelined_render_matches_sequential(setup):
     cfg, geom, params, pconfig, vcfg, vae_params = setup
     pipe = CausalInferencePipeline(pconfig, params, geometry=geom,

@@ -36,6 +36,7 @@ def streaming_setup():
     return tr, pe_c, pe_u, pe_s
 
 
+@pytest.mark.slow
 def test_streaming_sequence_with_switch(streaming_setup):
     tr, cross_c, cross_u, cross_s = streaming_setup
     tr.start_new_sequence(cross_c, cross_u, jax.random.PRNGKey(0),
@@ -60,6 +61,7 @@ def test_streaming_sequence_with_switch(streaming_setup):
     assert tr.seq_state["previous_frames"].shape[1] == 3
 
 
+@pytest.mark.slow
 def test_streaming_no_switch_runs(streaming_setup):
     tr, cross_c, cross_u, _ = streaming_setup
     tr.start_new_sequence(cross_c, cross_u, jax.random.PRNGKey(1))
@@ -68,6 +70,7 @@ def test_streaming_no_switch_runs(streaming_setup):
     assert not m["switched"]
 
 
+@pytest.mark.slow
 def test_streaming_skip_first_chunk(streaming_setup):
     tr, pe_c, pe_u, _ = streaming_setup
     old = tr.scfg.train_first_chunk

@@ -8,6 +8,7 @@ import pytest
 
 
 @pytest.mark.parametrize("mode", ["t2v", "i2v"])
+@pytest.mark.slow
 def test_run_t2v_tiny(tmp_path, monkeypatch, mode):
     out = str(tmp_path / f"{mode}.mp4")
     argv = ["run_t2v", "--prompt", "a red fox", "--tiny_debug",

@@ -1,12 +1,14 @@
 """End-to-end training CLI smoke (tiny_debug mode): run 2 steps, checkpoint,
 auto-resume."""
 
+import pytest
 import sys
 
 import jax
 import yaml
 
 
+@pytest.mark.slow
 def test_run_train_tiny(tmp_path, monkeypatch):
     cfg = {
         "tiny_debug": True,

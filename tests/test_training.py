@@ -46,6 +46,7 @@ def test_bidirectional_forward_shape(setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_rollout_gradient_structure(setup):
     """Gradient must flow only through exit-step forwards of blocks at/after
     start_gradient_frame."""
@@ -70,6 +71,7 @@ def test_rollout_gradient_structure(setup):
     assert n_none == 0.0
 
 
+@pytest.mark.slow
 def test_dmd_losses_finite(setup):
     cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
     dcfg = dmd_mod.DMDConfig(timestep_shift=5.0)
@@ -97,6 +99,7 @@ def test_dmd_losses_finite(setup):
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_trainer_steps(setup):
     cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
     tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
@@ -119,6 +122,7 @@ def test_trainer_steps(setup):
     assert "generator_loss" in m2
 
 
+@pytest.mark.slow
 def test_gradient_accumulation(setup):
     """With gradient_accumulation_steps=2 (optax.MultiSteps), params change
     only on every 2nd micro-step — the reference's scaled-loss accumulation
@@ -171,7 +175,7 @@ def test_denoising_loss_variants(setup):
     nz = jnp.asarray(rng.randn(1, 2, 4, 8, 8), jnp.float32)
     t = jnp.full((1, 2, 1, 1, 1), 500.0)
     xt = x * 0.5 + nz * 0.5
-    for lt in ("x0", "noise", "flow"):
+    for lt in ("x0", "v", "noise", "flow"):
         fp = (nz - xp) if lt == "flow" else None
         val = denoising_loss(lt, sched, x, xp, nz, xt, t, flow_pred=fp)
         assert np.isfinite(float(val)), lt
@@ -179,8 +183,20 @@ def test_denoising_loss_variants(setup):
     np.testing.assert_allclose(
         float(denoising_loss("x0", sched, x, xp, nz, xt, t)),
         float(jnp.mean(jnp.square(x - xp))), rtol=1e-6)
+    # v variant (reference VPredLoss, utils/loss.py:43-56) == x0 error
+    # weighted by 1/(1-alpha_bar) with the VP mapping alpha_bar=a^2/(a^2+s^2)
+    from longlive_tpu.ops import scheduler as S
+    sig = sched.sigmas[S.timestep_id(sched, t)]
+    w = (jnp.square(1 - sig) + jnp.square(sig)) / jnp.square(sig)
+    np.testing.assert_allclose(
+        float(denoising_loss("v", sched, x, xp, nz, xt, t)),
+        float(jnp.mean(w * jnp.square(x - xp))), rtol=1e-5)
+    # v upweights vs x0 (weight > 1 for every sigma < 1)
+    assert float(denoising_loss("v", sched, x, xp, nz, xt, t)) > float(
+        denoising_loss("x0", sched, x, xp, nz, xt, t))
 
 
+@pytest.mark.slow
 def test_streaming_trainer_dp2_mesh(setup):
     """Streaming long tuning with data-parallel batch 2 over a (dp=2, fsdp=4)
     mesh: sharded params + batch-sharded sequence state run a full step."""

@@ -98,6 +98,7 @@ def test_encode_matches_reference(ref_and_params):
     np.testing.assert_allclose(mu_t, ref_mu, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_roundtrip_shapes_full_geometry():
     """Wan geometry: 3 latent frames -> 9 pixel frames? No: 1+4*(T-1)."""
     cfg = V.VAEConfig(dim=8, z_dim=4)  # real dim_mult (1,2,4,4), 2 temporal ups

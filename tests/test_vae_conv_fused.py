@@ -16,20 +16,22 @@ from longlive_tpu.ops.vae_conv import fused_causal_conv
 
 
 @pytest.mark.parametrize(
-    "t,h,w,c,o,norm,res",
+    "t,h,w,c,o,norm,res,khw",
     [
-        (1, 8, 16, 8, 8, False, False),
-        (2, 8, 16, 8, 12, True, False),
-        (4, 16, 16, 8, 8, True, True),
-        (4, 8, 24, 16, 8, False, False),
-        (1, 8, 16, 136, 8, True, False),  # lane-padding path (C>128, %128!=0)
+        (1, 8, 16, 8, 8, False, False, 3),
+        (2, 8, 16, 8, 12, True, False, 3),
+        (4, 16, 16, 8, 8, True, True, 3),
+        (4, 8, 24, 16, 8, False, False, 3),
+        (1, 8, 16, 136, 8, True, False, 3),  # lane-padding path (C>128, %128!=0)
+        (2, 8, 16, 8, 16, False, False, 1),  # (3,1,1) time-conv kernel
+        (1, 8, 16, 8, 8, True, False, 1),
     ],
 )
-def test_kernel_matches_concat_conv(t, h, w, c, o, norm, res):
+def test_kernel_matches_concat_conv(t, h, w, c, o, norm, res, khw):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((t, h, w, c)), jnp.float32)
     cache = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
-    wt = jnp.asarray(rng.standard_normal((o, c, 3, 3, 3)) * 0.1, jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((o, c, 3, khw, khw)) * 0.1, jnp.float32)
     b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
     gamma = jnp.asarray(rng.standard_normal((c,)), jnp.float32) if norm else None
     residual = (
@@ -53,6 +55,7 @@ def test_kernel_matches_concat_conv(t, h, w, c, o, norm, res):
     )
 
 
+@pytest.mark.slow
 def test_streaming_decode_parity_fused_vs_xla():
     """Two streaming chunks through the tiny decoder, fused vs legacy."""
     cfg = V.tiny_vae_config()
