@@ -63,7 +63,7 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False):
     """One (head, q_block, kv_block) grid step of flash attention.
 
     Refs: [bias [1, bkv] f32 if has_bias],
-    [qsc [1, bq, 1] + ksc [1, bkv] f32 if qk_int8],
+    [qsc [1, bq, 1] + ksc [1, 1, bkv] f32 if qk_int8],
     q [1, bq, D] (pre-scaled; int8 when qk_int8), k, v [1, bkv, D]
     (k int8 when qk_int8), out [1, bq, D]; scratch m, l [bq, 128] f32
     (lane-replicated — (bq, 1) layouts relayout on every op), acc [bq, D]
@@ -105,7 +105,7 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        s = s32.astype(jnp.float32) * qsc_ref[0] * ksc_ref[0][None, :]
+        s = s32.astype(jnp.float32) * qsc_ref[0] * ksc_ref[0]  # [bq,1]*[1,bkv]
     else:
         s = jax.lax.dot_general(
             q,
@@ -241,7 +241,9 @@ def flash_attention(
 
         qt, qsc = _q8(qt)          # qsc: [B*N, Sq_p, 1]
         kt, ksc_ = _q8(kt)
-        ksc = ksc_[..., 0]         # [B*N, Skv_p]
+        # [B*N, 1, Skv_p]: kv scales live on the lane axis so the block's
+        # trailing dims satisfy Mosaic's (8, 128)-divisibility rule
+        ksc = ksc_.transpose(0, 2, 1)
 
     in_specs = []
     operands = []
@@ -257,7 +259,7 @@ def flash_attention(
             memory_space=pltpu.VMEM))
         operands.append(qsc)
         in_specs.append(pl.BlockSpec(
-            (1, block_kv), lambda h, iq, ikv: (h, ikv),
+            (1, 1, block_kv), lambda h, iq, ikv: (h, 0, ikv),
             memory_space=pltpu.VMEM))
         operands.append(ksc)
     in_specs += [

@@ -71,6 +71,13 @@ def main():
         return 0
 
     import jax
+
+    # CPU fp32 oracle: the axon TPU plugin ignores a late JAX_PLATFORMS env
+    # var, so pin the platform via the config flag before any array op
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     import jax.numpy as jnp
     import torch
 

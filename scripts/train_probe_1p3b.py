@@ -1,0 +1,207 @@
+"""Full-geometry 1.3B training-step probe on the real chip.
+
+Round-1 verdict: "full-scale training is unproven on the real chip" — all
+training tests run tiny shapes.  This script measures, at the REAL
+Wan-1.3B geometry (dim 1536, 30 layers, 480x832 latents, random bf16
+weights), on whatever single device is live:
+
+  --mode lora_step    one full DMD train step (generator rollout + DMD loss
+                      + AdamW) with LoRA-r256 adapters on generator+critic —
+                      the shipped long-tuning configuration
+                      (longlive_train_long.yaml; adapters are the only
+                      trained/optimizer-state-bearing params, so the three
+                      bf16 1.3B models + f32 adapter opt states fit HBM).
+  --mode grad_gen     generator loss + gradient only (full fine-tune grads,
+                      no optimizer state) — the HBM-feasibility probe for
+                      full-FT init training (longlive_train_init.yaml).
+  --mode grad_critic  critic loss + gradient only.
+
+Reports one JSON line: {mode, frames, ms_per_step, hbm_peak_gb, ...}.
+Falls back through smaller --frames on OOM when --auto_shrink is set.
+
+Reference match: trainer/distillation.py:1172-1298 (train loop),
+model/streaming_training.py:407-548 (chunk step).
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def hbm_peak_gb():
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        return round(st.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="lora_step",
+                    choices=["lora_step", "grad_gen", "grad_critic"])
+    ap.add_argument("--frames", type=int, default=21)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--auto_shrink", action="store_true")
+    args = ap.parse_args()
+
+    from longlive_tpu.config import DiTConfig, LatentGeometry
+    from longlive_tpu.models import dit as D
+    from longlive_tpu.training import dmd as dmd_mod
+    from longlive_tpu.training import rollout as ro
+    from longlive_tpu.training.trainer import (ScoreDistillationTrainer,
+                                               TrainerConfig)
+    from longlive_tpu.config import CacheConfig
+    from longlive_tpu.ops import scheduler as S
+    from longlive_tpu.ops.rope import make_rope_tables
+
+    if os.environ.get("LONGLIVE_PROBE_TINY") == "1":  # CPU smoke of the script
+        from longlive_tpu.config import tiny_dit_config, tiny_geometry
+        jax.config.update("jax_platforms", "cpu")
+        cfg, geom = tiny_dit_config(), tiny_geometry()
+        args.frames = min(args.frames, 4)
+        cfg = type(cfg)(**{**cfg.__dict__, "num_frame_per_block": 1})
+    else:
+        cfg = DiTConfig()  # 1.3B @ 480x832, local 12 / sink 3
+        geom = LatentGeometry()
+
+    def run(frames):
+        gen = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16, zero_head=False)
+        critic = D.init_dit_params(jax.random.PRNGKey(1), cfg, jnp.bfloat16, zero_head=False)
+        teacher = D.init_dit_params(jax.random.PRNGKey(2), cfg, jnp.bfloat16, zero_head=False)
+        noise = jax.random.normal(
+            jax.random.PRNGKey(3),
+            (1, frames, geom.channels, geom.height, geom.width), jnp.float32)
+        pe_c = jax.random.normal(jax.random.PRNGKey(4),
+                                 (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+        pe_u = pe_c * 0.1
+        extra = {}
+
+        if args.mode == "lora_step":
+            tcfg = TrainerConfig(
+                num_frame_per_block=cfg.num_frame_per_block,
+                num_training_frames=frames, min_num_training_frames=frames,
+                slice_last_frames=-1, lora_rank=256, lora_alpha=256.0,
+                dfake_gen_update_ratio=1)  # step 0 = generator AND critic
+            tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic, teacher)
+            t0 = time.perf_counter()
+            m = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(5))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for r in range(args.reps):
+                m = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(5))
+            _ = float(jnp.asarray(m["critic_loss"]))
+            dt = (time.perf_counter() - t0) / args.reps
+            extra = {"generator_loss": float(m.get("generator_loss", float("nan"))),
+                     "critic_loss": float(m["critic_loss"]),
+                     "compile_s": round(compile_s, 1)}
+            return dt, extra
+
+        # grad-only probes (full fine-tune feasibility — no opt/EMA trees)
+        sched = S.make_schedule(1000, shift=5.0, sigma_min=0.0,
+                                extra_one_step=True, training=True)
+        steps = tuple(float(x) for x in
+                      S.warp_denoising_steps(sched, (1000, 750, 500, 250)))
+        rcfg = ro.RolloutConfig(denoise_timesteps=steps,
+                                frame_block=cfg.num_frame_per_block,
+                                window_frames=cfg.local_attn_size, remat=True)
+        kv_frames = min(cfg.local_attn_size + 21, frames)
+        cache_cfg = CacheConfig(sink_frames=cfg.sink_size,
+                                ring_frames=kv_frames - cfg.sink_size,
+                                frame_seq=geom.frame_seq_length)
+        tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+        dcfg = dmd_mod.DMDConfig(timestep_shift=5.0, real_guidance_scale=3.0)
+
+        if args.mode == "grad_gen":
+            def loss_fn(gp, rng):
+                r1, r2 = jax.random.split(rng)
+                cross = D.prepare_cross_kv(gp, cfg, pe_c, jnp.bfloat16)
+                lat, _, _ = ro.rollout_trajectory(
+                    gp, cfg, cache_cfg, tables, sched, rcfg, noise, cross,
+                    r1, exit_idx=1,
+                    start_gradient_frame=frames - cfg.num_frame_per_block)
+                loss, aux = dmd_mod.distribution_matching_loss(
+                    lat, critic, teacher, cfg, tables, sched, dcfg,
+                    pe_c, pe_u, r2)
+                return loss, aux
+
+            step = jax.jit(lambda gp, rng: jax.value_and_grad(
+                loss_fn, has_aux=True)(gp, rng))
+            t0 = time.perf_counter()
+            (loss, aux), grads = step(gen, jax.random.PRNGKey(6))
+            gn = float(jax.tree.reduce(
+                lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)), grads, 0.0))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                (loss, aux), grads = step(gen, jax.random.PRNGKey(6))
+            _ = float(loss)
+            dt = (time.perf_counter() - t0) / args.reps
+            return dt, {"loss": float(loss), "grad_l1": gn,
+                        "compile_s": round(compile_s, 1)}
+
+        # grad_critic
+        cross = jax.jit(lambda p: D.prepare_cross_kv(p, cfg, pe_c, jnp.bfloat16))(gen)
+        lat, _, _ = jax.jit(lambda gp, c, r: ro.rollout_trajectory(
+            gp, cfg, cache_cfg, tables, sched, rcfg, noise, c, r,
+            exit_idx=1, start_gradient_frame=frames + 1))(
+            gen, cross, jax.random.PRNGKey(7))
+        lat = jax.lax.stop_gradient(lat)
+
+        def closs_fn(cp, rng):
+            loss, aux = dmd_mod.critic_denoising_loss(
+                cp, lat, cfg, tables, sched, dcfg, pe_c, rng)
+            return loss, aux
+
+        step = jax.jit(lambda cp, rng: jax.value_and_grad(
+            closs_fn, has_aux=True)(cp, rng))
+        t0 = time.perf_counter()
+        (loss, aux), grads = step(critic, jax.random.PRNGKey(8))
+        _ = float(loss)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            (loss, aux), grads = step(critic, jax.random.PRNGKey(8))
+        _ = float(loss)
+        dt = (time.perf_counter() - t0) / args.reps
+        return dt, {"loss": float(loss), "compile_s": round(compile_s, 1)}
+
+    frames = args.frames
+    while True:
+        try:
+            dt, extra = run(frames)
+            break
+        except Exception as e:
+            msg = str(e)
+            oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            if args.auto_shrink and oom and frames > 6:
+                print(json.dumps({"mode": args.mode, "frames": frames,
+                                  "oom": True}), flush=True)
+                frames -= 3 if frames <= 12 else 6
+                continue
+            raise
+
+    print(json.dumps({
+        "mode": args.mode,
+        "frames": frames,
+        "ms_per_step": round(dt * 1e3, 1),
+        "hbm_peak_gb": hbm_peak_gb(),
+        "device": str(jax.devices()[0]),
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()
