@@ -18,6 +18,7 @@ fixed 512 window, encode, then zero out embeddings past each prompt's length
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import List, Optional
 
@@ -120,39 +121,83 @@ def t5_encode(
     buckets = relative_position_buckets(l, l, cfg.num_buckets, cfg.max_dist)
     # additive key mask (t5.py:102-109): -inf where mask == 0
     key_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
-    n, hd = cfg.num_heads, cfg.head_dim
 
     def block(x, layer_p):
-        pos_bias = layer_p["pos_emb"][buckets]  # [L, L, n]
-        pos_bias = pos_bias.transpose(2, 0, 1)[None]  # [1, n, L, L]
-        h = t5_layer_norm(x, layer_p["norm1"], cfg.eps)
-        q = jnp.dot(h, layer_p["attn"]["q"], preferred_element_type=jnp.float32)
-        k = jnp.dot(h, layer_p["attn"]["k"], preferred_element_type=jnp.float32)
-        v = jnp.dot(h, layer_p["attn"]["v"], preferred_element_type=jnp.float32).astype(x.dtype)
-        q = q.reshape(b, l, n, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, n, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, n, hd).transpose(0, 2, 1, 3)
-        # T5: no 1/sqrt(d) scaling (t5.py:111-112); softmax in fp32
-        logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits + pos_bias.astype(jnp.float32) + key_bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
-        o = o.transpose(0, 2, 1, 3).reshape(b, l, n * hd)
-        x = x + jnp.dot(o, layer_p["attn"]["o"],
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-
-        h = t5_layer_norm(x, layer_p["norm2"], cfg.eps)
-        gate = nn.gelu_tanh(jnp.dot(h, layer_p["ffn"]["gate"],
-                                    preferred_element_type=jnp.float32).astype(x.dtype))
-        ff = jnp.dot(h, layer_p["ffn"]["fc1"],
-                     preferred_element_type=jnp.float32).astype(x.dtype) * gate
-        x = x + jnp.dot(ff, layer_p["ffn"]["fc2"],
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-        return x, None
+        return _t5_block(cfg, x, layer_p, buckets, key_bias), None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
     return t5_layer_norm(x, params["norm"], cfg.eps)
+
+
+def _t5_block(cfg: T5Config, x, layer_p, buckets, key_bias):
+    """One encoder layer (t5.py:102-133): per-layer rel-pos bias, unscaled
+    attention (no 1/sqrt(d), t5.py:111-112), fp32 softmax, gated-gelu FFN."""
+    b, l = x.shape[:2]
+    n, hd = cfg.num_heads, cfg.head_dim
+    pos_bias = layer_p["pos_emb"][buckets]  # [L, L, n]
+    pos_bias = pos_bias.transpose(2, 0, 1)[None]  # [1, n, L, L]
+    h = t5_layer_norm(x, layer_p["norm1"], cfg.eps)
+    q = jnp.dot(h, layer_p["attn"]["q"], preferred_element_type=jnp.float32)
+    k = jnp.dot(h, layer_p["attn"]["k"], preferred_element_type=jnp.float32)
+    v = jnp.dot(h, layer_p["attn"]["v"], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = q.reshape(b, l, n, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, l, n, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, l, n, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits + pos_bias.astype(jnp.float32) + key_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, l, n * hd)
+    x = x + jnp.dot(o, layer_p["attn"]["o"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+
+    h = t5_layer_norm(x, layer_p["norm2"], cfg.eps)
+    gate = nn.gelu_tanh(jnp.dot(h, layer_p["ffn"]["gate"],
+                                preferred_element_type=jnp.float32).astype(x.dtype))
+    ff = jnp.dot(h, layer_p["ffn"]["fc1"],
+                 preferred_element_type=jnp.float32).astype(x.dtype) * gate
+    x = x + jnp.dot(ff, layer_p["ffn"]["fc2"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    return x
+
+
+def t5_encode_streamed(
+    params: dict, cfg: T5Config, ids: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Per-layer weight-streamed encode — the TPU-native analogue of the
+    reference's ``DynamicSwapInstaller`` (utils/memory.py:13-58), which
+    streams individual submodule weights to the GPU on ``__getattr__`` in
+    <40 GB mode (inference.py:62,135-136).
+
+    ``params`` leaves live on the HOST (numpy arrays, or pinned-host jax
+    arrays); each of the ``num_layers`` layer trees is transferred to the
+    device only for the duration of its own forward, so HBM high-water is
+    one umT5 layer (~0.4 GB) + activations instead of the full 11 GB
+    encoder.  The embedding lookup gathers the needed rows on the host.
+    Numerics are identical to ``t5_encode`` (same jitted block body).
+    """
+    import numpy as np
+
+    def _host(a):
+        return a if isinstance(a, np.ndarray) else np.asarray(a)
+
+    ids_h = np.asarray(ids)
+    x = jnp.asarray(_host(params["token_embedding"])[ids_h])
+    l = ids_h.shape[1]
+    buckets = relative_position_buckets(l, l, cfg.num_buckets, cfg.max_dist)
+    key_bias = jnp.where(jnp.asarray(mask)[:, None, None, :] > 0, 0.0,
+                         -1e30).astype(jnp.float32)
+
+    block_jit = jax.jit(functools.partial(_t5_block, cfg))
+    blocks = params["blocks"]
+    num_layers = len(_host(jax.tree.leaves(blocks)[0]))
+    for i in range(num_layers):
+        layer_host = jax.tree.map(lambda a: _host(a)[i], blocks)
+        layer_dev = jax.tree.map(jnp.asarray, layer_host)  # host -> HBM
+        x = block_jit(x, layer_dev, buckets, key_bias)
+        del layer_dev  # freed before the next layer streams in
+    return t5_layer_norm(x, jnp.asarray(_host(params["norm"])), cfg.eps)
 
 
 def encode_prompts(
@@ -209,10 +254,25 @@ class T5TextEncoder:
     reference's dependence on a downloaded ``wan_models`` directory."""
 
     def __init__(self, params: dict, cfg: T5Config = T5Config(),
-                 tokenizer_path: Optional[str] = None):
-        self.params = params
+                 tokenizer_path: Optional[str] = None,
+                 low_memory: bool = False):
+        """``low_memory=True`` keeps the encoder weights on the HOST and
+        streams one layer at a time to the device per encode — the
+        reference's DynamicSwapInstaller <40 GB mode
+        (utils/memory.py:13-58, inference.py:62,135-136)."""
         self.cfg = cfg
-        self._encode = jax.jit(lambda p, i, m: encode_prompts(p, cfg, i, m))
+        self.low_memory = low_memory
+        if low_memory:
+            self.params = jax.tree.map(np.asarray, params)
+
+            def _stream_encode(p, i, m):
+                feats = t5_encode_streamed(p, cfg, i, m)
+                return feats * (jnp.asarray(m) > 0)[..., None].astype(feats.dtype)
+
+            self._encode = _stream_encode
+        else:
+            self.params = params
+            self._encode = jax.jit(lambda p, i, m: encode_prompts(p, cfg, i, m))
         self.tokenizer = None
         if tokenizer_path is not None:
             from transformers import AutoTokenizer

@@ -126,7 +126,12 @@ def load_text_encoder(
     tok = os.path.join(base, "google", "umt5-xxl")
     if os.path.exists(weights) and os.path.exists(tok):
         params = T5.t5_params_from_torch(_torch_load(weights), tcfg, dtype)
-        return T5.T5TextEncoder(params, tcfg, tokenizer_path=tok)
+        # `low_memory: true` (the reference's <40 GB DynamicSwapInstaller
+        # mode, inference.py:62,135-136) streams one umT5 layer to HBM at a
+        # time instead of residing the 11 GB encoder
+        low_mem = bool((config.extras or {}).get("low_memory", False))
+        return T5.T5TextEncoder(params, tcfg, tokenizer_path=tok,
+                                low_memory=low_mem)
     _warn(f"T5 assets not found under {base!r} — text encoding unavailable; "
           "pipelines accept precomputed prompt embeddings instead")
     return None

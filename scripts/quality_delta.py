@@ -1,0 +1,128 @@
+"""Quantify the serving-mode quality delta: bf16 vs int8 linears vs
+int8 linears + int8-QK attention.
+
+Same weights, same seed, same noise; generates N latent frames in each
+mode and reports latent divergence vs the bf16 reference plus
+pixel-domain eval proxies (eval/metrics.py) after VAE decode.  Random
+weights (no released checkpoints in this environment) — the numbers
+quantify NUMERIC divergence of the quantized paths, which upper-bounds
+what real weights would see at the same activation statistics.
+
+Prints one JSON line per mode.  Run on the TPU chip:
+    python scripts/quality_delta.py --frames 12
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--window", default="9,3")
+    ap.add_argument("--skip_vae", action="store_true")
+    args = ap.parse_args()
+
+    from longlive_tpu.config import DiTConfig, LatentGeometry, PipelineConfig
+    from longlive_tpu.eval import metrics as EM
+    from longlive_tpu.models import dit as D
+    from longlive_tpu.models import vae as V
+    from longlive_tpu.ops.quant import quantize_dit_params
+    from longlive_tpu.pipeline import CausalInferencePipeline
+
+    if os.environ.get("LONGLIVE_QD_TINY") == "1":  # CPU smoke of the script
+        from longlive_tpu.config import tiny_dit_config, tiny_geometry
+        jax.config.update("jax_platforms", "cpu")
+        cfg, geom = tiny_dit_config(), tiny_geometry()
+        local, sink = cfg.local_attn_size, cfg.sink_size
+        args.frames = min(args.frames, 4)
+        args.skip_vae = True
+        pc = PipelineConfig(num_output_frames=args.frames,
+                            num_frame_per_block=cfg.num_frame_per_block,
+                            local_attn_size=local, sink_size=sink,
+                            global_sink=False)
+    else:
+        local, sink = (int(s) for s in args.window.split(","))
+        cfg = DiTConfig(local_attn_size=local, sink_size=sink)
+        geom = LatentGeometry()
+        pc = PipelineConfig(num_output_frames=args.frames,
+                            local_attn_size=local,
+                            sink_size=sink, global_sink=False)
+    # zero_head=False: the reference zero-inits the head, which would make
+    # every mode output identical zero flow — useless for a numeric delta
+    params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16,
+                               zero_head=False)
+    params_q = quantize_dit_params(params)
+    prompt = jax.random.normal(jax.random.PRNGKey(1),
+                               (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (1, args.frames, geom.channels, geom.height, geom.width), jnp.float32)
+
+    vcfg = V.VAEConfig()
+    vae_params = None
+    if not args.skip_vae:
+        vae_params = V.init_vae_params(jax.random.PRNGKey(3), vcfg, jnp.bfloat16)
+
+    def gen(p, attn_impl):
+        pipe = CausalInferencePipeline(pc, p, geometry=geom, dit_config=cfg,
+                                       attn_impl=attn_impl)
+        cross = pipe.prepare_condition(prompt)
+        lat, _, _ = pipe.generate_latents_scanned(
+            noise, cross, rng=jax.random.PRNGKey(4),
+            cache=pipe.init_cache(1, jnp.bfloat16), start_frame=0)
+        return np.asarray(lat.astype(jnp.float32))
+
+    tiny = os.environ.get("LONGLIVE_QD_TINY") == "1"
+    modes = [
+        ("bf16", params, "xla" if tiny else "auto"),
+        ("int8_linears", params_q, "xla" if tiny else "auto"),
+        ("int8_linears+qk8_attn", params_q,
+         "pallas_qk8_interpret" if tiny else "pallas_qk8"),
+    ]
+
+    ref_lat = None
+    ref_px = None
+    for name, p, impl in modes:
+        lat = gen(p, impl)
+        row = {"mode": name, "frames": args.frames, "window": args.window}
+        if ref_lat is None:
+            ref_lat = lat
+        else:
+            d = lat - ref_lat
+            row["latent_rel_rms_vs_bf16"] = float(
+                np.sqrt((d ** 2).mean()) / (np.sqrt((ref_lat ** 2).mean()) + 1e-12))
+            row["latent_max_abs_vs_bf16"] = float(np.abs(d).max())
+        if vae_params is not None:
+            px, _ = jax.jit(
+                lambda vp, z: V.vae_decode_scan(vp, vcfg, z, None, True))(
+                vae_params, jnp.asarray(lat, jnp.bfloat16))
+            v01 = np.clip(np.asarray(px.astype(jnp.float32))[0].transpose(
+                0, 2, 3, 1) * 0.5 + 0.5, 0, 1)
+            row["temporal_flicker"] = float(EM.temporal_flicker(v01))
+            row["motion_smoothness"] = float(EM.motion_smoothness(v01))
+            row["imaging_quality"] = float(EM.imaging_quality(v01))
+            if ref_px is None:
+                ref_px = v01
+            else:
+                row["pixel_mae_vs_bf16"] = float(np.abs(v01 - ref_px).mean())
+                row["pixel_psnr_vs_bf16"] = float(
+                    -10 * np.log10(((v01 - ref_px) ** 2).mean() + 1e-12))
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,61 @@ def test_identity_rewriter():
     assert rw("a cat") == "a cat"
 
 
+def test_prompt_expander_system_prompts_and_dispatch():
+    """Reference PromptExpander surface (wan/utils/prompt_extend.py:101-155):
+    language/modality system-prompt selection + __call__ dispatch."""
+    from longlive_tpu.utils import prompt_extend as pe
+
+    lm = pe.PromptExpander("m", is_vl=False)
+    vl = pe.PromptExpander("m", is_vl=True)
+    assert lm.decide_system_prompt("en") == pe.LM_EN_SYS_PROMPT
+    assert lm.decide_system_prompt("ch") == pe.LM_ZH_SYS_PROMPT
+    assert vl.decide_system_prompt("en") == pe.VL_EN_SYS_PROMPT
+    assert vl.decide_system_prompt("ch") == pe.VL_ZH_SYS_PROMPT
+
+    calls = []
+
+    class Fake(pe.PromptExpander):
+        def extend(self, prompt, system_prompt, seed=-1, *a, **k):
+            calls.append(("lm", prompt, seed))
+            return pe.PromptOutput(True, prompt + "!", seed, system_prompt, "")
+
+        def extend_with_img(self, prompt, system_prompt, image=None, seed=-1,
+                            *a, **k):
+            calls.append(("vl", prompt, image))
+            return pe.PromptOutput(True, prompt + "?", seed, system_prompt, "")
+
+    out = Fake("m")("a dog", tar_lang="en", seed=7)
+    assert out.status and out.prompt == "a dog!" and out.seed == 7
+    out = Fake("m", is_vl=True)("a dog", image="img.png", seed=1)
+    assert out.prompt == "a dog?" and calls[-1] == ("vl", "a dog", "img.png")
+    out.add_custom_field("extra", 3)
+    assert out.extra == 3
+    # seed < 0 is replaced with a random non-negative one
+    assert Fake("m")("x").seed >= 0
+
+
+def test_qwen_expander_name_map_and_lazy():
+    """QwenPromptExpander resolves predefined names and defers model
+    loading to first use (construction is free offline)."""
+    from longlive_tpu.utils.prompt_extend import QwenPromptExpander
+
+    q = QwenPromptExpander("Qwen2.5_7B")
+    assert q.model_name == "Qwen/Qwen2.5-7B-Instruct"
+    assert q._model is None  # nothing loaded yet
+    q2 = QwenPromptExpander(is_vl=True)
+    assert q2.model_name == "Qwen/Qwen2.5-VL-7B-Instruct"
+
+
+def test_dashscope_expander_offline_raises():
+    import pytest
+
+    from longlive_tpu.utils.prompt_extend import DashScopePromptExpander
+
+    with pytest.raises(ImportError, match="dashscope"):
+        DashScopePromptExpander()
+
+
 def test_load_base_dit_safetensors(tmp_path):
     """Round-trip: save a tiny DiT state_dict as sharded safetensors in the
     HF release layout, reload through load_base_dit."""

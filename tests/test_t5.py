@@ -4,6 +4,7 @@
 import numpy as np
 import pytest
 import torch
+import jax
 import jax.numpy as jnp
 
 from longlive_tpu.models import t5 as T
@@ -59,6 +60,29 @@ def test_encode_prompts_zeroes_padding(ref_setup):
     out = T.encode_prompts(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
     assert np.abs(np.asarray(out[0, 4:])).max() == 0.0
     assert np.abs(np.asarray(out[0, :4])).max() > 0.0
+
+
+def test_t5_streamed_encode_matches_scanned(ref_setup):
+    """Per-layer weight-streamed encode (DynamicSwapInstaller analogue,
+    reference utils/memory.py:13-58) is numerically identical to the
+    scanned whole-encoder path."""
+    cfg, ref, params = ref_setup
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, cfg.vocab_size, (2, cfg.text_len)).astype(np.int32)
+    mask = np.ones((2, cfg.text_len), np.int32)
+    mask[1, 6:] = 0
+    full = T.t5_encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    host_params = jax.tree.map(np.asarray, params)
+    streamed = T.t5_encode_streamed(host_params, cfg, ids, mask)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+
+    # facade low-memory mode applies the same padding zeroing
+    enc = T.T5TextEncoder(params, cfg, low_memory=True)
+    out_lm = enc._encode(enc.params, ids, mask)
+    out_fl = T.encode_prompts(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out_lm), np.asarray(out_fl),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_bucket_symmetry():
