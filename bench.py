@@ -65,10 +65,13 @@ def main():
     attn_impl = "auto"
     if use_int8:
         params = quantize_dit_params(params)
-        # int8 serving mode also runs QK^T on the int8 MXU pipe (per-token
-        # Q/K quant, bf16 P/PV — ops/attention.py); BENCH_INT8_ATTN=0 keeps
-        # attention bf16 with int8 linears only (the round-1 mode)
-        if os.environ.get("BENCH_INT8_ATTN", "1") == "1":
+        # BENCH_INT8_ATTN=1 also runs QK^T on the int8 MXU pipe (per-token
+        # Q/K quant, bf16 P/PV — ops/attention.py).  Measured r2: the
+        # XLA-side quant passes cost more than the int8 QK saves
+        # (558.6 vs 546.1 ms/latent-frame e2e), so bf16 attention stays
+        # the default; second negative int8-attention result after the
+        # round-1 SageAttention-style variant (PERF.md).
+        if os.environ.get("BENCH_INT8_ATTN", "0") == "1":
             attn_impl = "pallas_qk8"
     pipe = InteractiveCausalInferencePipeline(pc, params, geometry=geom,
                                               dit_config=cfg,

@@ -24,6 +24,7 @@ tests/test_dit.py.
 
 from __future__ import annotations
 
+import os
 import dataclasses
 import math
 from typing import NamedTuple, Optional, Tuple
@@ -238,6 +239,7 @@ def _attention_layer_cached(
     offsets: jax.Array,  # [F] int32 token offsets
     write_frames: Tuple[int, ...],
     attn_impl: str,
+    two_segment: bool = False,
 ):
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
@@ -254,6 +256,16 @@ def _attention_layer_cached(
     k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin, premul=k_pre)
 
     fs = cache_cfg.frame_seq
+    if two_segment:
+        # attend [old cache ++ fresh block] without writing/copying the
+        # full cache per layer (kv_valid excludes the block's own slots;
+        # the caller commits the returned block K/V once, outside the
+        # layer scan, in place on the donated cache buffer)
+        out = attend(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
+                     kv_valid, impl=attn_impl, frame_seq=fs, k2=k, v2=v)
+        out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
+        return out, k, v
+
     new_k, new_v = cache_k, cache_v
     for i in write_frames:
         kf = jax.lax.dynamic_slice_in_dim(k, i * fs, fs, axis=1)
@@ -301,6 +313,7 @@ def _block_body(
     offsets: jax.Array,
     write_frames: Tuple[int, ...],
     attn_impl: str,
+    two_segment: bool = False,
 ):
     """One CausalWanAttentionBlock (causal_model.py:413-477)."""
     f = num_frames
@@ -314,6 +327,7 @@ def _block_body(
     y, new_k, new_v = _attention_layer_cached(
         layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
         cache_k, cache_v, kv_valid, offsets, write_frames, attn_impl,
+        two_segment=two_segment,
     )
     x = x + _flat(_per_frame(y, f) * e_[2])
 
@@ -543,6 +557,7 @@ def dit_forward_cached(
     attn_impl: str = "auto",
     advance_counters: bool = True,
     window_frames: Optional[int] = None,
+    commit_writes: bool = True,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One cached DiT forward over a block of ``F`` frames starting at
     absolute frame ``start_frame`` (ref _forward_inference,
@@ -550,7 +565,16 @@ def dit_forward_cached(
 
     The returned cache has the block's roped K/V written at its ring slots
     and fill counters advanced; callers running recompute (denoise) passes
-    simply drop it (see ops.kv_cache module docstring).
+    simply drop it (see ops.kv_cache module docstring) — or pass
+    ``commit_writes=False`` to skip materializing the writes entirely.
+
+    On the standard decode path (no explicit kv_valid/offsets/write_frames)
+    the layer attention runs in TWO-SEGMENT form: the old cache and the
+    fresh block are separate attention operands, so no per-layer
+    written-through copy of the full cache is ever materialized; the
+    block's K/V are committed in ONE in-place update on the (donated)
+    stacked cache after the layer scan.  Paths that supply explicit cache
+    plumbing (KV-recache) keep the write-then-attend form.
     """
     b, f, c, h, w = x.shape
     dtype = params["patch_embedding"]["kernel"].dtype
@@ -561,11 +585,20 @@ def dit_forward_cached(
     hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
     rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, start_frame)
 
+    # Two-segment decode is opt-in (LONGLIVE_TWO_SEGMENT=1) pending
+    # real-chip validation: the first on-chip run of the segment-clamped
+    # index maps wedged the remote TPU runtime (hang in remote
+    # compile/execute), so the default stays on the proven
+    # write-then-attend form.
+    two_segment = (kv_valid is None and offsets is None
+                   and write_frames is None
+                   and os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1")
     if offsets is None:
         offsets = kvc.block_write_offsets(cache_cfg, cache, start_frame, f)
     if kv_valid is None:
         kv_valid = kvc.validity_mask(cache_cfg, cache, start_frame, f,
-                                     window_frames=window_frames)
+                                     window_frames=window_frames,
+                                     exclude_block=two_segment)
     if write_frames is None:
         write_frames = tuple(range(f))
 
@@ -575,6 +608,7 @@ def dit_forward_cached(
         xout, nk, nv = _block_body(
             cfg, cache_cfg, f, xcur, layer_p, ck, cv, xk, xv,
             e0, rope_cos, rope_sin, kv_valid, offsets, write_frames, attn_impl,
+            two_segment=two_segment,
         )
         return xout, (nk, nv)
 
@@ -586,5 +620,20 @@ def dit_forward_cached(
     flow = unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
 
     base = kvc.advance(cache_cfg, cache, start_frame, f) if advance_counters else cache
+    if two_segment:
+        if not commit_writes:
+            return flow, base
+        # one in-place commit of all layers' block K/V (ys are
+        # [L, B, F*fs, N, D]); XLA aliases the donated cache buffers
+        fs = cache_cfg.frame_seq
+        ck, cv = cache.k, cache.v
+        for i in write_frames:
+            kf = jax.lax.dynamic_slice_in_dim(new_k, i * fs, fs, axis=2)
+            vf = jax.lax.dynamic_slice_in_dim(new_v, i * fs, fs, axis=2)
+            zero = jnp.zeros([], jnp.int32)
+            start = (zero, zero, offsets[i], zero, zero)
+            ck = jax.lax.dynamic_update_slice(ck, kf.astype(ck.dtype), start)
+            cv = jax.lax.dynamic_update_slice(cv, vf.astype(cv.dtype), start)
+        return flow, dataclasses.replace(base, k=ck, v=cv)
     new_cache = dataclasses.replace(base, k=new_k, v=new_v)
     return flow, new_cache

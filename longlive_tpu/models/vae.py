@@ -222,6 +222,9 @@ def _fusable(x, p, thread: _CacheThread, stride) -> bool:
     w = p["w"]
     if tuple(w.shape[2:]) not in ((3, 3, 3), (3, 1, 1)) or x.shape[0] != 1:
         return False
+    if (tuple(w.shape[2:]) == (3, 1, 1)
+            and os.environ.get("LONGLIVE_VAE_FUSED_TIMECONV", "1") == "0"):
+        return False  # isolate the time-conv fusion for A/B measurement
     if x.shape[3] % 8 or x.shape[2] % 2:  # kernel tiling needs W%8, H%th
         return False
     # =0 disables (XLA concat path), =interpret runs the kernel

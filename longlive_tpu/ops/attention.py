@@ -59,16 +59,28 @@ def dense_attention(
 _LANES = 128
 
 
-def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False):
+def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
+                  nkv1: int = 0):
     """One (head, q_block, kv_block) grid step of flash attention.
 
     Refs: [bias [1, bkv] f32 if has_bias],
     [qsc [1, bq, 1] + ksc [1, 1, bkv] f32 if qk_int8],
     q [1, bq, D] (pre-scaled; int8 when qk_int8), k, v [1, bkv, D]
-    (k int8 when qk_int8), out [1, bq, D]; scratch m, l [bq, 128] f32
+    (k int8 when qk_int8), [k2, v2 [1, bkv, D] if nkv1 > 0],
+    out [1, bq, D]; scratch m, l [bq, 128] f32
     (lane-replicated — (bq, 1) layouts relayout on every op), acc [bq, D]
     f32.  The kv grid dimension is innermost, so scratch carries the
     online-softmax state across kv blocks.
+
+    nkv1 > 0: TWO-SEGMENT KV.  kv grid steps [0, nkv1) read the first
+    (cache) segment, steps >= nkv1 read the second (fresh block) segment
+    — the online softmax spans both.  This lets the decode path attend
+    [cache ++ new-block] WITHOUT materializing a concatenated (or
+    written-through) copy of the full cache per layer; the per-tile
+    jnp.where select costs one [bkv, D] VPU pass, nothing at [bq, bkv]
+    scale.  Index maps clamp so each segment's ref re-reads a resident
+    tile while the other segment streams (Pallas skips DMA when the
+    block index is unchanged).
 
     qk_int8: the QK^T contraction runs on the int8 MXU pipe (2x bf16
     throughput on v5e).  Q/K are symmetrically quantized *per token*
@@ -85,7 +97,12 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False):
         bias_ref = refs[idx]; idx += 1
     if qk_int8:
         qsc_ref = refs[idx]; ksc_ref = refs[idx + 1]; idx += 2
-    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs[idx:]
+    if nkv1 > 0:
+        (q_ref, k_ref, v_ref, k2_ref, v2_ref,
+         o_ref, m_ref, l_ref, acc_ref) = refs[idx:]
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs[idx:]
+        k2_ref = v2_ref = None
     ikv = pl.program_id(2)
     nkv = pl.num_programs(2)
 
@@ -96,7 +113,13 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]  # [bq, D]
-    k = k_ref[0]  # [bkv, D]
+    if nkv1 > 0:
+        in_seg1 = ikv < nkv1
+        k = jnp.where(in_seg1, k_ref[0], k2_ref[0])
+        v_tile = jnp.where(in_seg1, v_ref[0], v2_ref[0])
+    else:
+        k = k_ref[0]  # [bkv, D]
+        v_tile = v_ref[0]
     bkv = k.shape[0]
     if qk_int8:
         s32 = jax.lax.dot_general(
@@ -136,8 +159,8 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False):
     l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1)[:, None]
     m_ref[:] = m_new
     pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype),
-        v_ref[0],
+        p.astype(v_tile.dtype),
+        v_tile,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -196,6 +219,8 @@ def flash_attention(
     block_kv: int = 1024,
     frame_seq: Optional[int] = None,
     qk_int8: bool = False,
+    k2: Optional[jax.Array] = None,
+    v2: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas flash attention.
@@ -203,6 +228,9 @@ def flash_attention(
     q: [B, Sq, N, D]; k, v: [B, Skv, N, D]; bias: [B, Skv] f32 additive
     (0 for valid, -inf for masked) or None.  ``frame_seq`` (tokens per
     latent frame) unlocks frame-aligned q tiling on the decode path.
+    ``k2``/``v2`` append a second, fully-valid KV segment (the fresh
+    block on the decode path) WITHOUT concatenating buffers — the online
+    softmax spans [k ++ k2]; ``bias`` applies to the first segment only.
     Returns [B, Sq, N, D].
     """
     b, sq, n, d = q.shape
@@ -211,10 +239,15 @@ def flash_attention(
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
     has_bias = bias is not None
+    has_seg2 = k2 is not None
 
     sq_p = -(-sq // block_q) * block_q
     skv_p = -(-skv // block_kv) * block_kv
-    if not has_bias and skv_p != skv:
+    nkv1 = skv_p // block_kv
+    skv2 = k2.shape[1] if has_seg2 else 0
+    skv2_p = -(-skv2 // block_kv) * block_kv if has_seg2 else 0
+    need_mask = (skv_p != skv) or (has_seg2 and skv2_p != skv2)
+    if not has_bias and need_mask:
         # padded KV rows must be masked out
         bias = jnp.zeros((b, skv), jnp.float32)
         has_bias = True
@@ -223,11 +256,18 @@ def flash_attention(
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     # [B, S, N, D] -> [B*N, S, D]
-    qt = _pad_axis(qs, 1, sq_p).transpose(0, 2, 1, 3).reshape(b * n, sq_p, d)
-    kt = _pad_axis(k, 1, skv_p).transpose(0, 2, 1, 3).reshape(b * n, skv_p, d)
-    vt = _pad_axis(v, 1, skv_p).transpose(0, 2, 1, 3).reshape(b * n, skv_p, d)
+    def _t(x, sp):
+        return _pad_axis(x, 1, sp).transpose(0, 2, 1, 3).reshape(b * n, sp, d)
 
-    grid = (b * n, sq_p // block_q, skv_p // block_kv)
+    qt = _t(qs, sq_p)
+    kt = _t(k, skv_p)
+    vt = _t(v, skv_p)
+    k2t = v2t = None
+    if has_seg2:
+        k2t = _t(k2, skv2_p)
+        v2t = _t(v2, skv2_p)
+
+    grid = (b * n, sq_p // block_q, (skv_p + skv2_p) // block_kv)
 
     qsc = ksc = None
     if qk_int8:
@@ -241,14 +281,22 @@ def flash_attention(
 
         qt, qsc = _q8(qt)          # qsc: [B*N, Sq_p, 1]
         kt, ksc_ = _q8(kt)
-        # [B*N, 1, Skv_p]: kv scales live on the lane axis so the block's
-        # trailing dims satisfy Mosaic's (8, 128)-divisibility rule
+        if has_seg2:
+            k2t, ksc2_ = _q8(k2t)
+            ksc_ = jnp.concatenate([ksc_, ksc2_], axis=1)
+        # [B*N, 1, Skv_p(+Skv2_p)]: kv scales live on the lane axis so the
+        # block's trailing dims satisfy Mosaic's (8, 128)-divisibility rule
         ksc = ksc_.transpose(0, 2, 1)
 
     in_specs = []
     operands = []
     if has_bias:
         bias = _pad_axis(bias.astype(jnp.float32), 1, skv_p, value=_NEG_INF)
+        if has_seg2:
+            # second segment: all tokens valid, pad rows masked
+            bias2 = jnp.zeros((b, skv2), jnp.float32)
+            bias2 = _pad_axis(bias2, 1, skv2_p, value=_NEG_INF)
+            bias = jnp.concatenate([bias, bias2], axis=1)
         in_specs.append(pl.BlockSpec(
             (1, block_kv), lambda h, iq, ikv: (h // n, ikv),
             memory_space=pltpu.VMEM))
@@ -266,14 +314,32 @@ def flash_attention(
         pl.BlockSpec(
             (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec(
-            (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0), memory_space=pltpu.VMEM
-        ),
     ]
-    operands += [qt, kt, vt]
+    operands += [qt]
+    if has_seg2:
+        # segment-clamped index maps: the off-segment ref re-reads a
+        # resident tile (Pallas elides the DMA when the index repeats)
+        seg1_map = lambda h, iq, ikv: (h, jnp.minimum(ikv, nkv1 - 1), 0)
+        seg2_map = lambda h, iq, ikv: (h, jnp.maximum(ikv - nkv1, 0), 0)
+        in_specs += [
+            pl.BlockSpec((1, block_kv, d), seg1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), seg1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), seg2_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), seg2_map, memory_space=pltpu.VMEM),
+        ]
+        operands += [kt, vt, k2t, v2t]
+    else:
+        in_specs += [
+            pl.BlockSpec(
+                (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0),
+                memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0),
+                memory_space=pltpu.VMEM
+            ),
+        ]
+        operands += [kt, vt]
 
     scratch_shapes = [
         pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -282,7 +348,8 @@ def flash_attention(
     ]
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, has_bias=has_bias, qk_int8=qk_int8),
+        functools.partial(_flash_kernel, has_bias=has_bias, qk_int8=qk_int8,
+                          nkv1=nkv1 if has_seg2 else 0),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -461,10 +528,13 @@ def attend(
     kv_valid: Optional[jax.Array] = None,
     impl: str = "auto",
     frame_seq: Optional[int] = None,
+    k2: Optional[jax.Array] = None,
+    v2: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend).
-    frame_seq: tokens per latent frame (decode path) for frame-aligned
-    q tiling."""
+    """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend; first
+    KV segment only).  frame_seq: tokens per latent frame (decode path)
+    for frame-aligned q tiling.  k2/v2: appended fully-valid KV segment
+    (two-segment decode; concatenated explicitly on the xla fallback)."""
     b, _, n, d = q.shape
     bias = None
     if kv_valid is not None:
@@ -476,14 +546,23 @@ def attend(
         impl = "pallas" if (jax.default_backend() == "tpu" and d % 128 == 0) else "xla"
 
     if impl == "pallas":
-        return flash_attention(q, k, v, bias, frame_seq=frame_seq)
+        return flash_attention(q, k, v, bias, frame_seq=frame_seq, k2=k2, v2=v2)
     if impl == "pallas_qk8":
         # int8-QK serving mode (per-tile Q/K quant on the int8 MXU pipe)
-        return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True)
+        return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True,
+                               k2=k2, v2=v2)
     if impl == "pallas_interpret":
-        return flash_attention(q, k, v, bias, frame_seq=frame_seq, interpret=True)
+        return flash_attention(q, k, v, bias, frame_seq=frame_seq, k2=k2, v2=v2,
+                               interpret=True)
     if impl == "pallas_qk8_interpret":
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True,
-                               interpret=True)
+                               k2=k2, v2=v2, interpret=True)
+    if k2 is not None:
+        k = jnp.concatenate([k, k2], axis=1)
+        v = jnp.concatenate([v, v2], axis=1)
+        if bias is not None:
+            bias = jnp.concatenate(
+                [bias, jnp.zeros((bias.shape[0], k2.shape[1]), jnp.float32)],
+                axis=1)
     dense_bias = None if bias is None else bias[:, None, None, :]
     return dense_attention(q, k, v, dense_bias)

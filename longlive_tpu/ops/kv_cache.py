@@ -131,6 +131,7 @@ def validity_mask(
     num_frames: int,
     token_level: bool = True,
     window_frames: int | None = None,
+    exclude_block: bool = False,
 ) -> jax.Array:
     """Boolean mask over cache slots that attention may see for a forward at
     [start_frame, +num_frames).  Includes the current block (the reference
@@ -141,7 +142,14 @@ def validity_mask(
     when the cache retains MORE history than the window — the training
     pipelines size the cache at min(local+slice, num_training) frames but
     attend only sink + (local - sink) recent frames via max_attention_size
-    (self_forcing_training.py:59-74, causal_model.py:331-341)."""
+    (self_forcing_training.py:59-74, causal_model.py:331-341).
+
+    ``exclude_block=True`` removes the slots the current block writes —
+    the TWO-SEGMENT decode path attends [old cache ++ fresh block] with
+    the block's K/V as a separate kernel operand, so its (stale /
+    about-to-be-evicted) cache slots must be masked out of the first
+    segment.  The union of this mask and the fresh block equals the
+    single-segment post-write mask exactly."""
     after = advance(cfg, cache, start_frame, num_frames)
     slots = jnp.arange(cfg.total_frames, dtype=jnp.int32)
     in_sink = slots < cfg.sink_frames
@@ -157,6 +165,11 @@ def validity_mask(
         slot_frame = end - 1 - jnp.mod(end - 1 - (cache.ring_base + r), cfg.ring_frames)
         recent = slot_frame >= end - budget
         valid = valid & (in_sink | recent)
+    if exclude_block:
+        frames = (jnp.asarray(start_frame, jnp.int32)
+                  + jnp.arange(num_frames, dtype=jnp.int32))
+        blk = frame_slot(cfg, frames, cache.ring_base)  # [num_frames]
+        valid = valid & ~(slots[:, None] == blk[None, :]).any(axis=1)
     if token_level:
         valid = jnp.repeat(valid, cfg.frame_seq)
     return valid

@@ -141,6 +141,7 @@ class CausalInferencePipeline:
         if self.sp > 1:
             from ..parallel.decode_sp import sp_dit_forward_cached
 
+            kw.pop("commit_writes", None)  # sp path keeps write-then-attend
             return sp_dit_forward_cached(
                 params, self.cfg, self.cache_cfg, self.tables, self.mesh,
                 x, t, cross_kv, cache, start_frame, attn_impl=self.attn_impl,
@@ -159,7 +160,10 @@ class CausalInferencePipeline:
         x0 = x
         n_steps = len(self.denoise_timesteps)
         for i, t_val in enumerate(self.denoise_timesteps):
-            flow, _ = self._forward(params, x, t_val, cross_kv, cache, start_frame)
+            # denoise (recompute) passes discard the cache -> skip
+            # materializing their KV writes entirely
+            flow, _ = self._forward(params, x, t_val, cross_kv, cache,
+                                    start_frame, commit_writes=False)
             t_flat = jnp.full((b * f,), t_val, jnp.float32)
             x0 = S.convert_flow_to_x0(
                 self.sched,

@@ -1,0 +1,69 @@
+"""Streaming-VAE decode A/B probe on the real chip.
+
+Measures ms/latent-frame of the full streaming decode (vae_decode_scan,
+real 480x832 geometry, random bf16 weights) under kernel-dispatch
+variants, with chained in-jit timing (the tunnel makes per-call timing
+unreliable):
+
+  fused=1                the default (Pallas fused convs incl. (3,1,1)
+                         time convs)
+  fused=1,timeconv=0     fused (3,3,3) res-block convs only
+  fused=0                pure XLA concat path
+
+Prints one JSON line per variant.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+
+
+def main():
+    frames = int(os.environ.get("VAE_PROBE_FRAMES", "8"))
+    from longlive_tpu.models import vae as V
+
+    vcfg = V.VAEConfig()
+    vp = V.init_vae_params(jax.random.PRNGKey(0), vcfg, jnp.bfloat16)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, frames, 16, 60, 104),
+                          jnp.bfloat16)
+
+    variants = [
+        ("fused", {"LONGLIVE_VAE_FUSED": "1", "LONGLIVE_VAE_FUSED_TIMECONV": "1"}),
+        ("fused_no_timeconv", {"LONGLIVE_VAE_FUSED": "1",
+                               "LONGLIVE_VAE_FUSED_TIMECONV": "0"}),
+        ("xla", {"LONGLIVE_VAE_FUSED": "0"}),
+    ]
+    for name, env in variants:
+        os.environ.update(env)
+        fn = jax.jit(lambda p, zz: V.vae_decode_scan(p, vcfg, zz, None, True))
+        px, _ = fn(vp, z)  # compile
+        _ = float(jnp.sum(px[:, -1, :, ::64, ::64]))
+        t0 = time.perf_counter()
+        px, _ = fn(vp, z)
+        _ = float(jnp.sum(px[:, -1, :, ::64, ::64]))
+        dt1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(2):
+            px, _ = fn(vp, z)
+        _ = float(jnp.sum(px[:, -1, :, ::64, ::64]))
+        dt2 = (time.perf_counter() - t0) / 2
+        print(json.dumps({
+            "variant": name,
+            "ms_per_latent_frame": round(min(dt1, dt2) / frames * 1e3, 1),
+            "frames": frames,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

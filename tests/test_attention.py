@@ -71,6 +71,41 @@ def test_flash_qk_int8_close_to_dense():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("skv1,skv2,qk8", [(128, 64, False), (100, 48, False),
+                                           (128, 64, True)])
+def test_flash_two_segment_matches_concat(skv1, skv2, qk8):
+    """Two-segment KV (cache ++ fresh block, no concatenated buffer) ==
+    single-segment attention over the explicit concat."""
+    rng = np.random.RandomState(5)
+    b, sq, n, d = 1, 32, 2, 128
+    q = jnp.asarray(rng.randn(b, sq, n, d), jnp.float32)
+    k1 = jnp.asarray(rng.randn(b, skv1, n, d), jnp.float32)
+    v1 = jnp.asarray(rng.randn(b, skv1, n, d), jnp.float32)
+    k2 = jnp.asarray(rng.randn(b, skv2, n, d), jnp.float32)
+    v2 = jnp.asarray(rng.randn(b, skv2, n, d), jnp.float32)
+    valid = jnp.asarray(rng.rand(b, skv1) > 0.4)
+    valid = valid.at[:, :2].set(True)
+    bias1 = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+
+    kc = jnp.concatenate([k1, k2], axis=1)
+    vc = jnp.concatenate([v1, v2], axis=1)
+    biasc = jnp.concatenate([bias1, jnp.zeros((b, skv2), jnp.float32)], axis=1)
+    if qk8:
+        ref = A.flash_attention(q, kc, vc, biasc, block_q=32, block_kv=64,
+                                qk_int8=True, interpret=True)
+        out = A.flash_attention(q, k1, v1, bias1, block_q=32, block_kv=64,
+                                qk_int8=True, k2=k2, v2=v2, interpret=True)
+        # independent per-token quantization -> small numeric drift
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+    else:
+        ref = A.dense_attention(q, kc, vc, biasc[:, None, None, :])
+        out = A.flash_attention(q, k1, v1, bias1, block_q=32, block_kv=64,
+                                k2=k2, v2=v2, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_flash_ragged_padding():
     # seq lengths not divisible by blocks exercise the pad/slice path
     rng = np.random.RandomState(2)

@@ -208,3 +208,67 @@ def test_forward_full_spec_kernel_equals_dense(setup):
                               attn_impl="pallas_interpret")
     np.testing.assert_allclose(np.asarray(kern), np.asarray(dense),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_two_segment_equals_single_segment(setup):
+    """The two-segment decode path (cache ++ fresh block as separate
+    attention operands, in-place post-scan commit) must match the
+    write-then-attend single-segment form exactly — across enough blocks
+    to exercise sink fill, ring fill, and ring wrap."""
+    cfg, geom, params, tables, cross = setup
+    cache_cfg = CacheConfig(cfg.sink_size, cfg.local_attn_size - cfg.sink_size,
+                            geom.frame_seq_length)
+    f_total = cfg.local_attn_size + 3  # wraps the ring
+    x_full = jax.random.normal(
+        jax.random.PRNGKey(9), (1, f_total, cfg.in_dim, geom.height, geom.width))
+
+    import os
+
+    def run(force_single):
+        os.environ["LONGLIVE_TWO_SEGMENT"] = "0" if force_single else "1"
+        cache = kvc.init_cache(cache_cfg, cfg.num_layers, 1, cfg.num_heads,
+                               cfg.head_dim, jnp.float32)
+        outs = []
+        for s in range(0, f_total):
+            xb = x_full[:, s : s + 1]
+            t = jnp.full((1, 1), 500.0, jnp.float32)
+            kw = {}
+            if force_single:
+                kw = dict(
+                    offsets=kvc.block_write_offsets(cache_cfg, cache,
+                                                    jnp.asarray(s, jnp.int32), 1),
+                    kv_valid=kvc.validity_mask(cache_cfg, cache,
+                                               jnp.asarray(s, jnp.int32), 1),
+                    write_frames=(0,),
+                )
+            flow, cache = D.dit_forward_cached(
+                params, cfg, cache_cfg, tables, xb, t, cross, cache,
+                jnp.asarray(s, jnp.int32), attn_impl="xla", **kw)
+            outs.append(flow)
+        return jnp.concatenate(outs, axis=1), cache
+
+    try:
+        two, cache2 = run(False)
+        one, cache1 = run(True)
+    finally:
+        os.environ.pop("LONGLIVE_TWO_SEGMENT", None)
+    np.testing.assert_allclose(np.asarray(two), np.asarray(one),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache2.k), np.asarray(cache1.k),
+                               rtol=1e-5, atol=1e-5)
+
+    # commit_writes=False: flow identical, cache buffers untouched
+    os.environ["LONGLIVE_TWO_SEGMENT"] = "1"
+    cache = kvc.init_cache(cache_cfg, cfg.num_layers, 1, cfg.num_heads,
+                           cfg.head_dim, jnp.float32)
+    t = jnp.full((1, 1), 500.0, jnp.float32)
+    flow_c, cache_c = D.dit_forward_cached(
+        params, cfg, cache_cfg, tables, x_full[:, :1], t, cross, cache,
+        jnp.asarray(0, jnp.int32), attn_impl="xla", commit_writes=False)
+    flow_w, _ = D.dit_forward_cached(
+        params, cfg, cache_cfg, tables, x_full[:, :1], t, cross, cache,
+        jnp.asarray(0, jnp.int32), attn_impl="xla")
+    os.environ.pop("LONGLIVE_TWO_SEGMENT", None)
+    np.testing.assert_allclose(np.asarray(flow_c), np.asarray(flow_w),
+                               rtol=1e-6, atol=1e-6)
+    assert float(jnp.abs(cache_c.k).max()) == 0.0
