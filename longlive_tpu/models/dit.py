@@ -585,11 +585,11 @@ def dit_forward_cached(
     hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
     rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, start_frame)
 
-    # Two-segment decode is opt-in (LONGLIVE_TWO_SEGMENT=1) pending
-    # real-chip validation: the first on-chip run of the segment-clamped
-    # index maps wedged the remote TPU runtime (hang in remote
-    # compile/execute), so the default stays on the proven
-    # write-then-attend form.
+    # Two-segment decode stays opt-in (LONGLIVE_TWO_SEGMENT=1): measured
+    # e2e it loses 40 ms/latent-frame to the write-then-attend form —
+    # the cache operand still streams the block's (masked-invalid) ring
+    # slots, +25% attention work at the 12-frame window, outweighing the
+    # saved per-layer cache writes (PERF.md negative result #3).
     two_segment = (kv_valid is None and offsets is None
                    and write_frames is None
                    and os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1")

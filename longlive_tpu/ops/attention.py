@@ -521,6 +521,62 @@ def flash_attention_frame_masked(
     return out[:, :sq]
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def flash_attention_trainable(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_valid: Optional[jax.Array] = None,
+    block: int = 512,
+) -> jax.Array:
+    """DIFFERENTIABLE flash attention for the training paths.
+
+    Wraps the upstream Pallas TPU flash kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention — it ships forward
+    AND backward kernels via custom_vjp), which our hand-written serving
+    kernel does not have; dense attention is not an option at training
+    scale (a 21-frame critic forward would materialize a 12x32760^2 f32
+    logit tensor, ~50 GB/layer).
+
+    KV validity is encoded as segment ids (valid kv = 1, invalid = 0;
+    real q rows = 1), which the upstream kernel masks in both the
+    forward and the backward.  Padded q rows get id 0 so they attend the
+    id-0 kv padding (finite garbage, sliced off; fully-masked rows would
+    NaN the backward) — one extra kv block guarantees id-0 tokens exist.
+
+    q: [B, Sq, N, D]; k, v: [B, Skv, N, D]; kv_valid: bool [Skv] or
+    [B, Skv].  Returns [B, Sq, N, D].
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention as upstream_flash)
+
+    b, sq, n, d = q.shape
+    skv = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    sq_p = -(-sq // block) * block
+    skv_p = -(-skv // block) * block
+    if sq_p != sq:
+        skv_p += block  # guarantee id-0 kv tokens for the padded q rows
+
+    qt = _pad_axis(q, 1, sq_p).transpose(0, 2, 1, 3)  # [B, N, S, D]
+    kt = _pad_axis(k, 1, skv_p).transpose(0, 2, 1, 3)
+    vt = _pad_axis(v, 1, skv_p).transpose(0, 2, 1, 3)
+
+    q_ids = jnp.broadcast_to(
+        (jnp.arange(sq_p) < sq).astype(jnp.int32)[None], (b, sq_p))
+    if kv_valid is None:
+        kv_core = jnp.ones((b, skv), jnp.int32)
+    else:
+        if kv_valid.ndim == 1:
+            kv_valid = kv_valid[None, :]
+        kv_core = jnp.broadcast_to(kv_valid.astype(jnp.int32), (b, skv))
+    kv_ids = _pad_axis(kv_core, 1, skv_p)
+
+    out = upstream_flash(qt, kt, vt, segment_ids=SegmentIds(q=q_ids, kv=kv_ids),
+                         sm_scale=scale)
+    return out.transpose(0, 2, 1, 3)[:, :sq].astype(q.dtype)
+
+
 def attend(
     q: jax.Array,
     k: jax.Array,
@@ -544,6 +600,20 @@ def attend(
 
     if impl == "auto":
         impl = "pallas" if (jax.default_backend() == "tpu" and d % 128 == 0) else "xla"
+    if impl == "train_auto":
+        # training paths need a DIFFERENTIABLE kernel; the serving kernel
+        # has no VJP and dense attention cannot fit training shapes
+        impl = ("pallas_train"
+                if (jax.default_backend() == "tpu" and d % 128 == 0) else "xla")
+    if impl == "pallas_train":
+        if k2 is not None:
+            k = jnp.concatenate([k, k2], axis=1)
+            v = jnp.concatenate([v, v2], axis=1)
+            if kv_valid is not None:
+                # kv_valid was normalized to [B, Skv] above
+                pad = jnp.ones(k2.shape[:2], bool)
+                kv_valid = jnp.concatenate([kv_valid, pad], axis=-1)
+        return flash_attention_trainable(q, k, v, kv_valid)
 
     if impl == "pallas":
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, k2=k2, v2=v2)
@@ -557,6 +627,8 @@ def attend(
     if impl == "pallas_qk8_interpret":
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True,
                                k2=k2, v2=v2, interpret=True)
+    if impl != "xla":
+        raise ValueError(f"unknown attention impl {impl!r}")
     if k2 is not None:
         k = jnp.concatenate([k, k2], axis=1)
         v = jnp.concatenate([v, v2], axis=1)

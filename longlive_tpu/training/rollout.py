@@ -44,7 +44,7 @@ class RolloutConfig:
     frame_block: int = 3
     same_step_across_blocks: bool = True
     last_step_only: bool = False
-    attn_impl: str = "auto"
+    attn_impl: str = "train_auto"
     remat: bool = True
     # attention budget in frames (sink + recent); None = whole cache.  The
     # training cache retains min(local+slice, num_training) frames but only

@@ -60,7 +60,9 @@ class TrainerConfig:
     ts_schedule: bool = False
     ts_schedule_max: bool = False
     num_train_timestep: int = 1000
-    attn_impl: str = "auto"
+    # "train_auto": differentiable flash kernel on TPU (ops.attention
+    # .flash_attention_trainable), XLA dense elsewhere
+    attn_impl: str = "train_auto"
     seed: int = 0
     # LoRA adapters (reference adapter config, longlive_train_long.yaml:
     # rank/alpha 256 on generator + critic; 0 = full fine-tune)

@@ -162,7 +162,8 @@ def main():
 
         def closs_fn(cp, rng):
             loss, aux = dmd_mod.critic_denoising_loss(
-                cp, lat, cfg, tables, sched, dcfg, pe_c, rng)
+                cp, lat, cfg, tables, sched, dcfg, pe_c, rng,
+                attn_impl="train_auto")
             return loss, aux
 
         step = jax.jit(lambda cp, rng: jax.value_and_grad(
