@@ -57,9 +57,13 @@ def main():
     cfg = DiTConfig(local_attn_size=local_attn, sink_size=sink)
     geom = LatentGeometry()
     warmup_frames = 6
+    # BENCH_INT8_KV=1: cached keys stored int8 (quantized once at write
+    # time) so attention runs int8-QK with NO per-forward K-quantize pass —
+    # the design negative result #2 (PERF.md) called for
+    kv_int8 = os.environ.get("BENCH_INT8_KV", "0") == "1"
     pc = PipelineConfig(num_output_frames=warmup_frames + frames,
                         local_attn_size=local_attn, sink_size=sink,
-                        global_sink=False)
+                        global_sink=False, kv_int8=kv_int8)
 
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     attn_impl = "auto"
@@ -199,6 +203,7 @@ def main():
         "attn_window": f"{local_attn},{sink}",
         "include_vae": not skip_vae,
         "int8": use_int8,
+        "int8_kv": kv_int8,
         "first_run_s": round(compile_and_run, 1),
         "device": str(jax.devices()[0]),
     }

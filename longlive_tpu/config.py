@@ -135,6 +135,11 @@ class PipelineConfig:
     global_sink: bool = True
     seed: int = 0
     switch_frame_indices: Tuple[int, ...] = ()
+    # store cached (roped) keys int8 with per-token dequant scales; keys are
+    # quantized ONCE at cache-write time, so the flash kernel runs int8-QK
+    # without any per-forward K-quantize pass (serving-only knob; no
+    # reference analogue — its KV cache is bf16, causal_model.py:206-236)
+    kv_int8: bool = False
     model_name: str = "Wan2.1-T2V-1.3B"
     data_path: Optional[str] = None
     output_folder: Optional[str] = None

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..config import CacheConfig, DiTConfig
 from ..ops import kv_cache as kvc
-from ..ops.attention import attend, dense_attention
+from ..ops.attention import attend, dense_attention, quantize_k_tokens
 from ..ops.embeddings import sinusoidal_embedding_1d
 from ..ops.rope import RopeTables, apply_rotary, rope_multipliers
 from . import nn
@@ -233,13 +233,14 @@ def _attention_layer_cached(
     x: jax.Array,  # [B, S, dim] (already modulated + normed)
     rope_cos: jax.Array,
     rope_sin: jax.Array,
-    cache_k: jax.Array,  # [B, S_cache, N, D]
+    cache_k: jax.Array,  # [B, S_cache, N, D] (int8 in the int8-KV mode)
     cache_v: jax.Array,
     kv_valid: jax.Array,  # [S_cache] bool
     offsets: jax.Array,  # [F] int32 token offsets
     write_frames: Tuple[int, ...],
     attn_impl: str,
     two_segment: bool = False,
+    cache_sc: Optional[jax.Array] = None,  # [B, S_cache, N] int8-KV scales
 ):
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
@@ -264,11 +265,21 @@ def _attention_layer_cached(
         out = attend(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
                      kv_valid, impl=attn_impl, frame_seq=fs, k2=k, v2=v)
         out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
-        return out, k, v
+        return out, k, v, None
 
-    new_k, new_v = cache_k, cache_v
+    int8_kv = cache_k.dtype == jnp.int8
+    if int8_kv:
+        # int8 KV: the fresh block's roped keys are quantized ONCE here
+        # (4680 tokens) and written with their per-token scales; the big
+        # cached K never sees a quantize pass (the cost that made
+        # per-forward int8-QK a net loss, PERF.md negative result #2)
+        k_w, k_sc = quantize_k_tokens(k)
+    else:
+        k_w, k_sc = k, None
+
+    new_k, new_v, new_sc = cache_k, cache_v, cache_sc
     for i in write_frames:
-        kf = jax.lax.dynamic_slice_in_dim(k, i * fs, fs, axis=1)
+        kf = jax.lax.dynamic_slice_in_dim(k_w, i * fs, fs, axis=1)
         vf = jax.lax.dynamic_slice_in_dim(v, i * fs, fs, axis=1)
         new_k = jax.lax.dynamic_update_slice_in_dim(
             new_k, kf.astype(new_k.dtype), offsets[i], axis=1
@@ -276,11 +287,17 @@ def _attention_layer_cached(
         new_v = jax.lax.dynamic_update_slice_in_dim(
             new_v, vf.astype(new_v.dtype), offsets[i], axis=1
         )
+        if int8_kv:
+            sf = jax.lax.dynamic_slice_in_dim(k_sc, i * fs, fs, axis=1)
+            new_sc = jax.lax.dynamic_update_slice_in_dim(
+                new_sc, sf.astype(new_sc.dtype), offsets[i], axis=1
+            )
 
-    out = attend(q, new_k.astype(q.dtype), new_v.astype(q.dtype), kv_valid,
-                 impl=attn_impl, frame_seq=fs)
+    out = attend(q, new_k if int8_kv else new_k.astype(q.dtype),
+                 new_v.astype(q.dtype), kv_valid,
+                 impl=attn_impl, frame_seq=fs, k_scales=new_sc)
     out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
-    return out, new_k, new_v
+    return out, new_k, new_v, new_sc
 
 
 def _cross_attention_layer(
@@ -314,6 +331,7 @@ def _block_body(
     write_frames: Tuple[int, ...],
     attn_impl: str,
     two_segment: bool = False,
+    cache_sc: Optional[jax.Array] = None,
 ):
     """One CausalWanAttentionBlock (causal_model.py:413-477)."""
     f = num_frames
@@ -324,10 +342,10 @@ def _block_body(
     # self-attention with per-frame adaLN
     h = _per_frame(nn.layer_norm(x, cfg.eps), f)
     h = _flat(h * (1 + e_[1]) + e_[0])
-    y, new_k, new_v = _attention_layer_cached(
+    y, new_k, new_v, new_sc = _attention_layer_cached(
         layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
         cache_k, cache_v, kv_valid, offsets, write_frames, attn_impl,
-        two_segment=two_segment,
+        two_segment=two_segment, cache_sc=cache_sc,
     )
     x = x + _flat(_per_frame(y, f) * e_[2])
 
@@ -343,7 +361,7 @@ def _block_body(
     h = _flat(h * (1 + e_[4]) + e_[3])
     y = nn.linear(nn.gelu_tanh(nn.linear(h, layer_p["ffn"]["fc1"])), layer_p["ffn"]["fc2"])
     x = x + _flat(_per_frame(y, f) * e_[5])
-    return x, new_k, new_v
+    return x, new_k, new_v, new_sc
 
 
 def _head(params: dict, cfg: DiTConfig, x: jax.Array, e: jax.Array, f: int) -> jax.Array:
@@ -590,8 +608,9 @@ def dit_forward_cached(
     # the cache operand still streams the block's (masked-invalid) ring
     # slots, +25% attention work at the 12-frame window, outweighing the
     # saved per-layer cache writes (PERF.md negative result #3).
+    int8_kv = cache.k.dtype == jnp.int8
     two_segment = (kv_valid is None and offsets is None
-                   and write_frames is None
+                   and write_frames is None and not int8_kv
                    and os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1")
     if offsets is None:
         offsets = kvc.block_write_offsets(cache_cfg, cache, start_frame, f)
@@ -604,16 +623,18 @@ def dit_forward_cached(
 
     def scan_body(carry, xs):
         xcur = carry
-        layer_p, ck, cv, xk, xv = xs
-        xout, nk, nv = _block_body(
+        layer_p, ck, cv, xk, xv, csc = xs
+        xout, nk, nv, nsc = _block_body(
             cfg, cache_cfg, f, xcur, layer_p, ck, cv, xk, xv,
             e0, rope_cos, rope_sin, kv_valid, offsets, write_frames, attn_impl,
-            two_segment=two_segment,
+            two_segment=two_segment, cache_sc=csc,
         )
-        return xout, (nk, nv)
+        return xout, (nk, nv, nsc)
 
-    tokens, (new_k, new_v) = jax.lax.scan(
-        scan_body, tokens, (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v)
+    tokens, (new_k, new_v, new_sc) = jax.lax.scan(
+        scan_body, tokens,
+        (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v,
+         cache.k_scale),
     )
 
     out_tokens = _head(params, cfg, tokens, e, f)
@@ -635,5 +656,5 @@ def dit_forward_cached(
             ck = jax.lax.dynamic_update_slice(ck, kf.astype(ck.dtype), start)
             cv = jax.lax.dynamic_update_slice(cv, vf.astype(cv.dtype), start)
         return flow, dataclasses.replace(base, k=ck, v=cv)
-    new_cache = dataclasses.replace(base, k=new_k, v=new_v)
+    new_cache = dataclasses.replace(base, k=new_k, v=new_v, k_scale=new_sc)
     return flow, new_cache

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -221,6 +221,7 @@ def flash_attention(
     qk_int8: bool = False,
     k2: Optional[jax.Array] = None,
     v2: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas flash attention.
@@ -231,7 +232,10 @@ def flash_attention(
     ``k2``/``v2`` append a second, fully-valid KV segment (the fresh
     block on the decode path) WITHOUT concatenating buffers — the online
     softmax spans [k ++ k2]; ``bias`` applies to the first segment only.
-    Returns [B, Sq, N, D].
+    ``k_scales`` [B, Skv, N] marks ``k`` as PRE-quantized int8 with
+    per-token dequant scales (the int8-KV-cache serving mode: keys are
+    quantized once at cache-write time, so this call only quantizes q);
+    requires ``qk_int8=True``.  Returns [B, Sq, N, D].
     """
     b, sq, n, d = q.shape
     if block_q is None:
@@ -280,7 +284,14 @@ def flash_attention(
             return xi, amax * (1.0 / 127.0)
 
         qt, qsc = _q8(qt)          # qsc: [B*N, Sq_p, 1]
-        kt, ksc_ = _q8(kt)
+        if k_scales is not None:
+            # k arrived int8 from the cache; lay its scales out like _q8's
+            # (pad rows are masked by bias, so the pad scale is arbitrary)
+            ksc_ = _pad_axis(k_scales.astype(jnp.float32), 1, skv_p,
+                             value=1.0).transpose(0, 2, 1).reshape(
+                                 b * n, skv_p, 1)
+        else:
+            kt, ksc_ = _q8(kt)
         if has_seg2:
             k2t, ksc2_ = _q8(k2t)
             ksc_ = jnp.concatenate([ksc_, ksc2_], axis=1)
@@ -577,6 +588,22 @@ def flash_attention_trainable(
     return out.transpose(0, 2, 1, 3)[:, :sq].astype(q.dtype)
 
 
+def quantize_k_tokens(k: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token/head symmetric int8 quantization of roped keys for the
+    int8 KV cache.  k: [B, S, N, D] -> (int8 [B, S, N, D], f32 scales
+    [B, S, N]) in the dequant convention the flash kernel applies to its
+    logits (k_f32 ~= k_int8 * scale)."""
+    kf = k.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kf), axis=-1) + 1e-30
+    ki = jnp.round(kf * (127.0 / amax[..., None])).astype(jnp.int8)
+    return ki, amax * (1.0 / 127.0)
+
+
+def dequantize_k(k: jax.Array, k_scales: jax.Array, dtype) -> jax.Array:
+    return (k.astype(jnp.float32)
+            * k_scales.astype(jnp.float32)[..., None]).astype(dtype)
+
+
 def attend(
     q: jax.Array,
     k: jax.Array,
@@ -586,11 +613,15 @@ def attend(
     frame_seq: Optional[int] = None,
     k2: Optional[jax.Array] = None,
     v2: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend; first
     KV segment only).  frame_seq: tokens per latent frame (decode path)
     for frame-aligned q tiling.  k2/v2: appended fully-valid KV segment
-    (two-segment decode; concatenated explicitly on the xla fallback)."""
+    (two-segment decode; concatenated explicitly on the xla fallback).
+    k_scales: per-token dequant scales when ``k`` is pre-quantized int8
+    (int8 KV cache) — pallas impls run int8-QK with the stored scales,
+    the xla fallback dequantizes."""
     b, _, n, d = q.shape
     bias = None
     if kv_valid is not None:
@@ -605,6 +636,17 @@ def attend(
         # has no VJP and dense attention cannot fit training shapes
         impl = ("pallas_train"
                 if (jax.default_backend() == "tpu" and d % 128 == 0) else "xla")
+    if k_scales is not None:
+        if impl in ("pallas", "pallas_qk8"):
+            return flash_attention(q, k, v, bias, frame_seq=frame_seq,
+                                   qk_int8=True, k_scales=k_scales,
+                                   k2=k2, v2=v2)
+        if impl in ("pallas_interpret", "pallas_qk8_interpret"):
+            return flash_attention(q, k, v, bias, frame_seq=frame_seq,
+                                   qk_int8=True, k_scales=k_scales,
+                                   k2=k2, v2=v2, interpret=True)
+        # xla/train fallback: dequantize and continue below
+        k = dequantize_k(k, k_scales, v.dtype)
     if impl == "pallas_train":
         if k2 is not None:
             k = jnp.concatenate([k, k2], axis=1)

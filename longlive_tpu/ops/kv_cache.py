@@ -47,6 +47,12 @@ class KVCache:
     ring_base:   [] int32 — absolute frame mapped to ring slot 0.
     sink_filled: [] int32 — valid frames in the sink region.
     ring_filled: [] int32 — valid frame-slots in the ring region.
+    k_scale:     [L, B, size_tokens, num_heads] f32 per-token dequant
+                 scales when ``k`` is stored int8 (serving-only int8 KV
+                 mode: keys are quantized ONCE at write time, so no
+                 per-forward K-quantize pass exists — the cost that made
+                 per-forward int8-QK a net loss, PERF.md); None for the
+                 bf16 cache.
     """
 
     k: jax.Array
@@ -54,6 +60,7 @@ class KVCache:
     ring_base: jax.Array
     sink_filled: jax.Array
     ring_filled: jax.Array
+    k_scale: jax.Array | None = None
 
 
 def init_cache(
@@ -63,15 +70,17 @@ def init_cache(
     num_heads: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    k_int8: bool = False,
 ) -> KVCache:
     shape = (num_layers, batch, cfg.size_tokens, num_heads, head_dim)
     # distinct buffers per field: donated pytrees must not alias
     return KVCache(
-        k=jnp.zeros(shape, dtype),
+        k=jnp.zeros(shape, jnp.int8 if k_int8 else dtype),
         v=jnp.zeros(shape, dtype) + 0,
         ring_base=jnp.full([], cfg.sink_frames, jnp.int32),
         sink_filled=jnp.zeros([], jnp.int32),
         ring_filled=jnp.zeros([], jnp.int32) + 0,
+        k_scale=jnp.zeros(shape[:-1], jnp.float32) if k_int8 else None,
     )
 
 
@@ -197,5 +206,6 @@ def zero_cache(cache: KVCache) -> KVCache:
     *not* the end indices at a prompt switch,
     interactive_causal_inference.py:38-45)."""
     return dataclasses.replace(
-        cache, k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v)
+        cache, k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
+        k_scale=None if cache.k_scale is None else jnp.zeros_like(cache.k_scale),
     )

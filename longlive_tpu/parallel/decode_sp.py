@@ -230,4 +230,6 @@ def shard_cache(cache: kvc.KVCache, mesh: Mesh, axis_name: str = "sp") -> kvc.KV
         ring_base=jax.device_put(cache.ring_base, rep),
         sink_filled=jax.device_put(cache.sink_filled, rep),
         ring_filled=jax.device_put(cache.ring_filled, rep),
+        k_scale=None if cache.k_scale is None else jax.device_put(
+            cache.k_scale, NamedSharding(mesh, P(None, None, None, axis_name))),
     )

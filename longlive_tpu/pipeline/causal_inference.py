@@ -104,6 +104,9 @@ class CausalInferencePipeline:
         # (parallel.decode_sp); None = single-device
         self.mesh = mesh
         self.sp = int(mesh.shape["sp"]) if mesh is not None and "sp" in mesh.shape else 1
+        if config.kv_int8 and self.sp > 1:
+            raise ValueError("kv_int8 is a single-device serving knob; the "
+                             "sp decode path keeps the bf16 cache")
 
         # schedule (utils/wan_wrapper.py:141-144 + causal_inference.py:33-37)
         self.sched = S.make_schedule(
@@ -297,6 +300,7 @@ class CausalInferencePipeline:
         cache = kvc.init_cache(
             self.cache_cfg, self.cfg.num_layers, batch_size,
             self.cfg.num_heads, self.cfg.head_dim, dtype,
+            k_int8=self.config.kv_int8,
         )
         if self.sp > 1:
             from ..parallel.decode_sp import shard_cache

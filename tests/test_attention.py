@@ -71,6 +71,53 @@ def test_flash_qk_int8_close_to_dense():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_flash_prequantized_k_scales_matches_dequant():
+    """int8-KV-cache mode: k arrives PRE-quantized int8 with per-token
+    scales (quantized once at cache-write time).  The kernel must match
+    dense attention over the dequantized keys to q-quantization noise,
+    and the dispatcher's xla fallback must dequantize identically."""
+    rng = np.random.RandomState(7)
+    b, sq, skv, n, d = 1, 64, 256, 2, 128
+    q = jnp.asarray(rng.randn(b, sq, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, skv, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, skv, n, d), jnp.float32)
+    valid = jnp.asarray(rng.rand(b, skv) > 0.3)
+    valid = valid.at[:, :4].set(True)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+
+    ki, sc = A.quantize_k_tokens(k)
+    assert ki.dtype == jnp.int8 and sc.shape == (b, skv, n)
+    k_dq = A.dequantize_k(ki, sc, jnp.float32)
+    # quantize-dequantize round trip is tight per token
+    np.testing.assert_allclose(np.asarray(k_dq), np.asarray(k),
+                               rtol=0.02, atol=0.02)
+
+    ref = A.dense_attention(q, k_dq, v, bias[:, None, None, :])
+    out = A.flash_attention(q, ki, v, bias, block_q=32, block_kv=64,
+                            qk_int8=True, k_scales=sc, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = np.sqrt((err**2).mean()) / np.sqrt((np.asarray(ref)**2).mean())
+    assert rel < 0.01, rel
+
+    # dispatcher fallback (CPU serving path): same dequant convention
+    out_xla = A.attend(q, ki, v, valid, impl="xla", k_scales=sc)
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # pre-quantized first segment + bf16 fresh second segment (decode shape)
+    k2 = jnp.asarray(rng.randn(b, 64, n, d), jnp.float32)
+    v2 = jnp.asarray(rng.randn(b, 64, n, d), jnp.float32)
+    ref2 = A.dense_attention(
+        q, jnp.concatenate([k_dq, k2], 1), jnp.concatenate([v, v2], 1),
+        jnp.concatenate([bias, jnp.zeros((b, 64), jnp.float32)], 1)[:, None, None, :])
+    out2 = A.flash_attention(q, ki, v, bias, block_q=32, block_kv=64,
+                             qk_int8=True, k_scales=sc, k2=k2, v2=v2,
+                             interpret=True)
+    err2 = np.abs(np.asarray(out2) - np.asarray(ref2))
+    rel2 = np.sqrt((err2**2).mean()) / np.sqrt((np.asarray(ref2)**2).mean())
+    assert rel2 < 0.01, rel2
+
+
 @pytest.mark.parametrize("skv1,skv2,qk8", [(128, 64, False), (100, 48, False),
                                            (128, 64, True)])
 def test_flash_two_segment_matches_concat(skv1, skv2, qk8):

@@ -34,10 +34,12 @@ def setup():
     return cfg, geom, params, tables, cross
 
 
-def _run_cached(cfg, geom, params, tables, cross, x_full, t_val, cache_cfg, block):
+def _run_cached(cfg, geom, params, tables, cross, x_full, t_val, cache_cfg, block,
+                k_int8=False):
     f_total = x_full.shape[1]
     cache = kvc.init_cache(
-        cache_cfg, cfg.num_layers, 1, cfg.num_heads, cfg.head_dim, jnp.float32
+        cache_cfg, cfg.num_layers, 1, cfg.num_heads, cfg.head_dim, jnp.float32,
+        k_int8=k_int8,
     )
     outs = []
     for s in range(0, f_total, block):
@@ -69,6 +71,25 @@ def test_cached_equals_uncached_global(setup):
     t_full = jnp.full((1, f_total), 500.0, jnp.float32)
     full = D.dit_forward_full(params, cfg, tables, x, t_full, cross, mask)
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=2e-3, atol=2e-4)
+
+
+def test_int8_kv_cache_close_to_f32(setup):
+    """int8-KV serving mode: cached generation with int8-stored keys
+    (per-token scales, quantized once at write time) tracks the f32-cache
+    result to quantization noise — through ring eviction and wrap."""
+    cfg, geom, params, tables, cross = setup
+    block, f_total = 1, 6
+    x = jax.random.normal(
+        jax.random.PRNGKey(9), (1, f_total, geom.channels, geom.height, geom.width)
+    )
+    cache_cfg = CacheConfig(sink_frames=1, ring_frames=3,
+                            frame_seq=geom.frame_seq_length)
+    ref = _run_cached(cfg, geom, params, tables, cross, x, 250.0, cache_cfg, block)
+    out = _run_cached(cfg, geom, params, tables, cross, x, 250.0, cache_cfg, block,
+                      k_int8=True)
+    err = np.asarray(out) - np.asarray(ref)
+    rel = np.sqrt((err**2).mean()) / np.sqrt((np.asarray(ref)**2).mean())
+    assert rel < 0.02, rel
 
 
 @pytest.mark.slow
