@@ -46,6 +46,11 @@ class TrainerConfig:
     dfake_gen_update_ratio: int = 5
     ema_weight: float = 0.99
     ema_start_step: int = 200
+    # keep the EMA shadow as host-resident fp32 numpy (the reference's
+    # EMA_FSDP is exactly a CPU-fp32 dict updated under summon_full_params,
+    # utils/distributed.py:91-125); frees ~1.4 GB of HBM at LoRA r256 and
+    # is required for full-geometry single-chip steps on 16 GB
+    ema_on_host: bool = True
     # rollout / model
     denoising_step_list: Tuple[int, ...] = (1000, 750, 500, 250)
     warp_denoising_step: bool = True
@@ -69,6 +74,16 @@ class TrainerConfig:
     lora_rank: int = 0
     lora_alpha: float = 256.0
     lora_apply_to_critic: bool = True
+    # adapter param dtype (reference adapter.dtype, longlive_train_long.
+    # yaml:101 ships bfloat16); at r256 the adapters over all block linears
+    # are ~540M params per model, so bf16 halves their HBM cost
+    lora_dtype: str = "bfloat16"
+    # run AdamW on the HOST (numpy f32 master + moments, device keeps only
+    # the working-dtype trained params): ZeRO-Offload-style optimizer
+    # offload, the lever that fits full-geometry 1.3B LoRA-r256 steps in
+    # 16 GB — m+v+master f32 for gen+critic adapters alone is ~13 GB on
+    # device.  Costs one grads D2H + params H2D per update.
+    opt_on_host: bool = False
     # micro-steps per optimizer update (longlive_train_init.yaml:34)
     gradient_accumulation_steps: int = 1
 
@@ -76,6 +91,58 @@ class TrainerConfig:
 class TrainState(dict):
     """Pytree-friendly dict: {gen_params, critic_params, gen_opt, critic_opt,
     ema_params, step}."""
+
+
+# -- host-offloaded AdamW (opt_on_host) -----------------------------------
+#
+# ZeRO-Offload-style optimizer residency: the f32 master params and Adam
+# moments live in host RAM as numpy trees; the device holds only the
+# working-dtype trained params.  Per update: grads D2H, numpy AdamW,
+# new params H2D.  Matches optax.adamw(clip_by_global_norm(c)) numerics.
+
+
+def host_adamw_init(trained_dev) -> dict:
+    return {
+        "m": jax.tree.map(lambda x: np.zeros(x.shape, np.float32), trained_dev),
+        "v": jax.tree.map(lambda x: np.zeros(x.shape, np.float32), trained_dev),
+        # np.array (not asarray): a zero-copy view of a f32 jax buffer is
+        # read-only, and the update mutates master in place
+        "master": jax.tree.map(lambda x: np.array(x, np.float32), trained_dev),
+        "t": 0,
+    }
+
+
+def host_adamw_step(st: dict, grads_dev, *, lr, b1, b2, eps=1e-8,
+                    weight_decay=0.0, clip=0.0, out_dtypes=None,
+                    out_dtype=jnp.bfloat16):
+    """In-place numpy AdamW over the host state; returns (new device
+    params in ``out_dtypes`` per leaf — or ``out_dtype`` for all —,
+    grad global-norm)."""
+    g = [np.asarray(x, np.float32) for x in jax.tree.leaves(grads_dev)]
+    gn = float(np.sqrt(sum(float((x.astype(np.float64) ** 2).sum()) for x in g)))
+    scale = 1.0 if (clip <= 0.0 or gn <= clip) else clip / gn
+    st["t"] += 1
+    t = st["t"]
+    bc1, bc2 = 1.0 - b1 ** t, 1.0 - b2 ** t
+    ms, vs = jax.tree.leaves(st["m"]), jax.tree.leaves(st["v"])
+    ps = jax.tree.leaves(st["master"])
+    for gi, m, v, p in zip(g, ms, vs, ps):
+        if scale != 1.0:
+            gi = gi * scale
+        m *= b1
+        m += (1.0 - b1) * gi
+        v *= b2
+        v += (1.0 - b2) * np.square(gi)
+        upd = (m / bc1) / (np.sqrt(v / bc2) + eps)
+        if weight_decay:
+            upd = upd + weight_decay * p
+        p -= lr * upd
+    treedef = jax.tree.structure(st["master"])
+    if out_dtypes is None:
+        out_dtypes = [out_dtype] * len(ps)
+    new_dev = jax.tree.unflatten(
+        treedef, [jnp.asarray(p, dt) for p, dt in zip(ps, out_dtypes)])
+    return new_dev, gn
 
 
 class ScoreDistillationTrainer:
@@ -167,8 +234,11 @@ class ScoreDistillationTrainer:
         self.lora_scale = (tcfg.lora_alpha / tcfg.lora_rank) if self.use_lora else 1.0
         if self.use_lora:
             k1, k2 = jax.random.split(jax.random.PRNGKey(tcfg.seed + 17))
-            gen_lora = lora_mod.init_lora(k1, gen_params, tcfg.lora_rank)
-            critic_lora = (lora_mod.init_lora(k2, critic_params, tcfg.lora_rank)
+            ldt = jnp.dtype(tcfg.lora_dtype)
+            gen_lora = lora_mod.init_lora(k1, gen_params, tcfg.lora_rank,
+                                          dtype=ldt)
+            critic_lora = (lora_mod.init_lora(k2, critic_params,
+                                              tcfg.lora_rank, dtype=ldt)
                            if self.critic_lora_on else None)
             gen_trained, critic_trained = gen_lora, (
                 critic_lora if self.critic_lora_on else critic_params)
@@ -176,17 +246,29 @@ class ScoreDistillationTrainer:
             gen_lora = critic_lora = None
             gen_trained, critic_trained = gen_params, critic_params
 
+        if tcfg.opt_on_host:
+            if tcfg.gradient_accumulation_steps > 1:
+                raise NotImplementedError(
+                    "opt_on_host does not compose with optax.MultiSteps "
+                    "accumulation; accumulate via dp batching instead")
+            gen_opt = host_adamw_init(gen_trained)
+            critic_opt = host_adamw_init(critic_trained)
+        else:
+            gen_opt = self.gen_tx.init(gen_trained)
+            critic_opt = self.critic_tx.init(critic_trained)
         self.state = TrainState(
             gen_params=gen_params,
             critic_params=critic_params,
             gen_lora=gen_lora,
             critic_lora=critic_lora,
-            gen_opt=self.gen_tx.init(gen_trained),
-            critic_opt=self.critic_tx.init(critic_trained),
+            gen_opt=gen_opt,
+            critic_opt=critic_opt,
             # real copies: astype(f32) of f32 leaves would alias buffers
             # that the jitted steps donate
             ema_params=jax.tree.map(
-                lambda x: jnp.array(x, jnp.float32, copy=True), gen_trained),
+                (lambda x: np.asarray(x, np.float32)) if tcfg.ema_on_host
+                else (lambda x: jnp.array(x, jnp.float32, copy=True)),
+                gen_trained),
             step=jnp.zeros([], jnp.int32),
         )
         self._gen_steps = {}
@@ -266,6 +348,9 @@ class ScoreDistillationTrainer:
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_train)
+            if self.tcfg.opt_on_host:
+                # grads come back to the host; AdamW runs there
+                return grads, loss, aux
             updates, gen_opt = self.gen_tx.update(grads, gen_opt, gen_train)
             gen_train = optax.apply_updates(gen_train, updates)
             gnorm = optax.global_norm(grads)
@@ -297,6 +382,8 @@ class ScoreDistillationTrainer:
                 )
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(critic_train)
+            if self.tcfg.opt_on_host:
+                return grads, loss, aux
             updates, critic_opt = self.critic_tx.update(grads, critic_opt, critic_train)
             critic_train = optax.apply_updates(critic_train, updates)
             gnorm = optax.global_norm(grads)
@@ -346,15 +433,29 @@ class ScoreDistillationTrainer:
             key = (exit_idx, 0, use_mask)
             if key not in self._gen_steps:
                 self._gen_steps[key] = self._gen_step_fn(*key)
-            gt, gopt, loss, aux = self._gen_steps[key](
-                self.state[gen_train_key], self.state["gen_opt"],
+            trained = self.state[gen_train_key]
+            args = (
+                trained, empty if self.tcfg.opt_on_host else self.state["gen_opt"],
                 self.state["gen_params"] if self.use_lora else empty,
                 self.state[critic_train_key],
                 self.state["critic_params"] if self.critic_lora_on else empty,
                 self.teacher_params, noise[:, : nb * fpb], prompt_c, prompt_u,
                 rng_g,
             )
-            self.state[gen_train_key], self.state["gen_opt"] = gt, gopt
+            if self.tcfg.opt_on_host:
+                dtypes = [x.dtype for x in jax.tree.leaves(trained)]
+                grads, loss, aux = self._gen_steps[key](*args)
+                gt, gnorm = host_adamw_step(
+                    self.state["gen_opt"], grads, lr=self.tcfg.lr,
+                    b1=self.tcfg.beta1, b2=self.tcfg.beta2,
+                    weight_decay=self.tcfg.weight_decay,
+                    clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
+                del grads
+                aux = dict(aux, generator_grad_norm=gnorm)
+            else:
+                gt, gopt, loss, aux = self._gen_steps[key](*args)
+                self.state["gen_opt"] = gopt
+            self.state[gen_train_key] = gt
             metrics.update({"generator_loss": float(loss), "exit_idx": exit_idx,
                             "rollout_frames": nb * fpb,
                             **{k: float(v) for k, v in aux.items()}})
@@ -366,14 +467,28 @@ class ScoreDistillationTrainer:
         exit_c, nb_c, _ = self._sample_rollout_geometry(noise, rng_exit2, rng_len2)
         if exit_c not in self._critic_steps:
             self._critic_steps[exit_c] = self._critic_step_fn(exit_c)
-        ct, copt, loss, aux = self._critic_steps[exit_c](
-            self.state[critic_train_key], self.state["critic_opt"],
+        trained_c = self.state[critic_train_key]
+        cargs = (
+            trained_c, empty if self.tcfg.opt_on_host else self.state["critic_opt"],
             self.state["critic_params"] if self.critic_lora_on else empty,
             self.state[gen_train_key],
             self.state["gen_params"] if self.use_lora else empty,
             noise[:, : nb_c * fpb], prompt_c, rng_c,
         )
-        self.state[critic_train_key], self.state["critic_opt"] = ct, copt
+        if self.tcfg.opt_on_host:
+            dtypes = [x.dtype for x in jax.tree.leaves(trained_c)]
+            grads, loss, aux = self._critic_steps[exit_c](*cargs)
+            ct, gnorm = host_adamw_step(
+                self.state["critic_opt"], grads, lr=self.tcfg.lr_critic,
+                b1=self.tcfg.beta1_critic, b2=self.tcfg.beta2_critic,
+                weight_decay=self.tcfg.weight_decay,
+                clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
+            del grads
+            aux = dict(aux, critic_grad_norm=gnorm)
+        else:
+            ct, copt, loss, aux = self._critic_steps[exit_c](*cargs)
+            self.state["critic_opt"] = copt
+        self.state[critic_train_key] = ct
         metrics.update({"critic_loss": float(loss), "critic_exit_idx": exit_c,
                         **{k: float(v) for k, v in aux.items()}})
         self.state["step"] = self.state["step"] + 1
@@ -381,11 +496,21 @@ class ScoreDistillationTrainer:
 
     def _update_ema(self, step: int):
         trained = self.state["gen_lora" if self.use_lora else "gen_params"]
+        on_host = self.tcfg.ema_on_host
         if step < self.tcfg.ema_start_step:
             self.state["ema_params"] = jax.tree.map(
-                lambda x: jnp.array(x, jnp.float32, copy=True), trained)
+                (lambda x: np.asarray(x, np.float32)) if on_host
+                else (lambda x: jnp.array(x, jnp.float32, copy=True)), trained)
             return
         w = self.tcfg.ema_weight
+        if on_host:
+            # host-side update (reference EMA_FSDP semantics): one D2H copy
+            # of the trained tree per EMA step, zero HBM for the shadow
+            self.state["ema_params"] = jax.tree.map(
+                lambda e, p: w * e + (1 - w) * np.asarray(p, np.float32),
+                self.state["ema_params"], trained,
+            )
+            return
         self.state["ema_params"] = jax.tree.map(
             lambda e, p: w * e + (1 - w) * p.astype(jnp.float32),
             self.state["ema_params"], trained,

@@ -48,6 +48,21 @@ def hbm_peak_gb():
         return None
 
 
+_STAGE = ["start"]
+
+
+def mem(tag):
+    _STAGE[0] = tag
+    try:
+        st = jax.local_devices()[0].memory_stats() or {}
+        print(json.dumps({"mem": tag,
+                          "in_use_gb": round(st.get("bytes_in_use", 0) / 2**30, 2),
+                          "peak_gb": round(st.get("peak_bytes_in_use", 0) / 2**30, 2)}),
+              flush=True)
+    except Exception as e:  # axon may not expose memory_stats
+        print(json.dumps({"mem": tag, "stats_error": str(e)[:60]}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="lora_step",
@@ -81,6 +96,7 @@ def main():
         gen = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16, zero_head=False)
         critic = D.init_dit_params(jax.random.PRNGKey(1), cfg, jnp.bfloat16, zero_head=False)
         teacher = D.init_dit_params(jax.random.PRNGKey(2), cfg, jnp.bfloat16, zero_head=False)
+        mem("models_initialized")
         noise = jax.random.normal(
             jax.random.PRNGKey(3),
             (1, frames, geom.channels, geom.height, geom.width), jnp.float32)
@@ -94,10 +110,18 @@ def main():
                 num_frame_per_block=cfg.num_frame_per_block,
                 num_training_frames=frames, min_num_training_frames=frames,
                 slice_last_frames=-1, lora_rank=256, lora_alpha=256.0,
-                dfake_gen_update_ratio=1)  # step 0 = generator AND critic
+                dfake_gen_update_ratio=1,  # step 0 = generator AND critic
+                # 16 GB chip: bf16 adapters (reference adapter.dtype) +
+                # ZeRO-Offload-style host AdamW — on-device f32 master+
+                # moments for 2x540M adapter params alone would be ~13 GB
+                opt_on_host=True)
             tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic, teacher)
+            del gen, critic, teacher  # trainer owns them; free the dup refs
+            mem("trainer_ready")
             t0 = time.perf_counter()
             m = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(5))
+            _ = float(jnp.asarray(m["critic_loss"]))
+            mem("first_step_done")
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             for r in range(args.reps):
@@ -179,6 +203,8 @@ def main():
         dt = (time.perf_counter() - t0) / args.reps
         return dt, {"loss": float(loss), "compile_s": round(compile_s, 1)}
 
+    import gc
+
     frames = args.frames
     while True:
         try:
@@ -187,10 +213,16 @@ def main():
         except Exception as e:
             msg = str(e)
             oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-            if args.auto_shrink and oom and frames > 6:
+            if args.auto_shrink and oom and frames > 3:
                 print(json.dumps({"mode": args.mode, "frames": frames,
-                                  "oom": True}), flush=True)
+                                  "oom": True, "stage": _STAGE[0]}), flush=True)
                 frames -= 3 if frames <= 12 else 6
+                # drop buffers still referenced by the exception traceback
+                # before reallocating three 1.3B models
+                e.__traceback__ = None
+                gc.collect()
+                jax.clear_caches()
+                mem("after_retry_gc")
                 continue
             raise
 

@@ -63,6 +63,37 @@ def test_lora_trainer_step():
 
 
 @pytest.mark.slow
+def test_opt_on_host_matches_device():
+    """Host-offloaded AdamW (numpy f32 master + moments) must reproduce the
+    on-device optax.adamw chain exactly (same clip, bias correction, decay)."""
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    mk = lambda s: D.init_dit_params(jax.random.PRNGKey(s), cfg, jnp.float32,
+                                     zero_head=False)
+    noise = jax.random.normal(jax.random.PRNGKey(3),
+                              (1, 3, geom.channels, geom.height, geom.width))
+    pe = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.text_len, cfg.text_dim))
+
+    def run(on_host):
+        tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                             min_num_training_frames=3, slice_last_frames=3,
+                             attn_impl="xla", dfake_gen_update_ratio=1,
+                             lora_rank=4, lora_alpha=4.0,
+                             lora_dtype="float32", opt_on_host=on_host)
+        tr = ScoreDistillationTrainer(tcfg, cfg, geom, mk(0), mk(1), mk(2))
+        tr.train_step(noise, pe, pe * 0.1, jax.random.PRNGKey(5))
+        tr.train_step(noise, pe, pe * 0.1, jax.random.PRNGKey(5))
+        return tr.state["gen_lora"], tr.state["critic_lora"]
+
+    g_dev, c_dev = run(False)
+    g_host, c_host = run(True)
+    for dev, host in ((g_dev, g_host), (c_dev, c_host)):
+        for a, b in zip(jax.tree.leaves(dev), jax.tree.leaves(host)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_lora_streaming_step():
     cfg = tiny_dit_config()
     geom = tiny_geometry()
