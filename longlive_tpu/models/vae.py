@@ -244,7 +244,10 @@ def _fusable(x, p, thread: _CacheThread, stride) -> bool:
     # fused vs ~11.5 ms XLA conv+concat+norm per stage3 conv) — keep it on
     # the XLA path.  Wider stages win: 192ch 9.6 vs ~11.5 ms, 384ch 0.41
     # vs ~0.7 ms, 384->768 time conv 5.4 vs ~9 ms.
-    if w.shape[0] < 128:
+    if w.shape[0] < 128 and os.environ.get("LONGLIVE_VAE_FUSED_96", "0") != "1":
+        # full-res 96ch stage: lane-pad tax loses to XLA at the 20MB tile
+        # budget (17.7 vs ~11.5 ms/conv); LONGLIVE_VAE_FUSED_96=1 re-enables
+        # for A/B together with LONGLIVE_VAE_VMEM_BUDGET (bigger row tiles)
         return False
     return jax.default_backend() == "tpu"
 

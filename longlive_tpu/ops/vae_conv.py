@@ -53,6 +53,7 @@ path in models/vae.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -267,10 +268,18 @@ def _fused_kernel(
 
 def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
                 kh: int = 3, kw: int = 3,
-                budget: float = 20.0e6) -> Tuple[int, int]:
+                budget: Optional[float] = None) -> Tuple[int, int]:
     """Choose (row-tile, O-tile) fitting the VMEM budget.  th must divide H;
     bo must divide O_pad and be a lane-tile multiple (or the whole of a
-    sub-tile O)."""
+    sub-tile O).
+
+    The budget sets the row tile at real geometry: 20e6 picks th=2 at the
+    full-res 96ch stage / th=4 at 192/384ch (2x / 1.5x redundant halo
+    reads and per-step overhead); ~45e6 picks th=8 everywhere, inside the
+    kernel's 100MB vmem_limit.  LONGLIVE_VAE_VMEM_BUDGET overrides for
+    on-chip A/B."""
+    if budget is None:
+        budget = float(os.environ.get("LONGLIVE_VAE_VMEM_BUDGET", "20e6"))
     bo_cands = [op]
     if op % 128 == 0:
         bo_cands += [b for b in (256, 128) if b < op and op % b == 0]

@@ -38,12 +38,21 @@ def main():
     z = jax.random.normal(jax.random.PRNGKey(1), (1, frames, 16, 60, 104),
                           jnp.bfloat16)
 
+    base = {"LONGLIVE_VAE_FUSED": "1", "LONGLIVE_VAE_FUSED_TIMECONV": "1",
+            "LONGLIVE_VAE_FUSED_96": "0", "LONGLIVE_VAE_VMEM_BUDGET": "20e6"}
     variants = [
-        ("fused", {"LONGLIVE_VAE_FUSED": "1", "LONGLIVE_VAE_FUSED_TIMECONV": "1"}),
-        ("fused_no_timeconv", {"LONGLIVE_VAE_FUSED": "1",
-                               "LONGLIVE_VAE_FUSED_TIMECONV": "0"}),
+        ("fused", {}),
+        ("fused_bigtiles", {"LONGLIVE_VAE_VMEM_BUDGET": "45e6"}),
+        ("fused_bigtiles_96", {"LONGLIVE_VAE_VMEM_BUDGET": "45e6",
+                               "LONGLIVE_VAE_FUSED_96": "1"}),
+        ("fused_96", {"LONGLIVE_VAE_FUSED_96": "1"}),
+        ("fused_no_timeconv", {"LONGLIVE_VAE_FUSED_TIMECONV": "0"}),
         ("xla", {"LONGLIVE_VAE_FUSED": "0"}),
     ]
+    variants = [(n, {**base, **env}) for n, env in variants]
+    only = os.environ.get("VAE_PROBE_ONLY")
+    if only:
+        variants = [(n, e) for n, e in variants if n in only.split(",")]
     for name, env in variants:
         os.environ.update(env)
         fn = jax.jit(lambda p, zz: V.vae_decode_scan(p, vcfg, zz, None, True))
