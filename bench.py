@@ -61,9 +61,13 @@ def main():
     # time) so attention runs int8-QK with NO per-forward K-quantize pass —
     # the design negative result #2 (PERF.md) called for
     kv_int8 = os.environ.get("BENCH_INT8_KV", "0") == "1"
+    # BENCH_REUSE_KV=1: skip the clean-context commit pass, keeping the last
+    # denoise forward's K/V (Block-Cascading-style, 5->4 forwards per block)
+    reuse_kv = os.environ.get("BENCH_REUSE_KV", "0") == "1"
     pc = PipelineConfig(num_output_frames=warmup_frames + frames,
                         local_attn_size=local_attn, sink_size=sink,
-                        global_sink=False, kv_int8=kv_int8)
+                        global_sink=False, kv_int8=kv_int8,
+                        reuse_last_denoise_kv=reuse_kv)
 
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     attn_impl = "auto"
@@ -204,6 +208,7 @@ def main():
         "include_vae": not skip_vae,
         "int8": use_int8,
         "int8_kv": kv_int8,
+        "reuse_last_denoise_kv": reuse_kv,
         "first_run_s": round(compile_and_run, 1),
         "device": str(jax.devices()[0]),
     }

@@ -140,6 +140,14 @@ class PipelineConfig:
     # without any per-forward K-quantize pass (serving-only knob; no
     # reference analogue — its KV cache is bf16, causal_model.py:206-236)
     kv_int8: bool = False
+    # Skip the clean-context commit pass (causal_inference.py:191-200 runs a
+    # 5th forward on x0 purely to write cache K/V): instead keep the K/V the
+    # LAST denoise forward already computed from its (low-noise, ~t=250)
+    # input.  Cuts DiT work per block 5->4 forwards (-20%).  Training-free
+    # Block-Cascading-style acceleration — context is slightly noisy, which
+    # LongLive's context_noise training tolerates; OFF by default (quality
+    # delta quantified in scripts/quality_delta.py).
+    reuse_last_denoise_kv: bool = False
     model_name: str = "Wan2.1-T2V-1.3B"
     data_path: Optional[str] = None
     output_folder: Optional[str] = None

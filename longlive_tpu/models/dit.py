@@ -389,6 +389,7 @@ def dit_forward_full(
     frame_mask,  # [F, F] bool array OR ops.masks.FrameMaskSpec
     start_frame: jax.Array | int = 0,
     attn_impl: str = "xla",
+    remat_layers: bool = False,
 ) -> jax.Array:
     """Uncached full-sequence forward with a blockwise-causal mask — the
     reference's kv_cache=None path (causal_model.py:130-204) used by training
@@ -396,7 +397,13 @@ def dit_forward_full(
 
     When ``frame_mask`` is a FrameMaskSpec and attn_impl is a pallas variant,
     self-attention runs through the masked flash kernel (no [S,S] bias
-    materialization — required at the 32760-token training scale)."""
+    materialization — required at the 32760-token training scale).
+
+    ``remat_layers``: checkpoint each scanned layer, so a backward through
+    this forward stores only the [L, S, dim] carry chain instead of every
+    per-layer intermediate (the f32 norm residuals alone are ~5.8 GB at
+    the 32760-token training shape) — the standard transformer-training
+    remat structure; training callers enable it."""
     from ..ops.attention import flash_attention_frame_masked
     from ..ops.masks import FrameMaskSpec, expand_frame_mask
 
@@ -465,7 +472,8 @@ def dit_forward_full(
         return xcur, None
 
     tokens, _ = jax.lax.scan(
-        scan_body, tokens, (params["blocks"], cross_kv.k, cross_kv.v)
+        jax.checkpoint(scan_body) if remat_layers else scan_body,
+        tokens, (params["blocks"], cross_kv.k, cross_kv.v)
     )
     out_tokens = _head(params, cfg, tokens, e, f)
     return unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
@@ -481,6 +489,7 @@ def dit_forward_teacher_forcing(
     cross_kv: CrossKV,
     aug_t: Optional[jax.Array] = None,  # [B, F] timesteps for the clean half
     attn_impl: str = "xla",
+    remat_layers: bool = False,
 ) -> jax.Array:
     """Teacher-forcing forward: the sequence is [clean | noisy] with the
     teacher-forcing mask — noisy block i attends its own noisy block plus the
@@ -550,7 +559,8 @@ def dit_forward_teacher_forcing(
         return xcur, None
 
     tokens, _ = jax.lax.scan(
-        scan_body, tokens, (params["blocks"], cross_kv.k, cross_kv.v)
+        jax.checkpoint(scan_body) if remat_layers else scan_body,
+        tokens, (params["blocks"], cross_kv.k, cross_kv.v)
     )
     # keep the noisy half (causal_model.py:1220-1221)
     tokens = tokens[:, tokens.shape[1] // 2 :]
@@ -576,6 +586,7 @@ def dit_forward_cached(
     advance_counters: bool = True,
     window_frames: Optional[int] = None,
     commit_writes: bool = True,
+    remat_layers: bool = False,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One cached DiT forward over a block of ``F`` frames starting at
     absolute frame ``start_frame`` (ref _forward_inference,
@@ -632,7 +643,8 @@ def dit_forward_cached(
         return xout, (nk, nv, nsc)
 
     tokens, (new_k, new_v, new_sc) = jax.lax.scan(
-        scan_body, tokens,
+        jax.checkpoint(scan_body) if remat_layers else scan_body,
+        tokens,
         (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v,
          cache.k_scale),
     )

@@ -65,6 +65,7 @@ def bidirectional_forward(
     cross_kv: CrossKV,
     attn_impl: str = "auto",
     cross_kv_img: "CrossKV | None" = None,  # i2v image branch (model.py:243-263)
+    remat_layers: bool = False,
 ) -> jax.Array:
     """WanModel._forward (model.py:637-771) minus the unused classify/GAN
     branches.  Returns flow prediction [B, F, C, H, W].
@@ -134,7 +135,7 @@ def bidirectional_forward(
             return block(carry, layer_p, ck, cv, cki, cvi)
 
         tokens, _ = jax.lax.scan(
-            scan_body, tokens,
+            jax.checkpoint(scan_body) if remat_layers else scan_body, tokens,
             (params["blocks"], cross_kv.k, cross_kv.v,
              cross_kv_img.k, cross_kv_img.v))
     else:
@@ -142,8 +143,12 @@ def bidirectional_forward(
             layer_p, ck, cv = xs
             return block(carry, layer_p, ck, cv)
 
+        # remat_layers: training callers (critic denoising loss) checkpoint
+        # each layer so backward stores only the carry chain, not the f32
+        # FFN/attention residual stacks (see dit.dit_forward_full)
         tokens, _ = jax.lax.scan(
-            scan_body, tokens, (params["blocks"], cross_kv.k, cross_kv.v)
+            jax.checkpoint(scan_body) if remat_layers else scan_body,
+            tokens, (params["blocks"], cross_kv.k, cross_kv.v)
         )
 
     # Head (model.py:439-466): e [B, dim], modulation [2, dim]

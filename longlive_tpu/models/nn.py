@@ -23,7 +23,22 @@ def linear(x: jax.Array, p: dict) -> jax.Array:
         from ..ops.quant import linear_int8
 
         return linear_int8(x, p)
-    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    kernel = p["kernel"]
+    if "lora_a" in p:
+        # LoRA applied per layer INSIDE the scanned layer body (the PEFT
+        # model: reference wraps each nn.Linear, utils/lora_utils.py:19-103;
+        # trainer/distillation.py:1398-1456).  The delta materializes one
+        # LAYER at a time (~90 MB transient), never a full merged model —
+        # materializing merged generator+critic copies alongside their
+        # bases and the teacher is 5x1.3B of weights, which cannot fit a
+        # 16 GB chip.  delta-form (A@B then one GEMM) beats (x@A)@B at
+        # decode/training token counts (S > d_in).
+        delta = jnp.dot(p["lora_a"].astype(jnp.float32),
+                        p["lora_b"].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        kernel = (kernel.astype(jnp.float32)
+                  + p["lora_s"] * delta).astype(kernel.dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)

@@ -162,11 +162,18 @@ class CausalInferencePipeline:
         x = noise_block
         x0 = x
         n_steps = len(self.denoise_timesteps)
+        reuse_kv = self.config.reuse_last_denoise_kv
         for i, t_val in enumerate(self.denoise_timesteps):
             # denoise (recompute) passes discard the cache -> skip
-            # materializing their KV writes entirely
-            flow, _ = self._forward(params, x, t_val, cross_kv, cache,
-                                    start_frame, commit_writes=False)
+            # materializing their KV writes entirely.  In the
+            # reuse_last_denoise_kv fast mode the LAST denoise pass commits
+            # its (write-then-attend) K/V instead, replacing the clean-
+            # context 5th forward below.
+            commit = reuse_kv and i == n_steps - 1
+            flow, new_cache = self._forward(params, x, t_val, cross_kv, cache,
+                                            start_frame, commit_writes=commit)
+            if commit:
+                cache = new_cache
             t_flat = jnp.full((b * f,), t_val, jnp.float32)
             x0 = S.convert_flow_to_x0(
                 self.sched,
@@ -185,10 +192,12 @@ class CausalInferencePipeline:
                     self.sched, x0.reshape(b * f, *x0.shape[2:]), noise.reshape(
                         b * f, *x0.shape[2:]), t_next
                 ).reshape(x0.shape)
-        # clean-context commit pass (causal_inference.py:191-200)
-        _, cache = self._forward(
-            params, x0, float(self.config.context_noise), cross_kv, cache, start_frame
-        )
+        if not reuse_kv:
+            # clean-context commit pass (causal_inference.py:191-200)
+            _, cache = self._forward(
+                params, x0, float(self.config.context_noise), cross_kv, cache,
+                start_frame
+            )
         return x0, cache, rng
 
     def _segment_fn(self, num_blocks: int):

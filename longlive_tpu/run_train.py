@@ -65,6 +65,11 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
         lora_alpha=float((raw.get("adapter") or {}).get("alpha", 256)),
         lora_apply_to_critic=bool((raw.get("adapter") or {}).get(
             "apply_to_critic", True)),
+        lora_dtype=str((raw.get("adapter") or {}).get("dtype", "bfloat16")),
+        # single-chip HBM levers (no reference analogue — it trains on
+        # 80 GB H100s): host-resident AdamW state and EMA shadow
+        opt_on_host=bool(raw.get("opt_on_host", False)),
+        ema_on_host=bool(raw.get("ema_on_host", True)),
     )
 
 

@@ -71,11 +71,13 @@ def _sample_score_timestep(
 
 
 def _x0_pred_bidirectional(
-    params, cfg, tables, sched, noisy, t, cross_kv, attn_impl
+    params, cfg, tables, sched, noisy, t, cross_kv, attn_impl,
+    remat_layers=False
 ) -> jax.Array:
     """flow pred -> x0 (wan_wrapper.py:247-295; uniform timestep -> t[:,0])."""
     flow = bidirectional_forward(params, cfg, tables, noisy, t[:, 0], cross_kv,
-                                 attn_impl=attn_impl)
+                                 attn_impl=attn_impl,
+                                 remat_layers=remat_layers)
     b, f = noisy.shape[:2]
     return S.convert_flow_to_x0(
         sched, flow.reshape(b * f, *flow.shape[2:]),
@@ -237,8 +239,11 @@ def critic_denoising_loss(
         noise.reshape(b * f, *x.shape[2:]), t.reshape(-1)
     ).reshape(x.shape)
 
+    # this forward is differentiated wrt critic params -> per-layer remat
+    # keeps the backward's residency to the carry chain (full-geometry fit)
     pred_x0 = _x0_pred_bidirectional(
-        critic_params, cfg, tables, sched, noisy, t, cross_cond, attn_impl)
+        critic_params, cfg, tables, sched, noisy, t, cross_cond, attn_impl,
+        remat_layers=True)
     flow_pred = None
     if loss_type == "flow":
         flow_pred = S.convert_x0_to_flow(

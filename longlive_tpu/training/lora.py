@@ -54,6 +54,29 @@ def init_lora(rng: jax.Array, params: dict, rank: int = 256,
     return lora
 
 
+def attach_lora(params: dict, lora: dict, alpha_over_rank: float = 1.0) -> dict:
+    """Embed adapters into the params tree WITHOUT materializing merged
+    weights: each targeted linear gains ``lora_a``/``lora_b``/``lora_s``
+    leaves (stacked [L, ...] like the kernels, so the layer scan slices
+    them per layer) and ``models.nn.linear`` applies the delta inside the
+    scanned layer body.  This is the PEFT execution model of the reference
+    (every block nn.Linear wrapped, trainer/distillation.py:1398-1456):
+    peak weight residency stays at the bases + adapters — a full merged
+    1.3B copy for generator AND critic alongside their bases and the
+    teacher (5x1.3B) cannot fit a 16 GB chip.  Differentiable wrt
+    ``lora`` (the embedded leaves ARE the adapter arrays; no copies)."""
+    blocks = dict(params["blocks"])
+    for group, lg in lora.items():
+        gp = dict(blocks[group])
+        for name, ab in lg.items():
+            base = gp[name]
+            L = base["kernel"].shape[0]
+            gp[name] = {**base, "lora_a": ab["a"], "lora_b": ab["b"],
+                        "lora_s": jnp.full((L,), alpha_over_rank, jnp.float32)}
+        blocks[group] = gp
+    return {**params, "blocks": blocks}
+
+
 def merge_lora(params: dict, lora: dict, alpha_over_rank: float = 1.0) -> dict:
     """W = W0 + scale * A@B over the stacked block linears; everything else
     passes through untouched.  Differentiable wrt ``lora``."""

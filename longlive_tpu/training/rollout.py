@@ -46,6 +46,12 @@ class RolloutConfig:
     last_step_only: bool = False
     attn_impl: str = "train_auto"
     remat: bool = True
+    # checkpoint each scanned DiT layer inside training forwards: the layer
+    # scan then stores only the bf16 [L, S, dim] carry chain for backward
+    # instead of every per-layer intermediate (the f32 FFN/norm residual
+    # stacks alone are ~5 GB/forward at full 1.3B geometry — measured
+    # compile-time OOM, 71 GB requested on a 16 GB chip without this)
+    remat_layers: bool = True
     # attention budget in frames (sink + recent); None = whole cache.  The
     # training cache retains min(local+slice, num_training) frames but only
     # local_attn_size frames are attended (self_forcing_training.py:59-74).
@@ -117,6 +123,7 @@ def rollout_trajectory(
         return D.dit_forward_cached(
             p, cfg, cache_cfg, tables, xx, tt, cross_kv, ck, sf,
             attn_impl=rcfg.attn_impl, window_frames=window,
+            remat_layers=rcfg.remat_layers,
         )
 
     fwd_fn = (jax.checkpoint(_fwd, static_argnums=(5,)) if rcfg.remat else _fwd)

@@ -227,16 +227,14 @@ class StreamingTrainer(ScoreDistillationTrainer):
         return fn
 
     def _gen_params_now(self):
-        """Concrete full generator params (merged when LoRA is on) for
+        """Generator params with adapters embedded (no merged copy) for
         host-level calls (recache, seed chunk)."""
         if not self.use_lora:
             return self.state["gen_params"]
-        if not hasattr(self, "_merge_jit"):
-            from . import lora as lora_mod
+        from . import lora as lora_mod
 
-            self._merge_jit = jax.jit(
-                lambda base, lo: lora_mod.merge_lora(base, lo, self.lora_scale))
-        return self._merge_jit(self.state["gen_params"], self.state["gen_lora"])
+        return lora_mod.attach_lora(self.state["gen_params"],
+                                    self.state["gen_lora"], self.lora_scale)
 
     def _plain_chunk_fn(self, exit_idx: int, new_frames: int, overlap: int):
         """Grad-free chunk advance (used when train_first_chunk=False: the

@@ -277,18 +277,20 @@ class ScoreDistillationTrainer:
     # -- trainable-tree materialization ------------------------------------
 
     def _gen_full(self, trained, base):
-        """full generator params from the trained tree (lora merge or id)."""
+        """Generator params from the trained tree: LoRA adapters embedded
+        (lora.attach_lora — delta applied per layer inside the scanned
+        body, never a full merged copy) or the trained tree itself."""
         from . import lora as lora_mod
 
         if self.use_lora:
-            return lora_mod.merge_lora(base, trained, self.lora_scale)
+            return lora_mod.attach_lora(base, trained, self.lora_scale)
         return trained
 
     def _critic_full(self, trained, base):
         from . import lora as lora_mod
 
         if self.critic_lora_on:
-            return lora_mod.merge_lora(base, trained, self.lora_scale)
+            return lora_mod.attach_lora(base, trained, self.lora_scale)
         return trained
 
     # -- jitted step builders --------------------------------------------

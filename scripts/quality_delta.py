@@ -77,27 +77,36 @@ def main():
     if not args.skip_vae:
         vae_params = V.init_vae_params(jax.random.PRNGKey(3), vcfg, jnp.bfloat16)
 
-    def gen(p, attn_impl):
-        pipe = CausalInferencePipeline(pc, p, geometry=geom, dit_config=cfg,
-                                       attn_impl=attn_impl)
+    def gen(p, attn_impl, pcfg=None):
+        pipe = CausalInferencePipeline(pcfg or pc, p, geometry=geom,
+                                       dit_config=cfg, attn_impl=attn_impl)
         cross = pipe.prepare_condition(prompt)
         lat, _, _ = pipe.generate_latents_scanned(
             noise, cross, rng=jax.random.PRNGKey(4),
             cache=pipe.init_cache(1, jnp.bfloat16), start_frame=0)
         return np.asarray(lat.astype(jnp.float32))
 
+    import dataclasses as _dc
+
     tiny = os.environ.get("LONGLIVE_QD_TINY") == "1"
     modes = [
-        ("bf16", params, "xla" if tiny else "auto"),
-        ("int8_linears", params_q, "xla" if tiny else "auto"),
+        ("bf16", params, "xla" if tiny else "auto", None),
+        ("int8_linears", params_q, "xla" if tiny else "auto", None),
         ("int8_linears+qk8_attn", params_q,
-         "pallas_qk8_interpret" if tiny else "pallas_qk8"),
+         "pallas_qk8_interpret" if tiny else "pallas_qk8", None),
+        # Block-Cascading-style fast mode: skip the clean-context commit
+        # pass, keep the last denoise forward's K/V (5->4 forwards/block).
+        # The delta here is ALGORITHMIC (slightly-noisy context), not
+        # numeric-precision noise.
+        ("int8_linears+reuse_last_denoise_kv", params_q,
+         "xla" if tiny else "auto",
+         _dc.replace(pc, reuse_last_denoise_kv=True)),
     ]
 
     ref_lat = None
     ref_px = None
-    for name, p, impl in modes:
-        lat = gen(p, impl)
+    for name, p, impl, pcfg in modes:
+        lat = gen(p, impl, pcfg)
         row = {"mode": name, "frames": args.frames, "window": args.window}
         if ref_lat is None:
             ref_lat = lat

@@ -212,10 +212,17 @@ def main():
             break
         except Exception as e:
             msg = str(e)
-            oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            low = msg.lower()
+            oom = ("resource_exhausted" in low or "out of memory" in low
+                   or "exceeded hbm capacity" in low
+                   # axon tunnels compile-time HBM OOM as an HTTP 500
+                   or "tpu_compile_helper subprocess exit code" in low)
             if args.auto_shrink and oom and frames > 3:
+                used = next((ln for ln in msg.splitlines()
+                             if "Ran out of memory" in ln or "hbm" in ln), "")[:200]
                 print(json.dumps({"mode": args.mode, "frames": frames,
-                                  "oom": True, "stage": _STAGE[0]}), flush=True)
+                                  "oom": True, "stage": _STAGE[0],
+                                  "detail": used}), flush=True)
                 frames -= 3 if frames <= 12 else 6
                 # drop buffers still referenced by the exception traceback
                 # before reallocating three 1.3B models

@@ -26,6 +26,31 @@ def test_orbax_roundtrip_and_retention(tmp_path):
     assert orbax_io.latest_checkpoint_step(str(tmp_path)) == 15
 
 
+def test_host_opt_state_checkpoint_roundtrip(tmp_path):
+    """opt_on_host keeps AdamW state as host numpy (f32 master/moments +
+    python step counter); it must survive the Orbax save/restore cycle
+    writable and host-resident."""
+    from longlive_tpu.training.trainer import host_adamw_init, host_adamw_step
+
+    trained = {"a": jnp.ones((4, 8), jnp.bfloat16), "b": jnp.zeros((3,), jnp.bfloat16)}
+    st = host_adamw_init(trained)
+    g = {"a": jnp.full((4, 8), 0.5), "b": jnp.ones((3,))}
+    host_adamw_step(st, g, lr=1e-2, b1=0.9, b2=0.999, weight_decay=0.01,
+                    clip=1.0, out_dtypes=[jnp.bfloat16, jnp.bfloat16])
+    state = {"gen_opt": st, "step": jnp.zeros([], jnp.int32)}
+    orbax_io.save_train_state(str(tmp_path), 0, state, 2)
+    restored = orbax_io.restore_train_state(str(tmp_path), state)
+    m0 = restored["gen_opt"]["m"]["a"]
+    assert isinstance(m0, np.ndarray) and m0.dtype == np.float32
+    assert int(restored["gen_opt"]["t"]) == 1
+    # master must stay writable (the update mutates it in place)
+    newp, _ = host_adamw_step(restored["gen_opt"], g, lr=1e-2, b1=0.9,
+                              b2=0.999, weight_decay=0.01, clip=1.0,
+                              out_dtypes=[jnp.bfloat16, jnp.bfloat16])
+    assert int(restored["gen_opt"]["t"]) == 2
+    assert jax.tree.leaves(newp)[0].dtype == jnp.bfloat16
+
+
 def test_config_loading_reference_keys():
     cfg = load_pipeline_config("configs/longlive_interactive_inference.yaml")
     assert cfg.switch_frame_indices == (40, 80, 120, 160, 200)

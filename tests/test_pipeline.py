@@ -56,6 +56,35 @@ def test_generate_latents(pipe_setup):
     np.testing.assert_allclose(np.asarray(lat), np.asarray(lat2), rtol=1e-5, atol=1e-6)
 
 
+def test_reuse_last_denoise_kv_mode(pipe_setup):
+    """Fast serving mode (skip the clean-context commit; keep the last
+    denoise pass's K/V): first block's latents are IDENTICAL to the default
+    path (the commit only affects the *next* block's context), later blocks
+    drift but stay finite, and cache counters advance the same way."""
+    import dataclasses
+
+    cfg, geom, params, pconfig = pipe_setup
+    pipe_ref = _make_pipe(CausalInferencePipeline, cfg, geom, params, pconfig)
+    pipe_fast = _make_pipe(
+        CausalInferencePipeline, cfg, geom, params,
+        dataclasses.replace(pconfig, reuse_last_denoise_kv=True))
+    cross = _prompt_kv(pipe_ref, cfg, 1)
+    cross_f = _prompt_kv(pipe_fast, cfg, 1)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 8, geom.channels, geom.height, geom.width)
+    )
+    lat_r, cache_r, _ = pipe_ref.generate_latents_scanned(noise, cross)
+    lat_f, cache_f, _ = pipe_fast.generate_latents_scanned(noise, cross_f)
+    fpb = pconfig.num_frame_per_block
+    np.testing.assert_allclose(np.asarray(lat_r[:, :fpb]),
+                               np.asarray(lat_f[:, :fpb]), rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.asarray(lat_f)).all()
+    # context differs from the second block on (by design)
+    assert np.abs(np.asarray(lat_r[:, fpb:]) - np.asarray(lat_f[:, fpb:])).max() > 0
+    for s in ("ring_base", "sink_filled", "ring_filled"):
+        assert int(getattr(cache_r, s)) == int(getattr(cache_f, s))
+
+
 def test_interactive_switch_changes_output(pipe_setup):
     cfg, geom, params, pconfig = pipe_setup
     pipe = _make_pipe(InteractiveCausalInferencePipeline, cfg, geom, params, pconfig)
