@@ -4,14 +4,17 @@ trainer/distillation.py:147-297, 1398-1456).
 The reference wraps every nn.Linear inside the transformer blocks with PEFT
 LoRA (rank/alpha 256 in shipped configs, applied to generator and critic —
 longlive_train_long.yaml adapter section).  Here adapters are a separate
-pytree over the stacked block linears; the merged weights
+pytree over the stacked block linears; ``attach_lora`` embeds them into the
+params tree and ``models.nn.linear`` applies
 
     W = W0 + (alpha/rank) * A @ B
 
-are materialized functionally inside the loss (cheap: ~100 GFLOP for the
-1.3B model), so autodiff yields adapter gradients and the optimizer runs
-over the adapter tree only.  PEFT init: A ~ kaiming-uniform, B = 0 (delta
-starts at zero).
+one LAYER at a time inside the scanned body (the PEFT execution model —
+no full merged model ever materializes), so autodiff yields adapter
+gradients and the optimizer runs over the adapter tree only.  PEFT init:
+A ~ kaiming-uniform, B = 0 (delta starts at zero).  ``merge_lora`` (full
+materialized merge) remains for host-side one-offs (EMA visualization
+fold, checkpoint export).
 
 Inference folds adapters into the base weights instead
 (utils/checkpoint.fold_lora_into_dit_sd).

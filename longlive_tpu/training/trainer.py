@@ -6,7 +6,8 @@ Functional re-design of the reference ``Trainer`` (trainer/distillation.py):
 - generator updates every ``dfake_gen_update_ratio`` steps, critic otherwise
   (distillation.py:1177);
 - EMA of generator params (CPU-fp32 shadow in the reference,
-  utils/distributed.py:91-125; here a same-sharded fp32 pytree);
+  utils/distributed.py:91-125; host-resident fp32 numpy here by default,
+  ema_on_host=False keeps it on device);
 - FSDP: parameters sharded over the mesh `fsdp` axis via parallel.mesh rules;
   XLA inserts all-gather/reduce-scatter — no hand-written comm;
 - all randomness from one PRNG key chain (identical on all hosts, replacing
