@@ -587,6 +587,7 @@ def dit_forward_cached(
     window_frames: Optional[int] = None,
     commit_writes: bool = True,
     remat_layers: bool = False,
+    two_segment: Optional[bool] = None,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One cached DiT forward over a block of ``F`` frames starting at
     absolute frame ``start_frame`` (ref _forward_inference,
@@ -614,15 +615,20 @@ def dit_forward_cached(
     hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
     rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, start_frame)
 
-    # Two-segment decode stays opt-in (LONGLIVE_TWO_SEGMENT=1): measured
-    # e2e it loses 40 ms/latent-frame to the write-then-attend form —
-    # the cache operand still streams the block's (masked-invalid) ring
-    # slots, +25% attention work at the 12-frame window, outweighing the
-    # saved per-layer cache writes (PERF.md negative result #3).
+    # Two-segment decode stays opt-in for SERVING (LONGLIVE_TWO_SEGMENT=1):
+    # measured e2e it loses 40 ms/latent-frame to the write-then-attend
+    # form — the cache operand still streams the block's (masked-invalid)
+    # ring slots, +25% attention work at the 12-frame window, outweighing
+    # the saved per-layer cache writes (PERF.md negative result #3).
+    # TRAINING callers pass ``two_segment=True`` explicitly: there the
+    # binding constraint is HBM, and this form never materializes the
+    # per-layer written cache stacks (2 x [L, S_cache, N, D] per forward).
     int8_kv = cache.k.dtype == jnp.int8
-    two_segment = (kv_valid is None and offsets is None
-                   and write_frames is None and not int8_kv
-                   and os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1")
+    no_explicit_plumbing = (kv_valid is None and offsets is None
+                            and write_frames is None)
+    if two_segment is None:
+        two_segment = os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1"
+    two_segment = two_segment and no_explicit_plumbing and not int8_kv
     if offsets is None:
         offsets = kvc.block_write_offsets(cache_cfg, cache, start_frame, f)
     if kv_valid is None:

@@ -52,6 +52,14 @@ class RolloutConfig:
     # stacks alone are ~5 GB/forward at full 1.3B geometry — measured
     # compile-time OOM, 71 GB requested on a 16 GB chip without this)
     remat_layers: bool = True
+    # two-segment attention for rollout forwards (cache and fresh block as
+    # separate kernel operands): never materializes the per-layer written
+    # cache stacks (2 x [L, S_cache, N, D] bf16 = ~6.4 GB at the 21-frame
+    # config's 11-frame retention) — the serving-latency loss of this form
+    # (PERF.md negative result #3) is irrelevant in the memory-bound
+    # training regime; the commit pass updates the cache with ONE in-place
+    # dynamic_update_slice after the layer scan
+    two_segment: bool = True
     # attention budget in frames (sink + recent); None = whole cache.  The
     # training cache retains min(local+slice, num_training) frames but only
     # local_attn_size frames are attended (self_forcing_training.py:59-74).
@@ -119,19 +127,22 @@ def rollout_trajectory(
             return rcfg.window_schedule[i]
         return rcfg.window_frames
 
-    def _fwd(p, xx, tt, ck, sf, window):
+    def _fwd(p, xx, tt, ck, sf, window, commit):
         return D.dit_forward_cached(
             p, cfg, cache_cfg, tables, xx, tt, cross_kv, ck, sf,
             attn_impl=rcfg.attn_impl, window_frames=window,
             remat_layers=rcfg.remat_layers,
+            two_segment=True if rcfg.two_segment else None,
+            commit_writes=commit,
         )
 
-    fwd_fn = (jax.checkpoint(_fwd, static_argnums=(5,)) if rcfg.remat else _fwd)
+    fwd_fn = (jax.checkpoint(_fwd, static_argnums=(5, 6))
+              if rcfg.remat else _fwd)
 
-    def forward(x, t_val, cache_in, start_frame, step_idx=None):
+    def forward(x, t_val, cache_in, start_frame, step_idx=None, commit=False):
         t = jnp.full((b, fpb), t_val, jnp.float32)
         flow, cache_out = fwd_fn(gen_params, x, t, cache_in, start_frame,
-                                 _window_for(step_idx))
+                                 _window_for(step_idx), commit)
         bf = b * fpb
         x0 = S.convert_flow_to_x0(
             sched, flow.reshape(bf, *flow.shape[2:]),
@@ -150,6 +161,7 @@ def rollout_trajectory(
             jax.lax.stop_gradient(initial_latent), t0, cross_kv, cache,
             current_start_frame, attn_impl=rcfg.attn_impl,
             window_frames=rcfg.window_frames,
+            two_segment=True if rcfg.two_segment else None,
         )
         cache = jax.lax.stop_gradient(cache)
         current_start_frame = current_start_frame + f0
@@ -190,7 +202,8 @@ def rollout_trajectory(
                 b * fpb, *x0.shape[2:]),
             jnp.full((b * fpb,), rcfg.context_noise, jnp.float32),
         ).reshape(x0.shape)
-        _, cache = forward(ctx, rcfg.context_noise, cache, abs_start)
+        _, cache = forward(ctx, rcfg.context_noise, cache, abs_start,
+                           commit=True)
         cache = jax.lax.stop_gradient(cache)
 
     return jnp.concatenate(outputs, axis=1), cache, rng
