@@ -244,10 +244,12 @@ def _fusable(x, p, thread: _CacheThread, stride) -> bool:
     # fused vs ~11.5 ms XLA conv+concat+norm per stage3 conv) — keep it on
     # the XLA path.  Wider stages win: 192ch 9.6 vs ~11.5 ms, 384ch 0.41
     # vs ~0.7 ms, 384->768 time conv 5.4 vs ~9 ms.
-    if w.shape[0] < 128 and os.environ.get("LONGLIVE_VAE_FUSED_96", "0") != "1":
-        # full-res 96ch stage: lane-pad tax loses to XLA at the 20MB tile
-        # budget (17.7 vs ~11.5 ms/conv); LONGLIVE_VAE_FUSED_96=1 re-enables
-        # for A/B together with LONGLIVE_VAE_VMEM_BUDGET (bigger row tiles)
+    if w.shape[0] < 128 and os.environ.get("LONGLIVE_VAE_FUSED_96", "1") != "1":
+        # full-res 96ch stage: the v1 kernel lost to XLA here (17.7 vs
+        # ~11.5 ms/conv, lane-pad tax); the v3 single-GEMM K-packed form
+        # WINS on the same stage (decode 222.4 -> 218.0 ms/latent-frame,
+        # scripts/vae_probe.py fused_96 A/B) — fused is now the default,
+        # LONGLIVE_VAE_FUSED_96=0 restores the XLA path
         return False
     return jax.default_backend() == "tpu"
 
