@@ -91,7 +91,16 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array,
 
     ``premul`` (broadcastable to [B, S, N*D] pre-reshape) is an optional
     elementwise factor applied inside the f32 domain — used to fuse the q/k
-    RMS-norm scale into the rotation and avoid an extra bf16 round trip."""
+    RMS-norm scale into the rotation and avoid an extra bf16 round trip.
+
+    Perf note (measured, scripts/dit_breakdown.py at the 9/3 decode
+    shape): this pair-gather form costs ~16.6 ms of a ~180 ms DiT forward
+    (the 2-element pair dim forces Mosaic relayouts).  A roll-based
+    reformulation (rot = even/odd-masked 1-lane rolls, tables
+    repeat-interleaved to full D) measured WORSE (21.5 ms): 1-lane-offset
+    lane rotates relayout just as hard as the stride-2 gather.  Burying
+    the rotation inside the flash-kernel prologue (VMEM-resident
+    shuffles, no HBM round trip) is the remaining candidate."""
     orig_dtype = x.dtype
     b, s, n, d = x.shape
     xf = x.astype(jnp.float32)

@@ -97,7 +97,7 @@ def main():
         patch(NN, "rms_norm", lambda x, w, eps=1e-6: x)
 
     def v_no_rope():
-        patch(D, "apply_rotary", lambda x, c, s: x)
+        patch(D, "apply_rotary", lambda x, c, s, premul=None: x)
 
     def v_no_attn():
         patch(D, "attend", lambda q, k, v, *a, **kw: q)
