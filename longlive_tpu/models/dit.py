@@ -241,6 +241,7 @@ def _attention_layer_cached(
     attn_impl: str,
     two_segment: bool = False,
     cache_sc: Optional[jax.Array] = None,  # [B, S_cache, N] int8-KV scales
+    skip_ranges: Optional[jax.Array] = None,  # [F, 2] dead cache-token ranges
 ):
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
@@ -263,7 +264,8 @@ def _attention_layer_cached(
         # the caller commits the returned block K/V once, outside the
         # layer scan, in place on the donated cache buffer)
         out = attend(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
-                     kv_valid, impl=attn_impl, frame_seq=fs, k2=k, v2=v)
+                     kv_valid, impl=attn_impl, frame_seq=fs, k2=k, v2=v,
+                     skip_ranges=skip_ranges)
         out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
         return out, k, v, None
 
@@ -332,6 +334,7 @@ def _block_body(
     attn_impl: str,
     two_segment: bool = False,
     cache_sc: Optional[jax.Array] = None,
+    skip_ranges: Optional[jax.Array] = None,
 ):
     """One CausalWanAttentionBlock (causal_model.py:413-477)."""
     f = num_frames
@@ -345,7 +348,7 @@ def _block_body(
     y, new_k, new_v, new_sc = _attention_layer_cached(
         layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
         cache_k, cache_v, kv_valid, offsets, write_frames, attn_impl,
-        two_segment=two_segment, cache_sc=cache_sc,
+        two_segment=two_segment, cache_sc=cache_sc, skip_ranges=skip_ranges,
     )
     x = x + _flat(_per_frame(y, f) * e_[2])
 
@@ -638,13 +641,23 @@ def dit_forward_cached(
     if write_frames is None:
         write_frames = tuple(range(f))
 
+    skip_ranges = None
+    if two_segment:
+        # the block's own ring slots are excluded from kv_valid; hand the
+        # kernel their token ranges so it elides those tiles outright
+        # (without this the two-segment form pays +25% attention work,
+        # PERF.md negative result #3)
+        fs_tok = cache_cfg.frame_seq
+        starts = jnp.stack([offsets[i] for i in write_frames])
+        skip_ranges = jnp.stack([starts, starts + fs_tok], axis=1)
+
     def scan_body(carry, xs):
         xcur = carry
         layer_p, ck, cv, xk, xv, csc = xs
         xout, nk, nv, nsc = _block_body(
             cfg, cache_cfg, f, xcur, layer_p, ck, cv, xk, xv,
             e0, rope_cos, rope_sin, kv_valid, offsets, write_frames, attn_impl,
-            two_segment=two_segment, cache_sc=csc,
+            two_segment=two_segment, cache_sc=csc, skip_ranges=skip_ranges,
         )
         return xout, (nk, nv, nsc)
 

@@ -60,7 +60,7 @@ _LANES = 128
 
 
 def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
-                  nkv1: int = 0):
+                  nkv1: int = 0, skip: bool = False):
     """One (head, q_block, kv_block) grid step of flash attention.
 
     Refs: [bias [1, bkv] f32 if has_bias],
@@ -90,8 +90,23 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
     [bq,bkv] VPU passes and 4%% output error; PERF.md), P stays bf16
     and PV stays on the bf16 pipe, so the only extra VPU work is the
     s32->f32 convert+scale, and K HBM reads halve.
+
+    skip: scalar-prefetch DEAD-TILE ELISION (two-segment decode).  Two
+    prefetched [nkv_total] int32 arrays lead the refs: ``tile_map``
+    redirects every fully-masked first-segment kv tile's index to the
+    NEXT live tile (so the dead grid steps pre-stream the tile the next
+    live step needs and Pallas elides the duplicate DMA — zero wasted
+    bandwidth), and ``live`` gates the whole accumulate body.  This is
+    what makes the two-segment form cheaper than write-then-attend: the
+    block's (masked-invalid) ring slots are neither streamed nor
+    computed, so total attended tokens match the written-through cache
+    exactly while the per-layer cache write-out disappears.
     """
     idx = 0
+    tm_ref = lv_ref = None
+    if skip:
+        lv_ref = refs[1]
+        refs = refs[2:]
     bias_ref = qsc_ref = ksc_ref = None
     if has_bias:
         bias_ref = refs[idx]; idx += 1
@@ -112,59 +127,70 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [bq, D]
-    if nkv1 > 0:
-        in_seg1 = ikv < nkv1
-        k = jnp.where(in_seg1, k_ref[0], k2_ref[0])
-        v_tile = jnp.where(in_seg1, v_ref[0], v2_ref[0])
-    else:
-        k = k_ref[0]  # [bkv, D]
-        v_tile = v_ref[0]
-    bkv = k.shape[0]
-    if qk_int8:
-        s32 = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        s = s32.astype(jnp.float32) * qsc_ref[0] * ksc_ref[0]  # [bq,1]*[1,bkv]
-    else:
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+    def _accumulate():
+        q = q_ref[0]  # [bq, D]
+        if nkv1 > 0:
+            in_seg1 = ikv < nkv1
+            k = jnp.where(in_seg1, k_ref[0], k2_ref[0])
+            v_tile = jnp.where(in_seg1, v_ref[0], v2_ref[0])
+        else:
+            k = k_ref[0]  # [bkv, D]
+            v_tile = v_ref[0]
+        bkv = k.shape[0]
+        if qk_int8:
+            s32 = jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = s32.astype(jnp.float32) * qsc_ref[0] * ksc_ref[0]  # [bq,1]*[1,bkv]
+        else:
+            s = jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if has_bias:
+            s = s + bias_ref[0][None, :]
+
+        def _to_w(x128, w):  # [bq, 128] -> [bq, w]
+            if w == _LANES:
+                return x128
+            if w < _LANES:
+                return x128[:, :w]
+            return pltpu.repeat(x128, w // _LANES, axis=1)
+
+        m_prev = m_ref[:]  # [bq, 128]
+        l_prev = l_ref[:]
+        m_cur = jnp.max(s, axis=-1)[:, None]  # [bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)  # [bq, 128]
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - _to_w(m_new, bkv))
+        l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1)[:, None]
+        m_ref[:] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v_tile.dtype),
+            v_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    if has_bias:
-        s = s + bias_ref[0][None, :]
+        acc_ref[:] = acc_ref[:] * _to_w(alpha, q.shape[-1]) + pv
 
-    d = q.shape[-1]
+    if skip:
+        pl.when(lv_ref[ikv] != 0)(_accumulate)
+    else:
+        _accumulate()
 
-    def _to_w(x128, w):  # [bq, 128] -> [bq, w]
-        if w == _LANES:
+    d_out = o_ref.shape[-1]
+
+    def _to_d(x128):  # [bq, 128] -> [bq, D]
+        if d_out == _LANES:
             return x128
-        if w < _LANES:
-            return x128[:, :w]
-        return pltpu.repeat(x128, w // _LANES, axis=1)
-
-    _to_d = lambda x128: _to_w(x128, d)
-
-    m_prev = m_ref[:]  # [bq, 128]
-    l_prev = l_ref[:]
-    m_cur = jnp.max(s, axis=-1)[:, None]  # [bq, 1]
-    m_new = jnp.maximum(m_prev, m_cur)  # [bq, 128]
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - _to_w(m_new, bkv))
-    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1)[:, None]
-    m_ref[:] = m_new
-    pv = jax.lax.dot_general(
-        p.astype(v_tile.dtype),
-        v_tile,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[:] = acc_ref[:] * _to_d(alpha) + pv
+        if d_out < _LANES:
+            return x128[:, :d_out]
+        return pltpu.repeat(x128, d_out // _LANES, axis=1)
 
     @pl.when(ikv == nkv - 1)
     def _finalize():
@@ -206,6 +232,35 @@ def _auto_block_q(sq: int, frame_seq: Optional[int] = None) -> int:
     return best
 
 
+def _skip_tile_arrays(skip_ranges: jax.Array, nkv1: int, nkv2: int,
+                      block_kv: int):
+    """(tile_map, live) int32 [nkv1+nkv2] from token ranges [R, 2] that are
+    fully masked in the first segment.  A tile is dead iff the (disjoint)
+    ranges cover it completely; dead tiles redirect to the NEXT live tile
+    (falling back to the previous one at an all-dead tail) so consecutive
+    grid steps repeat the block index and Pallas elides the DMA."""
+    idx = jnp.arange(nkv1, dtype=jnp.int32)
+    lo = idx * block_kv
+    hi = lo + block_kv
+    cov = jnp.zeros((nkv1,), jnp.int32)
+    for r in range(skip_ranges.shape[0]):
+        a, b = skip_ranges[r, 0], skip_ranges[r, 1]
+        cov = cov + jnp.maximum(0, jnp.minimum(hi, b) - jnp.maximum(lo, a))
+    live = (cov < block_kv).astype(jnp.int32)
+    live_idx = jnp.where(live == 1, idx, nkv1)
+    nxt = jax.lax.associative_scan(jnp.minimum, live_idx[::-1])[::-1]
+    prv = jax.lax.associative_scan(jnp.maximum, jnp.where(live == 1, idx, -1))
+    tm = jnp.where(nxt < nkv1, nxt, jnp.maximum(prv, 0)).astype(jnp.int32)
+    if nkv2:
+        # second segment: identity — the concatenated bias/scale operands
+        # span both segments, so their tiles must keep true indices; the
+        # seg1 k/v index map clamps tm to nkv1-1 there anyway
+        tm = jnp.concatenate(
+            [tm, jnp.arange(nkv1, nkv1 + nkv2, dtype=jnp.int32)])
+        live = jnp.concatenate([live, jnp.ones((nkv2,), jnp.int32)])
+    return tm, live
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_kv", "frame_seq", "qk_int8",
                               "interpret")
@@ -222,6 +277,7 @@ def flash_attention(
     k2: Optional[jax.Array] = None,
     v2: Optional[jax.Array] = None,
     k_scales: Optional[jax.Array] = None,
+    skip_ranges: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas flash attention.
@@ -235,7 +291,10 @@ def flash_attention(
     ``k_scales`` [B, Skv, N] marks ``k`` as PRE-quantized int8 with
     per-token dequant scales (the int8-KV-cache serving mode: keys are
     quantized once at cache-write time, so this call only quantizes q);
-    requires ``qk_int8=True``.  Returns [B, Sq, N, D].
+    requires ``qk_int8=True``.  ``skip_ranges`` [R, 2] int32 token ranges
+    of the FIRST segment that are fully bias-masked: fully-covered kv
+    tiles are skipped via scalar-prefetch index redirection (dead-tile
+    elision — zero DMA, zero compute).  Returns [B, Sq, N, D].
     """
     b, sq, n, d = q.shape
     if block_q is None:
@@ -299,6 +358,23 @@ def flash_attention(
         # block's trailing dims satisfy Mosaic's (8, 128)-divisibility rule
         ksc = ksc_.transpose(0, 2, 1)
 
+    use_skip = skip_ranges is not None
+
+    def _wrap(map3):
+        # scalar-prefetch grid specs APPEND the prefetched refs to every
+        # index map's grid-index arguments
+        if use_skip:
+            return lambda h, iq, ikv, tm, lv: map3(tm, h, iq, ikv)
+        return lambda h, iq, ikv: map3(None, h, iq, ikv)
+
+    # dead first-segment tiles redirect through tm (live tiles: tm[i] == i)
+    kv_idx = ((lambda tm, h, iq, ikv: (h, tm[ikv], 0)) if use_skip
+              else (lambda tm, h, iq, ikv: (h, ikv, 0)))
+    kv_idx2 = ((lambda tm, h, iq, ikv: (h // n, tm[ikv])) if use_skip
+               else (lambda tm, h, iq, ikv: (h // n, ikv)))
+    ksc_idx = ((lambda tm, h, iq, ikv: (h, 0, tm[ikv])) if use_skip
+               else (lambda tm, h, iq, ikv: (h, 0, ikv)))
+
     in_specs = []
     operands = []
     if has_bias:
@@ -309,46 +385,46 @@ def flash_attention(
             bias2 = _pad_axis(bias2, 1, skv2_p, value=_NEG_INF)
             bias = jnp.concatenate([bias, bias2], axis=1)
         in_specs.append(pl.BlockSpec(
-            (1, block_kv), lambda h, iq, ikv: (h // n, ikv),
-            memory_space=pltpu.VMEM))
+            (1, block_kv), _wrap(kv_idx2), memory_space=pltpu.VMEM))
         operands.append(bias)
     if qk_int8:
         in_specs.append(pl.BlockSpec(
-            (1, block_q, 1), lambda h, iq, ikv: (h, iq, 0),
+            (1, block_q, 1), _wrap(lambda tm, h, iq, ikv: (h, iq, 0)),
             memory_space=pltpu.VMEM))
         operands.append(qsc)
         in_specs.append(pl.BlockSpec(
-            (1, 1, block_kv), lambda h, iq, ikv: (h, 0, ikv),
-            memory_space=pltpu.VMEM))
+            (1, 1, block_kv), _wrap(ksc_idx), memory_space=pltpu.VMEM))
         operands.append(ksc)
     in_specs += [
         pl.BlockSpec(
-            (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
+            (1, block_q, d), _wrap(lambda tm, h, iq, ikv: (h, iq, 0)),
+            memory_space=pltpu.VMEM
         ),
     ]
     operands += [qt]
     if has_seg2:
         # segment-clamped index maps: the off-segment ref re-reads a
-        # resident tile (Pallas elides the DMA when the index repeats)
-        seg1_map = lambda h, iq, ikv: (h, jnp.minimum(ikv, nkv1 - 1), 0)
-        seg2_map = lambda h, iq, ikv: (h, jnp.maximum(ikv - nkv1, 0), 0)
+        # resident tile (Pallas elides the DMA when the index repeats);
+        # with skip, dead seg1 tiles additionally redirect through tm
+        if use_skip:
+            seg1_map = lambda tm, h, iq, ikv: (
+                h, jnp.minimum(tm[ikv], nkv1 - 1), 0)
+        else:
+            seg1_map = lambda tm, h, iq, ikv: (h, jnp.minimum(ikv, nkv1 - 1), 0)
+        seg2_map = lambda tm, h, iq, ikv: (h, jnp.maximum(ikv - nkv1, 0), 0)
         in_specs += [
-            pl.BlockSpec((1, block_kv, d), seg1_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), seg1_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), seg2_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), seg2_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), _wrap(seg1_map), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), _wrap(seg1_map), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), _wrap(seg2_map), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), _wrap(seg2_map), memory_space=pltpu.VMEM),
         ]
         operands += [kt, vt, k2t, v2t]
     else:
         in_specs += [
-            pl.BlockSpec(
-                (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0),
-                memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_kv, d), lambda h, iq, ikv: (h, ikv, 0),
-                memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, block_kv, d), _wrap(kv_idx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), _wrap(kv_idx),
+                         memory_space=pltpu.VMEM),
         ]
         operands += [kt, vt]
 
@@ -358,18 +434,35 @@ def flash_attention(
         pltpu.VMEM((block_q, d), jnp.float32),
     ]
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, has_bias=has_bias, qk_int8=qk_int8,
-                          nkv1=nkv1 if has_seg2 else 0),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda h, iq, ikv: (h, iq, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
-        scratch_shapes=scratch_shapes,
-        interpret=interpret,
-    )(*operands)
+    kernel = functools.partial(_flash_kernel, has_bias=has_bias,
+                               qk_int8=qk_int8,
+                               nkv1=nkv1 if has_seg2 else 0, skip=use_skip)
+    out_spec = pl.BlockSpec(
+        (1, block_q, d), _wrap(lambda tm, h, iq, ikv: (h, iq, 0)),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype)
+    if use_skip:
+        tm, lv = _skip_tile_arrays(
+            jnp.asarray(skip_ranges, jnp.int32).reshape(-1, 2),
+            nkv1, skv2_p // block_kv, block_kv)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=scratch_shapes)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(tm, lv, *operands)
+    else:
+        # strip the unused leading arg the _wrap shim added
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(*operands)
 
     out = out.reshape(b, n, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :sq]
@@ -614,6 +707,7 @@ def attend(
     k2: Optional[jax.Array] = None,
     v2: Optional[jax.Array] = None,
     k_scales: Optional[jax.Array] = None,
+    skip_ranges: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend; first
     KV segment only).  frame_seq: tokens per latent frame (decode path)
@@ -621,7 +715,9 @@ def attend(
     (two-segment decode; concatenated explicitly on the xla fallback).
     k_scales: per-token dequant scales when ``k`` is pre-quantized int8
     (int8 KV cache) — pallas impls run int8-QK with the stored scales,
-    the xla fallback dequantizes."""
+    the xla fallback dequantizes.  skip_ranges [R, 2]: fully-masked token
+    ranges of the first segment — pallas serving impls elide those kv
+    tiles entirely (zero DMA/compute); fallbacks rely on the bias mask."""
     b, _, n, d = q.shape
     bias = None
     if kv_valid is not None:
@@ -640,11 +736,12 @@ def attend(
         if impl in ("pallas", "pallas_qk8"):
             return flash_attention(q, k, v, bias, frame_seq=frame_seq,
                                    qk_int8=True, k_scales=k_scales,
-                                   k2=k2, v2=v2)
+                                   k2=k2, v2=v2, skip_ranges=skip_ranges)
         if impl in ("pallas_interpret", "pallas_qk8_interpret"):
             return flash_attention(q, k, v, bias, frame_seq=frame_seq,
                                    qk_int8=True, k_scales=k_scales,
-                                   k2=k2, v2=v2, interpret=True)
+                                   k2=k2, v2=v2, skip_ranges=skip_ranges,
+                                   interpret=True)
         # xla/train fallback: dequantize and continue below
         k = dequantize_k(k, k_scales, v.dtype)
     if impl == "pallas_train":
@@ -658,17 +755,19 @@ def attend(
         return flash_attention_trainable(q, k, v, kv_valid)
 
     if impl == "pallas":
-        return flash_attention(q, k, v, bias, frame_seq=frame_seq, k2=k2, v2=v2)
+        return flash_attention(q, k, v, bias, frame_seq=frame_seq, k2=k2, v2=v2,
+                               skip_ranges=skip_ranges)
     if impl == "pallas_qk8":
         # int8-QK serving mode (per-tile Q/K quant on the int8 MXU pipe)
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True,
-                               k2=k2, v2=v2)
+                               k2=k2, v2=v2, skip_ranges=skip_ranges)
     if impl == "pallas_interpret":
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, k2=k2, v2=v2,
-                               interpret=True)
+                               skip_ranges=skip_ranges, interpret=True)
     if impl == "pallas_qk8_interpret":
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True,
-                               k2=k2, v2=v2, interpret=True)
+                               k2=k2, v2=v2, skip_ranges=skip_ranges,
+                               interpret=True)
     if impl != "xla":
         raise ValueError(f"unknown attention impl {impl!r}")
     if k2 is not None:

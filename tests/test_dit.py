@@ -245,7 +245,7 @@ def test_two_segment_equals_single_segment(setup):
 
     import os
 
-    def run(force_single):
+    def run(force_single, attn_impl="xla"):
         os.environ["LONGLIVE_TWO_SEGMENT"] = "0" if force_single else "1"
         cache = kvc.init_cache(cache_cfg, cfg.num_layers, 1, cfg.num_heads,
                                cfg.head_dim, jnp.float32)
@@ -264,18 +264,24 @@ def test_two_segment_equals_single_segment(setup):
                 )
             flow, cache = D.dit_forward_cached(
                 params, cfg, cache_cfg, tables, xb, t, cross, cache,
-                jnp.asarray(s, jnp.int32), attn_impl="xla", **kw)
+                jnp.asarray(s, jnp.int32), attn_impl=attn_impl, **kw)
             outs.append(flow)
         return jnp.concatenate(outs, axis=1), cache
 
     try:
         two, cache2 = run(False)
         one, cache1 = run(True)
+        # serving kernel path: two-segment + dead-tile skip (interpreted)
+        twok, cache2k = run(False, attn_impl="pallas_interpret")
     finally:
         os.environ.pop("LONGLIVE_TWO_SEGMENT", None)
     np.testing.assert_allclose(np.asarray(two), np.asarray(one),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cache2.k), np.asarray(cache1.k),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(twok), np.asarray(one),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache2k.k), np.asarray(cache1.k),
                                rtol=1e-5, atol=1e-5)
 
     # commit_writes=False: flow identical, cache buffers untouched
