@@ -22,6 +22,7 @@ head_dim), softmax scale 1/sqrt(D).
 from __future__ import annotations
 
 import functools
+import os
 import math
 from typing import Optional, Tuple
 
@@ -271,7 +272,7 @@ def flash_attention(
     v: jax.Array,
     bias: Optional[jax.Array] = None,
     block_q: Optional[int] = None,
-    block_kv: int = 1024,
+    block_kv: Optional[int] = None,
     frame_seq: Optional[int] = None,
     qk_int8: bool = False,
     k2: Optional[jax.Array] = None,
@@ -299,6 +300,12 @@ def flash_attention(
     b, sq, n, d = q.shape
     if block_q is None:
         block_q = _auto_block_q(sq, frame_seq)
+    if block_kv is None:
+        # kv tile (lane-dim blocks must be 128-multiples, so frame-exact
+        # tiles are impossible at 1560 tokens/frame); LONGLIVE_BKV sweeps
+        # the dead-tile-elision granularity e2e (smaller tiles elide more
+        # of a skip range at more grid-step overhead)
+        block_kv = int(os.environ.get("LONGLIVE_BKV", "1024"))
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
     has_bias = bias is not None

@@ -70,6 +70,29 @@ def main():
         if stage == "twoseg_qk8":
             return lambda: A.flash_attention(q, k1, v1, bias, frame_seq=fs,
                                              qk_int8=True, k2=k2, v2=v2)
+        if stage.startswith("twoseg_skip"):
+            # REAL decode layout: the cache operand is the FULL ring buffer
+            # (skv1 + skv2 tokens) with the block's own skv2-token slot range
+            # dead (bias-masked AND kernel-elided); the fresh block rides as
+            # the second segment.  Compare against `bf16` (the
+            # write-then-attend attend cost) + the measured ~22 ms/forward
+            # of cache writes it additionally pays.
+            bkv = int(stage.rsplit("_", 1)[-1]) if stage[-1].isdigit() else 1024
+            # the real decode's dead ranges are the block's own ring slots,
+            # whose offsets are multiples of frame_seq — keep the synthetic
+            # layout frame-aligned too (kv_cache.block_write_offsets)
+            dead_lo = ((skv1 + skv2) // 2) // fs * fs
+            ranges = jnp.asarray([[dead_lo, dead_lo + skv2]], jnp.int32)
+            biasf = jnp.zeros((b, skv1 + skv2), jnp.float32)
+            biasf = biasf.at[:, dead_lo:dead_lo + skv2].set(-1e30)
+            return lambda: A.flash_attention(
+                q, kc, vc, biasf, frame_seq=fs, block_kv=bkv,
+                k2=k2, v2=v2, skip_ranges=ranges)
+        if stage.startswith("bf16_"):
+            # single-segment baseline at a non-default kv tile
+            bkv = int(stage.rsplit("_", 1)[-1])
+            return lambda: A.flash_attention(q, kc, vc, frame_seq=fs,
+                                             block_kv=bkv)
         raise ValueError(stage)
 
     def measure(stage):
