@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..config import CacheConfig, DiTConfig
 from ..ops import kv_cache as kvc
-from ..ops.attention import attend, dense_attention, quantize_k_tokens
+from ..ops.attention import (attend, dense_attention, dequantize_k,
+                             quantize_k_tokens)
 from ..ops.embeddings import sinusoidal_embedding_1d
 from ..ops.rope import RopeTables, apply_rotary, rope_multipliers
 from . import nn
@@ -242,6 +243,7 @@ def _attention_layer_cached(
     two_segment: bool = False,
     cache_sc: Optional[jax.Array] = None,  # [B, S_cache, N] int8-KV scales
     skip_ranges: Optional[jax.Array] = None,  # [F, 2] dead cache-token ranges
+    cache_vsc: Optional[jax.Array] = None,  # [B, S_cache, N] int8-V scales
 ):
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
@@ -262,14 +264,25 @@ def _attention_layer_cached(
         # attend [old cache ++ fresh block] without writing/copying the
         # full cache per layer (kv_valid excludes the block's own slots;
         # the caller commits the returned block K/V once, outside the
-        # layer scan, in place on the donated cache buffer)
-        out = attend(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
+        # layer scan, in place on the donated cache buffer).  An int8
+        # training cache (rollout cache_int8 mode — K *and* V stored
+        # int8 with per-token scales, halving the rollout's dominant HBM
+        # resident + remat residual) is dequantized here per layer: one
+        # [S_cache, N, D] VPU pass, recomputed (not stored) under
+        # remat_layers.
+        ck, cv = cache_k, cache_v
+        if ck.dtype == jnp.int8:
+            ck = dequantize_k(ck, cache_sc, q.dtype)
+        if cv.dtype == jnp.int8:
+            cv = dequantize_k(cv, cache_vsc, q.dtype)
+        out = attend(q, ck.astype(q.dtype), cv.astype(q.dtype),
                      kv_valid, impl=attn_impl, frame_seq=fs, k2=k, v2=v,
                      skip_ranges=skip_ranges)
         out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
-        return out, k, v, None
+        return out, k, v, None, None
 
     int8_kv = cache_k.dtype == jnp.int8
+    int8_v = cache_v.dtype == jnp.int8
     if int8_kv:
         # int8 KV: the fresh block's roped keys are quantized ONCE here
         # (4680 tokens) and written with their per-token scales; the big
@@ -278,11 +291,15 @@ def _attention_layer_cached(
         k_w, k_sc = quantize_k_tokens(k)
     else:
         k_w, k_sc = k, None
+    if int8_v:
+        v_w, v_sc = quantize_k_tokens(v)
+    else:
+        v_w, v_sc = v, None
 
-    new_k, new_v, new_sc = cache_k, cache_v, cache_sc
+    new_k, new_v, new_sc, new_vsc = cache_k, cache_v, cache_sc, cache_vsc
     for i in write_frames:
         kf = jax.lax.dynamic_slice_in_dim(k_w, i * fs, fs, axis=1)
-        vf = jax.lax.dynamic_slice_in_dim(v, i * fs, fs, axis=1)
+        vf = jax.lax.dynamic_slice_in_dim(v_w, i * fs, fs, axis=1)
         new_k = jax.lax.dynamic_update_slice_in_dim(
             new_k, kf.astype(new_k.dtype), offsets[i], axis=1
         )
@@ -294,12 +311,25 @@ def _attention_layer_cached(
             new_sc = jax.lax.dynamic_update_slice_in_dim(
                 new_sc, sf.astype(new_sc.dtype), offsets[i], axis=1
             )
+        if int8_v:
+            sf = jax.lax.dynamic_slice_in_dim(v_sc, i * fs, fs, axis=1)
+            new_vsc = jax.lax.dynamic_update_slice_in_dim(
+                new_vsc, sf.astype(new_vsc.dtype), offsets[i], axis=1
+            )
 
-    out = attend(q, new_k if int8_kv else new_k.astype(q.dtype),
-                 new_v.astype(q.dtype), kv_valid,
-                 impl=attn_impl, frame_seq=fs, k_scales=new_sc)
+    if int8_v:
+        # training int8 cache: dequantize both operands and attend bf16
+        # (the int8-QK kernel path is a serving mode; training impls need
+        # a differentiable bf16 attend)
+        out = attend(q, dequantize_k(new_k, new_sc, q.dtype),
+                     dequantize_k(new_v, new_vsc, q.dtype), kv_valid,
+                     impl=attn_impl, frame_seq=fs)
+    else:
+        out = attend(q, new_k if int8_kv else new_k.astype(q.dtype),
+                     new_v.astype(q.dtype), kv_valid,
+                     impl=attn_impl, frame_seq=fs, k_scales=new_sc)
     out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
-    return out, new_k, new_v, new_sc
+    return out, new_k, new_v, new_sc, new_vsc
 
 
 def _cross_attention_layer(
@@ -335,6 +365,7 @@ def _block_body(
     two_segment: bool = False,
     cache_sc: Optional[jax.Array] = None,
     skip_ranges: Optional[jax.Array] = None,
+    cache_vsc: Optional[jax.Array] = None,
 ):
     """One CausalWanAttentionBlock (causal_model.py:413-477)."""
     f = num_frames
@@ -345,10 +376,11 @@ def _block_body(
     # self-attention with per-frame adaLN
     h = _per_frame(nn.layer_norm(x, cfg.eps), f)
     h = _flat(h * (1 + e_[1]) + e_[0])
-    y, new_k, new_v, new_sc = _attention_layer_cached(
+    y, new_k, new_v, new_sc, new_vsc = _attention_layer_cached(
         layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
         cache_k, cache_v, kv_valid, offsets, write_frames, attn_impl,
         two_segment=two_segment, cache_sc=cache_sc, skip_ranges=skip_ranges,
+        cache_vsc=cache_vsc,
     )
     x = x + _flat(_per_frame(y, f) * e_[2])
 
@@ -364,7 +396,7 @@ def _block_body(
     h = _flat(h * (1 + e_[4]) + e_[3])
     y = nn.linear(nn.gelu_tanh(nn.linear(h, layer_p["ffn"]["fc1"])), layer_p["ffn"]["fc2"])
     x = x + _flat(_per_frame(y, f) * e_[5])
-    return x, new_k, new_v, new_sc
+    return x, new_k, new_v, new_sc, new_vsc
 
 
 def _head(params: dict, cfg: DiTConfig, x: jax.Array, e: jax.Array, f: int) -> jax.Array:
@@ -627,11 +659,18 @@ def dit_forward_cached(
     # binding constraint is HBM, and this form never materializes the
     # per-layer written cache stacks (2 x [L, S_cache, N, D] per forward).
     int8_kv = cache.k.dtype == jnp.int8
+    int8_v = cache.v.dtype == jnp.int8
+    # the serving k-only int8 cache feeds the int8-QK kernel through the
+    # write-then-attend form (two-segment was a measured wash there); the
+    # TRAINING k+v int8 cache (rollout cache_int8) runs two-segment with a
+    # per-layer dequant — disabling two-segment would materialize the very
+    # per-layer written cache stacks the mode exists to avoid
     no_explicit_plumbing = (kv_valid is None and offsets is None
                             and write_frames is None)
     if two_segment is None:
         two_segment = os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1"
-    two_segment = two_segment and no_explicit_plumbing and not int8_kv
+    two_segment = (two_segment and no_explicit_plumbing
+                   and not (int8_kv and not int8_v))
     if offsets is None:
         offsets = kvc.block_write_offsets(cache_cfg, cache, start_frame, f)
     if kv_valid is None:
@@ -653,19 +692,20 @@ def dit_forward_cached(
 
     def scan_body(carry, xs):
         xcur = carry
-        layer_p, ck, cv, xk, xv, csc = xs
-        xout, nk, nv, nsc = _block_body(
+        layer_p, ck, cv, xk, xv, csc, cvsc = xs
+        xout, nk, nv, nsc, nvsc = _block_body(
             cfg, cache_cfg, f, xcur, layer_p, ck, cv, xk, xv,
             e0, rope_cos, rope_sin, kv_valid, offsets, write_frames, attn_impl,
             two_segment=two_segment, cache_sc=csc, skip_ranges=skip_ranges,
+            cache_vsc=cvsc,
         )
-        return xout, (nk, nv, nsc)
+        return xout, (nk, nv, nsc, nvsc)
 
-    tokens, (new_k, new_v, new_sc) = jax.lax.scan(
+    tokens, (new_k, new_v, new_sc, new_vsc) = jax.lax.scan(
         jax.checkpoint(scan_body) if remat_layers else scan_body,
         tokens,
         (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v,
-         cache.k_scale),
+         cache.k_scale, cache.v_scale),
     )
 
     out_tokens = _head(params, cfg, tokens, e, f)
@@ -676,16 +716,29 @@ def dit_forward_cached(
         if not commit_writes:
             return flow, base
         # one in-place commit of all layers' block K/V (ys are
-        # [L, B, F*fs, N, D]); XLA aliases the donated cache buffers
+        # [L, B, F*fs, N, D]); XLA aliases the donated cache buffers.
+        # int8 caches quantize the block here — once per block, not per
+        # layer-forward
         fs = cache_cfg.frame_seq
         ck, cv = cache.k, cache.v
+        csk, csv = cache.k_scale, cache.v_scale
+        zero = jnp.zeros([], jnp.int32)
         for i in write_frames:
             kf = jax.lax.dynamic_slice_in_dim(new_k, i * fs, fs, axis=2)
             vf = jax.lax.dynamic_slice_in_dim(new_v, i * fs, fs, axis=2)
-            zero = jnp.zeros([], jnp.int32)
             start = (zero, zero, offsets[i], zero, zero)
+            if int8_kv:
+                kf, ksc = quantize_k_tokens(kf)
+                csk = jax.lax.dynamic_update_slice(
+                    csk, ksc.astype(csk.dtype), start[:-1])
+            if int8_v:
+                vf, vsc = quantize_k_tokens(vf)
+                csv = jax.lax.dynamic_update_slice(
+                    csv, vsc.astype(csv.dtype), start[:-1])
             ck = jax.lax.dynamic_update_slice(ck, kf.astype(ck.dtype), start)
             cv = jax.lax.dynamic_update_slice(cv, vf.astype(cv.dtype), start)
-        return flow, dataclasses.replace(base, k=ck, v=cv)
-    new_cache = dataclasses.replace(base, k=new_k, v=new_v, k_scale=new_sc)
+        return flow, dataclasses.replace(base, k=ck, v=cv,
+                                         k_scale=csk, v_scale=csv)
+    new_cache = dataclasses.replace(base, k=new_k, v=new_v, k_scale=new_sc,
+                                    v_scale=new_vsc)
     return flow, new_cache

@@ -53,6 +53,12 @@ class KVCache:
                  per-forward K-quantize pass exists — the cost that made
                  per-forward int8-QK a net loss, PERF.md); None for the
                  bf16 cache.
+    v_scale:     like ``k_scale`` for an int8 ``v`` — the TRAINING
+                 rollout's cache_int8 mode stores BOTH k and v int8
+                 (cache contents are stop-gradded context, so this is a
+                 pure memory lever: it halves the rollout's dominant HBM
+                 resident and the remat-saved input of the differentiated
+                 exit forward; see PERF.md full-geometry 1.3B section).
     """
 
     k: jax.Array
@@ -61,6 +67,7 @@ class KVCache:
     sink_filled: jax.Array
     ring_filled: jax.Array
     k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
 
 def init_cache(
@@ -71,16 +78,18 @@ def init_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
     k_int8: bool = False,
+    v_int8: bool = False,
 ) -> KVCache:
     shape = (num_layers, batch, cfg.size_tokens, num_heads, head_dim)
     # distinct buffers per field: donated pytrees must not alias
     return KVCache(
         k=jnp.zeros(shape, jnp.int8 if k_int8 else dtype),
-        v=jnp.zeros(shape, dtype) + 0,
+        v=jnp.zeros(shape, jnp.int8 if v_int8 else dtype) + 0,
         ring_base=jnp.full([], cfg.sink_frames, jnp.int32),
         sink_filled=jnp.zeros([], jnp.int32),
         ring_filled=jnp.zeros([], jnp.int32) + 0,
         k_scale=jnp.zeros(shape[:-1], jnp.float32) if k_int8 else None,
+        v_scale=jnp.zeros(shape[:-1], jnp.float32) + 0 if v_int8 else None,
     )
 
 
@@ -208,4 +217,5 @@ def zero_cache(cache: KVCache) -> KVCache:
     return dataclasses.replace(
         cache, k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
         k_scale=None if cache.k_scale is None else jnp.zeros_like(cache.k_scale),
+        v_scale=None if cache.v_scale is None else jnp.zeros_like(cache.v_scale),
     )

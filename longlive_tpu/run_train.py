@@ -70,6 +70,7 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
         # 80 GB H100s): host-resident AdamW state and EMA shadow
         opt_on_host=bool(raw.get("opt_on_host", False)),
         ema_on_host=bool(raw.get("ema_on_host", True)),
+        cache_int8=bool(raw.get("cache_int8", False)),
     )
 
 

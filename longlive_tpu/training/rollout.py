@@ -60,6 +60,13 @@ class RolloutConfig:
     # training regime; the commit pass updates the cache with ONE in-place
     # dynamic_update_slice after the layer scan
     two_segment: bool = True
+    # store the rollout KV cache int8 (k AND v, per-token scales): the cache
+    # is stop-gradded context, so this is purely a memory lever — it halves
+    # the largest rollout residents (the live cache chain and the remat-saved
+    # cache input of the differentiated exit forward, 2 x 1.2 GB at the
+    # 9-frame full-geometry config; PERF.md).  Quantization happens once per
+    # block at commit; denoise passes attend the fresh block in bf16.
+    cache_int8: bool = False
     # attention budget in frames (sink + recent); None = whole cache.  The
     # training cache retains min(local+slice, num_training) frames but only
     # local_attn_size frames are attended (self_forcing_training.py:59-74).
@@ -119,6 +126,7 @@ def rollout_trajectory(
         cache = kvc.init_cache(
             cache_cfg, cfg.num_layers, b, cfg.num_heads, cfg.head_dim,
             gen_params["patch_embedding"]["kernel"].dtype,
+            k_int8=rcfg.cache_int8, v_int8=rcfg.cache_int8,
         )
 
     def _window_for(step_idx: Optional[int]) -> Optional[int]:

@@ -102,6 +102,7 @@ class StreamingTrainer(ScoreDistillationTrainer):
                 self.cache_cfg, self.cfg.num_layers, batch, self.cfg.num_heads,
                 self.cfg.head_dim,
                 self.state["gen_params"]["patch_embedding"]["kernel"].dtype,
+                k_int8=self.rcfg.cache_int8, v_int8=self.rcfg.cache_int8,
             ),
         }
 

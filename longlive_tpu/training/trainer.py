@@ -85,6 +85,12 @@ class TrainerConfig:
     # 16 GB — m+v+master f32 for gen+critic adapters alone is ~13 GB on
     # device.  Costs one grads D2H + params H2D per update.
     opt_on_host: bool = False
+    # store the rollout KV cache int8 (k and v, per-token scales): pure
+    # memory lever for full-geometry single-chip steps — the cache is
+    # stop-gradded context, so only forward values shift (≈0.03% latent
+    # rel-RMS per the serving int8-K measurement); halves the largest
+    # rollout residents (see training/rollout.py RolloutConfig.cache_int8)
+    cache_int8: bool = False
     # micro-steps per optimizer update (longlive_train_init.yaml:34)
     gradient_accumulation_steps: int = 1
 
@@ -186,6 +192,7 @@ class ScoreDistillationTrainer:
             last_step_only=tcfg.last_step_only,
             attn_impl=tcfg.attn_impl,
             window_frames=window,
+            cache_int8=tcfg.cache_int8,
         )
         self.dcfg = dmd_mod.DMDConfig(
             num_train_timestep=tcfg.num_train_timestep,

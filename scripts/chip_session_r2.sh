@@ -1,0 +1,30 @@
+#!/bin/bash
+# Queued chip experiments for when the axon tunnel recovers (round 2).
+# Run:  bash scripts/chip_session_r2.sh >> /tmp/chip_r2.log 2>&1
+# Each stage is timeout-bounded so a wedged tunnel can't hold the session.
+cd "$(dirname "$0")/.."
+set -x
+
+# 0) is the chip back?
+timeout 120 python -c "import jax; print('TPU-UP', jax.devices())" || exit 1
+
+# 1) kernel-level sweep: dead-tile elision at the real decode layout
+#    (frame-aligned dead range), bkv in {1024, 512, 256} + bf16 baselines
+for st in bf16 bf16_512 twoseg_skip_1024 twoseg_skip_512 twoseg_skip_256; do
+  timeout 1200 python scripts/attn_kernel_sweep.py --stage "$st" 2>/dev/null | tail -1
+done
+
+# 2) e2e A/B of the winning tile (edit LONGLIVE_BKV if the sweep disagrees)
+echo "=== default (current shipped config) ==="
+timeout 2400 python bench.py 2>/dev/null | tail -1
+echo "=== twoseg_skip bkv=512 ==="
+LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tail -1
+echo "=== twoseg_skip bkv=256 ==="
+LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=256 timeout 2400 python bench.py 2>/dev/null | tail -1
+echo "=== fast mode + best skip (expected best overall) ==="
+BENCH_REUSE_KV=1 LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tail -1
+
+# 3) does the int8 rollout cache close the 9-frame full-geometry gap?
+echo "=== 1.3B lora_step, 9 frames, int8 rollout cache ==="
+timeout 3000 python scripts/train_probe_1p3b.py --mode lora_step --frames 9 \
+  --reps 1 --cache_int8 --auto_shrink 2>/dev/null | tail -3

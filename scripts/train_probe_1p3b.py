@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--frames", type=int, default=21)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--auto_shrink", action="store_true")
+    ap.add_argument("--cache_int8", action="store_true",
+                    help="int8 rollout KV cache (k+v, per-token scales) — "
+                         "the PERF.md squeeze for the 9/21-frame gap")
     args = ap.parse_args()
 
     from longlive_tpu.config import DiTConfig, LatentGeometry
@@ -114,7 +117,7 @@ def main():
                 # 16 GB chip: bf16 adapters (reference adapter.dtype) +
                 # ZeRO-Offload-style host AdamW — on-device f32 master+
                 # moments for 2x540M adapter params alone would be ~13 GB
-                opt_on_host=True)
+                opt_on_host=True, cache_int8=args.cache_int8)
             tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic, teacher)
             del gen, critic, teacher  # trainer owns them; free the dup refs
             mem("trainer_ready")
@@ -140,7 +143,8 @@ def main():
                       S.warp_denoising_steps(sched, (1000, 750, 500, 250)))
         rcfg = ro.RolloutConfig(denoise_timesteps=steps,
                                 frame_block=cfg.num_frame_per_block,
-                                window_frames=cfg.local_attn_size, remat=True)
+                                window_frames=cfg.local_attn_size, remat=True,
+                                cache_int8=args.cache_int8)
         kv_frames = min(cfg.local_attn_size + 21, frames)
         cache_cfg = CacheConfig(sink_frames=cfg.sink_size,
                                 ring_frames=kv_frames - cfg.sink_size,
@@ -236,6 +240,7 @@ def main():
     print(json.dumps({
         "mode": args.mode,
         "frames": frames,
+        "cache_int8": args.cache_int8,
         "ms_per_step": round(dt * 1e3, 1),
         "hbm_peak_gb": hbm_peak_gb(),
         "device": str(jax.devices()[0]),

@@ -220,3 +220,56 @@ def test_streaming_trainer_dp2_mesh(setup):
     m = tr.streaming_train_step(jax.random.PRNGKey(1))
     assert np.isfinite(m["generator_loss"]) and np.isfinite(m["critic_loss"])
     assert m["current_length"] >= scfg.chunk_size
+
+
+def test_int8_rollout_cache_close_to_bf16(setup):
+    """cache_int8 stores the rollout KV cache int8 (k AND v, per-token
+    scales; training/rollout.py RolloutConfig.cache_int8).  The cache is
+    stop-gradded context, so this must (a) produce latents within
+    quantization tolerance of the f32-cache rollout, (b) actually store
+    int8 buffers, and (c) keep gradients flowing and finite."""
+    cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
+    cache_cfg = CacheConfig(1, 4, geom.frame_seq_length)
+    noise = jax.random.normal(jax.random.PRNGKey(16),
+                              (1, 4, geom.channels, geom.height, geom.width))
+
+    def run(cache_int8, two_segment):
+        rcfg = ro.RolloutConfig(
+            denoise_timesteps=(1000.0, 750.0, 500.0), frame_block=2,
+            attn_impl="xla", remat=False, remat_layers=False,
+            two_segment=two_segment, cache_int8=cache_int8)
+        lat, cache, _ = ro.rollout_trajectory(
+            gen, cfg, cache_cfg, tables, sched, rcfg, noise, cross_c,
+            jax.random.PRNGKey(17), exit_idx=2, start_gradient_frame=0)
+        return lat, cache
+
+    lat_ref, cache_ref = run(False, True)
+    for two_segment in (True, False):  # commit-quantize and per-layer-write
+        lat_q, cache_q = run(True, two_segment)
+        assert cache_q.k.dtype == jnp.int8 and cache_q.v.dtype == jnp.int8
+        assert cache_q.k_scale is not None and cache_q.v_scale is not None
+        rel = float(jnp.max(jnp.abs(lat_q - lat_ref))
+                    / (jnp.max(jnp.abs(lat_ref)) + 1e-9))
+        assert np.isfinite(np.asarray(lat_q)).all()
+        # int8 context K/V perturbs later blocks only mildly
+        assert rel < 0.15, (two_segment, rel)
+        # committed int8 contents must dequantize back to the f32 cache
+        deq_k = (cache_q.k.astype(jnp.float32)
+                 * cache_q.k_scale[..., None])
+        err_k = float(jnp.max(jnp.abs(deq_k - cache_ref.k.astype(jnp.float32))))
+        assert err_k < 0.15 * float(jnp.max(jnp.abs(cache_ref.k))), (
+            two_segment, err_k)
+
+    rcfg = ro.RolloutConfig(
+        denoise_timesteps=(1000.0, 750.0, 500.0), frame_block=2,
+        attn_impl="xla", remat=False, remat_layers=False, cache_int8=True)
+
+    def loss(p):
+        lat, _, _ = ro.rollout_trajectory(
+            p, cfg, cache_cfg, tables, sched, rcfg, noise, cross_c,
+            jax.random.PRNGKey(17), exit_idx=1, start_gradient_frame=0)
+        return jnp.sum(lat ** 2)
+
+    g = jax.grad(loss)(gen)
+    n = float(jax.tree.reduce(lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0))
+    assert np.isfinite(n) and n > 0.0
