@@ -29,37 +29,125 @@ def _as_video(video) -> np.ndarray:
     return np.clip(v, 0.0, 1.0)
 
 
+def _luma_u8(v: np.ndarray, max_side: int = 256) -> np.ndarray:
+    """[T, h, w] uint8 luma, downscaled so max(h, w) <= max_side (flow cost
+    is resolution-quadratic; VBench's RAFT also runs at reduced size)."""
+    g = (v * 255.0).mean(axis=-1)
+    t, h, w = g.shape
+    s = max(h, w) / float(max_side)
+    if s > 1.0:
+        hs, ws = max(int(round(h / s)), 8), max(int(round(w / s)), 8)
+        try:
+            import cv2
+
+            g = np.stack([cv2.resize(f, (ws, hs), interpolation=cv2.INTER_AREA)
+                          for f in g])
+        except ImportError:
+            sh, sw = h // hs, w // ws
+            g = g[:, : hs * sh, : ws * sw].reshape(t, hs, sh, ws, sw).mean((2, 4))
+    return g.astype(np.uint8)
+
+
+def _flows(v: np.ndarray) -> Optional[np.ndarray]:
+    """[T-1, h, w, 2] Farneback optical flow between consecutive frames
+    (classical, weight-free — the stand-in for VBench's RAFT), or None when
+    cv2 is unavailable."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    g = _luma_u8(v)
+    return np.stack([
+        cv2.calcOpticalFlowFarneback(g[i], g[i + 1], None, 0.5, 3, 15, 3, 5,
+                                     1.2, 0)
+        for i in range(len(g) - 1)
+    ])
+
+
 def temporal_flicker(video) -> float:
     """VBench 'temporal flickering': 1 - mean absolute difference between
-    consecutive frames (VBench computes MAE over static regions; this proxy
-    uses the full frame).  Static video -> 1.0."""
+    consecutive frames over STATIC regions (pixels whose optical-flow
+    magnitude is below 1px at analysis scale, mirroring VBench's
+    static-region masking; full frame when cv2/flow is unavailable or
+    nothing is static).  Static video -> 1.0."""
     v = _as_video(video)
     if len(v) < 2:
         return 1.0
-    mae = np.abs(np.diff(v, axis=0)).mean()
-    return float(1.0 - mae)
+    diff = np.abs(np.diff(v, axis=0)).mean(axis=-1)  # [T-1, H, W]
+    flows = _flows(v)
+    if flows is not None:
+        mag = np.linalg.norm(flows, axis=-1)  # [T-1, h, w]
+        try:
+            import cv2
+
+            mag = np.stack([
+                cv2.resize(m, (diff.shape[2], diff.shape[1]),
+                           interpolation=cv2.INTER_LINEAR) for m in mag])
+        except ImportError:
+            pass
+        if mag.shape == diff.shape:
+            static = mag < 1.0
+            if static.any():
+                return float(1.0 - diff[static].mean())
+    return float(1.0 - diff.mean())
 
 
 def motion_smoothness(video) -> float:
-    """VBench 'motion smoothness' proxy: 1 - normalized second temporal
-    difference (VBench proper scores AMT-interpolated frame error; constant-
-    velocity motion scores 1.0 under both)."""
+    """VBench 'motion smoothness': drop each middle frame, reconstruct it by
+    flow interpolation from its neighbours (flow-warped average — the
+    weight-free stand-in for VBench's AMT interpolator), and score
+    1 - normalized reconstruction error.  Constant-velocity motion
+    reconstructs exactly -> 1.0.  Falls back to the second-temporal-
+    difference proxy without cv2."""
     v = _as_video(video)
     if len(v) < 3:
         return 1.0
-    accel = np.abs(v[2:] - 2.0 * v[1:-1] + v[:-2]).mean()
-    return float(1.0 - min(accel * 2.0, 1.0))
+    try:
+        import cv2
+    except ImportError:
+        accel = np.abs(v[2:] - 2.0 * v[1:-1] + v[:-2]).mean()
+        return float(1.0 - min(accel * 2.0, 1.0))
+    g = _luma_u8(v).astype(np.float32)
+    t, h, w = g.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    errs = []
+    for i in range(1, t - 1, 2):
+        # half-flow warps toward the dropped frame from both neighbours
+        fwd = cv2.calcOpticalFlowFarneback(g[i - 1], g[i + 1], None, 0.5, 3,
+                                           15, 3, 5, 1.2, 0)
+        pa = cv2.remap(g[i - 1], xx + 0.5 * fwd[..., 0], yy + 0.5 * fwd[..., 1],
+                       cv2.INTER_LINEAR)
+        pb = cv2.remap(g[i + 1], xx - 0.5 * fwd[..., 0], yy - 0.5 * fwd[..., 1],
+                       cv2.INTER_LINEAR)
+        errs.append(np.abs(0.5 * (pa + pb) - g[i]).mean())
+    if not errs:
+        return 1.0
+    return float(np.clip(1.0 - np.mean(errs) / 255.0, 0.0, 1.0))
 
 
-def dynamic_degree(video, threshold: float = 0.01) -> float:
-    """VBench 'dynamic degree' proxy: fraction of frame pairs whose mean
-    absolute difference exceeds ``threshold`` (VBench uses RAFT flow
-    magnitude).  Higher = more motion; not a quality score per se."""
+def dynamic_degree(video, threshold: Optional[float] = None) -> float:
+    """VBench 'dynamic degree': fraction of frame pairs that are dynamic.
+    With cv2, a pair is dynamic when the mean of its top-5% optical-flow
+    magnitudes exceeds a resolution-scaled threshold (VBench's RAFT
+    criterion with Farneback flow); without cv2, falls back to mean
+    absolute frame difference > 0.01.  Higher = more motion; not a quality
+    score per se."""
     v = _as_video(video)
     if len(v) < 2:
         return 0.0
-    mae = np.abs(np.diff(v, axis=0)).mean(axis=(1, 2, 3))
-    return float((mae > threshold).mean())
+    flows = _flows(v)
+    if flows is None:
+        thr = 0.01 if threshold is None else threshold
+        mae = np.abs(np.diff(v, axis=0)).mean(axis=(1, 2, 3))
+        return float((mae > thr).mean())
+    h, w = flows.shape[1:3]
+    # VBench scales its RAFT threshold with resolution (factor relative to
+    # 256); 6.0 at 256 is its default
+    thr = (6.0 * min(h, w) / 256.0) if threshold is None else threshold
+    mag = np.linalg.norm(flows, axis=-1).reshape(len(flows), -1)
+    k = max(int(mag.shape[1] * 0.05), 1)
+    top = np.sort(mag, axis=1)[:, -k:].mean(axis=1)
+    return float((top > thr).mean())
 
 
 def imaging_quality(video) -> float:

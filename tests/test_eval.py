@@ -31,17 +31,23 @@ def _noise_video(t=8, h=32, w=32):
 
 
 def _smooth_pan(t=8, h=32, w=32):
-    """Constant-velocity moving gradient."""
-    x = np.linspace(0, 1, w, dtype=np.float32)
-    frames = [np.broadcast_to((x + 0.02 * i) % 1.0, (h, w))[..., None].repeat(3, -1)
-              for i in range(t)]
+    """Constant-velocity pan over a smooth (low-frequency) random texture —
+    textured enough that optical flow is well-posed (a pure linear ramp has
+    no flow signal, for RAFT either), smooth enough that flow tracks it (iid
+    pixel noise is untrackable by any flow method)."""
+    rng = np.random.RandomState(4)
+    coarse = rng.rand(h // 8, w // 2, 3).astype(np.float32)
+    tex = np.kron(coarse, np.ones((8, 8, 1), np.float32))  # [h, 4w, 3]
+    frames = [tex[:, 2 * i : 2 * i + w] for i in range(t)]
     return np.stack(frames)
 
 
 def test_static_video_scores():
     v = _static_video()
     assert temporal_flicker(v) == 1.0
-    assert motion_smoothness(v) == 1.0
+    # flow-interpolated reconstruction of a static frame is exact up to
+    # remap interpolation noise
+    assert motion_smoothness(v) > 0.995
     assert dynamic_degree(v) == 0.0
     assert subject_consistency(v) > 0.999
     assert background_consistency(v) > 0.999
