@@ -348,6 +348,42 @@ def upsample2d_nearest(x2d):
     return jnp.repeat(jnp.repeat(x2d, 2, axis=1), 2, axis=2)
 
 
+def upsample_conv2d_subpixel(x, w, b=None):
+    """EXACT reformulation of ``conv2d(upsample2d_nearest(x), w, b)`` for the
+    decoder's 3x3 'same' resample convs (reference wan/modules/vae.py:76-86:
+    Upsample(2x nearest) -> Conv2d(k=3, p=1)).
+
+    Nearest-2x duplication makes adjacent conv taps read the SAME source
+    pixel, so each of the 4 output phases (dy, dx) collapses to a 2x2 conv
+    over the LOW-RES input with axis-summed weights
+    ``W_eff[dy,dx] = A[dy] @ W @ A[dx]^T`` where ``A[0] = [[1,0,0],[0,1,1]]``
+    (source rows y-1, y) and ``A[1] = [[1,1,0],[0,0,1]]`` (rows y, y+1).
+    4 * 2x2 low-res convs = 44% of the upsampled 3x3 conv's MACs, the input
+    streams at 1/4 the pixels, and the [2H, 2W, C] nearest-upsampled
+    intermediate never exists; a depth-to-space interleave emits the output.
+    x: [N,H,W,C]; w: [O,I,3,3] (torch layout)."""
+    o_ch = w.shape[0]
+    assert w.shape[2:] == (3, 3), w.shape
+    wf = w.astype(jnp.float32)
+    a = (jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], jnp.float32),
+         jnp.asarray([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32))
+    n, h, wd, _ = x.shape
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    rows = []
+    for dy in (0, 1):
+        cols = []
+        for dx in (0, 1):
+            w_eff = jnp.einsum("ra,oiab,cb->oirc", a[dy], wf, a[dx])
+            cols.append(conv2d(xp[:, dy : dy + h + 1, dx : dx + wd + 1],
+                               w_eff, None, pad="none"))
+        rows.append(jnp.stack(cols, axis=0))
+    y = jnp.stack(rows, axis=0)  # [dy, dx, N, H, W, O]
+    y = y.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * h, 2 * wd, o_ch)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def resample_up(x, p, thread: _CacheThread, temporal: bool, first_frame: bool):
     """Resample upsample2d/3d (vae.py:76-86, 101-141).  In streaming mode the
     first latent frame skips the temporal conv ('Rep' marker)."""
@@ -391,6 +427,10 @@ def resample_up(x, p, thread: _CacheThread, temporal: bool, first_frame: bool):
             c = c2 // 2
             y = y.reshape(b, t, h, w, 2, c).transpose(0, 1, 4, 2, 3, 5)
             x = y.reshape(b, t * 2, h, w, c)
+    if os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1":
+        return _spatial(
+            lambda z: upsample_conv2d_subpixel(z, p["conv"]["w"], p["conv"]["b"]), x
+        )
     return _spatial(
         lambda z: conv2d(upsample2d_nearest(z), p["conv"]["w"], p["conv"]["b"]), x
     )

@@ -136,3 +136,21 @@ def test_int8_quantized_decode_close_to_bf16():
     same = V.quantize_vae_params(params)
     assert not any(getattr(l, "dtype", None) == jnp.int8
                    for l in jax.tree.leaves(same))
+
+
+def test_upsample_conv_subpixel_exact():
+    """upsample_conv2d_subpixel must be numerically identical (f32 rounding)
+    to nearest-2x upsample -> 3x3 'same' conv for arbitrary shapes."""
+    from longlive_tpu.models.vae import (conv2d, upsample2d_nearest,
+                                         upsample_conv2d_subpixel)
+
+    rng = np.random.RandomState(7)
+    for (h, w_) in ((5, 8), (12, 7)):
+        x = jnp.asarray(rng.randn(2, h, w_, 6).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 6, 3, 3).astype(np.float32))
+        b = jnp.asarray(rng.randn(3).astype(np.float32))
+        ref = conv2d(upsample2d_nearest(x), w, b)
+        new = upsample_conv2d_subpixel(x, w, b)
+        assert ref.shape == new.shape
+        err = float(jnp.max(jnp.abs(ref - new)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert err < 1e-5, err
