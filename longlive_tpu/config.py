@@ -46,6 +46,13 @@ class DiTConfig:
     # and expects in_dim = 36 (16 noise + 4 mask + 16 image latents).
     model_type: str = "t2v"
     clip_dim: int = 1280  # CLIP vision feature width feeding img_emb
+    # RoPE channel layout: "halfsplit" permutes the q/k projection outputs at
+    # param-build time so complex pairs are (re half ++ im half) per head —
+    # the rotation becomes two 64-lane slices + f32 mul-adds instead of the
+    # stride-2 pair gather (measured ~16.6 ms/forward of Mosaic relayouts at
+    # the decode shape, ops/rope.py).  Attention is invariant to a consistent
+    # q/k channel permutation, so outputs match "interleaved" exactly.
+    rope_layout: str = "halfsplit"
 
     @property
     def head_dim(self) -> int:

@@ -53,6 +53,37 @@ class CrossKV(NamedTuple):
 # parameter initialization
 
 
+def canonicalize_rope_layout(params: dict, cfg: DiTConfig) -> dict:
+    """When ``cfg.rope_layout == "halfsplit"``, permutes the self-attention
+    q/k OUTPUT features (kernel columns, bias, qk-norm gamma) so each head's
+    complex pairs are stored (re half ++ im half) — see
+    ops.rope.halfsplit_qk_perm.  Attention is invariant to a consistent q/k
+    channel permutation (QK^T contracts over it; V/o are untouched), so this
+    changes no model output; it removes the rotation's stride-2 pair gather.
+    Must be applied EXACTLY ONCE to any param tree built outside
+    init_dit_params / the torch converters (both already call it)."""
+    if cfg.rope_layout != "halfsplit":
+        return params
+    from ..ops.rope import halfsplit_qk_perm
+
+    perm = jnp.asarray(halfsplit_qk_perm(cfg.head_dim, cfg.num_heads))
+    params = dict(params)
+    blocks = dict(params["blocks"])
+    sa = dict(blocks["self_attn"])
+    for name in ("q", "k"):
+        p = dict(sa[name])
+        p["kernel"] = p["kernel"][..., perm]
+        if p.get("bias") is not None:
+            p["bias"] = p["bias"][..., perm]
+        sa[name] = p
+    for name in ("norm_q", "norm_k"):
+        if name in sa:
+            sa[name] = {"scale": sa[name]["scale"][..., perm]}
+    blocks["self_attn"] = sa
+    params["blocks"] = blocks
+    return params
+
+
 def init_dit_params(
     rng: jax.Array, cfg: DiTConfig, dtype=jnp.float32, zero_head: bool = True
 ) -> dict:
@@ -116,7 +147,7 @@ def init_dit_params(
             "ln2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
         }
 
-    return extra | {
+    return canonicalize_rope_layout(extra | {
         "patch_embedding": lin(cfg.in_dim * pt, d),
         "text_embedding": {
             "fc1": lin(cfg.text_dim, d, "normal"),
@@ -134,7 +165,7 @@ def init_dit_params(
             "head": lin(d, cfg.out_dim * pt, "zeros" if zero_head else "xavier"),
             "modulation": jax.random.normal(next(keys), (2, d), dtype) / math.sqrt(d),
         },
-    }
+    }, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -256,8 +287,10 @@ def _attention_layer_cached(
         # between the projection and the rotation)
         q_pre = nn.rms_scale(q, layer_p["norm_q"]["scale"], cfg.eps)
         k_pre = nn.rms_scale(k, layer_p["norm_k"]["scale"], cfg.eps)
-    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin, premul=q_pre)
-    k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin, premul=k_pre)
+    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin, premul=q_pre,
+                     layout=cfg.rope_layout)
+    k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin, premul=k_pre,
+                     layout=cfg.rope_layout)
 
     fs = cache_cfg.frame_seq
     if two_segment:
@@ -487,8 +520,10 @@ def dit_forward_full(
             k = nn.rms_norm(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
         s = hh.shape[1]
         v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
-        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
-        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         layout=cfg.rope_layout)
+        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         layout=cfg.rope_layout)
         y = self_attend(q, k, v)
         y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
         xcur = xcur + _flat(_per_frame(y, f) * e_[2])
@@ -574,8 +609,10 @@ def dit_forward_teacher_forcing(
             k = nn.rms_norm(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
         s = hh.shape[1]
         v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
-        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
-        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         layout=cfg.rope_layout)
+        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         layout=cfg.rope_layout)
         y = dense_attention(q, k, v, bias)
         y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
         xcur = xcur + _flat(_per_frame(y, ftot) * e_[2])

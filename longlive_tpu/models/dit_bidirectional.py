@@ -101,8 +101,10 @@ def bidirectional_forward(
             q = nn.rms_norm(q, layer_p["self_attn"]["norm_q"]["scale"], cfg.eps)
             k = nn.rms_norm(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
         v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
-        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
-        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         layout=cfg.rope_layout)
+        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         layout=cfg.rope_layout)
         y = attend(q, k, v, None, impl=attn_impl)
         y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
         xcur = xcur + y * e_[2]
@@ -264,8 +266,10 @@ def bidirectional_forward_classify(
         k = nn.rms_norm(nn.linear(hh, layer_p["self_attn"]["k"]),
                         layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
         v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
-        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin)
-        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin)
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         layout=cfg.rope_layout)
+        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         layout=cfg.rope_layout)
         y = attend(q, k, v, None, impl=attn_impl)
         xcur = xcur + nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"]) * e_[2]
         norm3 = layer_p.get("norm3")

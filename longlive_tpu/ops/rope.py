@@ -83,33 +83,61 @@ def rope_multipliers(
     return grid_cat(cf, ch, cw), grid_cat(sf, sh, sw)
 
 
+def halfsplit_qk_perm(head_dim: int, num_heads: int = 1) -> np.ndarray:
+    """Gather indices turning interleaved complex pairs (re0, im0, re1, ...)
+    into the half-split order (re0..re_{c-1}, im0..im_{c-1}) within each
+    head: ``x_new[j] = x[perm[j]]``.  Applied to the OUTPUT features of the
+    q/k projections (kernel columns, bias, qk-norm gamma) at param-build
+    time, it moves the rotation into the half-split layout with ZERO runtime
+    permutation — attention is invariant to any channel permutation applied
+    consistently to q and k, so model outputs are bit-unchanged (up to f32
+    summation order)."""
+    g = np.concatenate([np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)])
+    return np.concatenate([h * head_dim + g for h in range(num_heads)])
+
+
 def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array,
-                 premul: jax.Array | None = None) -> jax.Array:
+                 premul: jax.Array | None = None,
+                 layout: str = "interleaved") -> jax.Array:
     """Rotates ``x`` of shape [B, S, N, D] by per-token multipliers
-    (cos, sin) of shape [S, D//2]; complex pairs are interleaved along D as
-    (re, im) — matching torch.view_as_complex of a [..., D//2, 2] reshape.
+    (cos, sin) of shape [S, D//2].
+
+    ``layout="interleaved"``: complex pairs interleaved along D as (re, im)
+    — matching torch.view_as_complex of a [..., D//2, 2] reshape (the
+    reference layout, wan/modules/model.py:40-67).
+
+    ``layout="halfsplit"``: pairs stored as (re half ++ im half) — requires
+    params canonicalized with :func:`halfsplit_qk_perm`
+    (DiTConfig.rope_layout).  The rotation is then two 64-lane slices and
+    f32 mul-adds; no stride-2 gather exists anywhere.
 
     ``premul`` (broadcastable to [B, S, N*D] pre-reshape) is an optional
     elementwise factor applied inside the f32 domain — used to fuse the q/k
     RMS-norm scale into the rotation and avoid an extra bf16 round trip.
 
     Perf note (measured, scripts/dit_breakdown.py at the 9/3 decode
-    shape): this pair-gather form costs ~16.6 ms of a ~180 ms DiT forward
-    (the 2-element pair dim forces Mosaic relayouts).  A roll-based
-    reformulation (rot = even/odd-masked 1-lane rolls, tables
-    repeat-interleaved to full D) measured WORSE (21.5 ms): 1-lane-offset
-    lane rotates relayout just as hard as the stride-2 gather.  Burying
-    the rotation inside the flash-kernel prologue (VMEM-resident
-    shuffles, no HBM round trip) is the remaining candidate."""
+    shape): the interleaved pair-gather form costs ~16.6 ms of a ~180 ms
+    DiT forward (the 2-element pair dim forces Mosaic relayouts).  A
+    roll-based reformulation on the interleaved layout (even/odd-masked
+    1-lane rolls, tables repeat-interleaved to full D) measured WORSE
+    (21.5 ms): 1-lane-offset lane rotates relayout just as hard as the
+    stride-2 gather.  The halfsplit layout removes the gather by
+    construction instead."""
     orig_dtype = x.dtype
     b, s, n, d = x.shape
     xf = x.astype(jnp.float32)
     if premul is not None:
         xf = xf * premul.astype(jnp.float32).reshape(b, s, n, d)
-    xf = xf.reshape(b, s, n, d // 2, 2)
-    xr, xi = xf[..., 0], xf[..., 1]
     c = cos[None, :, None, :]
     si = sin[None, :, None, :]
+    if layout == "halfsplit":
+        xr, xi = xf[..., : d // 2], xf[..., d // 2 :]
+        out = jnp.concatenate([xr * c - xi * si, xr * si + xi * c], axis=-1)
+        return out.astype(orig_dtype)
+    if layout != "interleaved":
+        raise ValueError(f"unknown rope layout {layout!r}")
+    xf = xf.reshape(b, s, n, d // 2, 2)
+    xr, xi = xf[..., 0], xf[..., 1]
     out_r = xr * c - xi * si
     out_i = xr * si + xi * c
     out = jnp.stack([out_r, out_i], axis=-1).reshape(b, s, n, d)

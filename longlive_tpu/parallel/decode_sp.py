@@ -150,8 +150,10 @@ def sp_dit_forward_cached(
             if cfg.qk_norm:
                 q_pre = nn.rms_scale(q, layer_p["self_attn"]["norm_q"]["scale"], cfg.eps)
                 k_pre = nn.rms_scale(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
-            q = apply_rotary(q.reshape(b, s_loc, n, hd), rc, rs, premul=q_pre)
-            k = apply_rotary(k.reshape(b, s_loc, n, hd), rc, rs, premul=k_pre)
+            q = apply_rotary(q.reshape(b, s_loc, n, hd), rc, rs,
+                             premul=q_pre, layout=cfg.rope_layout)
+            k = apply_rotary(k.reshape(b, s_loc, n, hd), rc, rs,
+                             premul=k_pre, layout=cfg.rope_layout)
 
             # head-scatter / within-frame-gather
             qg = _a2a_heads(q.reshape(b, f, fsl, n, hd), axis_name)

@@ -92,8 +92,10 @@ def sp_bidirectional_forward(
                 q = nn.rms_norm(q, layer_p["self_attn"]["norm_q"]["scale"], cfg.eps)
                 k = nn.rms_norm(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
             v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s_loc, n, hd)
-            q = apply_rotary(q.reshape(b, s_loc, n, hd), rope_c, rope_s)
-            k = apply_rotary(k.reshape(b, s_loc, n, hd), rope_c, rope_s)
+            q = apply_rotary(q.reshape(b, s_loc, n, hd), rope_c, rope_s,
+                             layout=cfg.rope_layout)
+            k = apply_rotary(k.reshape(b, s_loc, n, hd), rope_c, rope_s,
+                             layout=cfg.rope_layout)
             y = ulysses_attention(q, k, v, "sp", impl=attn_impl)
             y = nn.linear(y.reshape(b, s_loc, n * hd), layer_p["self_attn"]["o"])
             xcur = xcur + y * e_[2]

@@ -139,7 +139,9 @@ def dit_params_from_torch(
                     "bias": jnp.asarray(_np(sd["img_emb.proj.4.bias"]), dtype)},
         }
 
-    return extra | {
+    from ..models.dit import canonicalize_rope_layout
+
+    return canonicalize_rope_layout(extra | {
         "patch_embedding": {
             "kernel": jnp.asarray(pe_w.reshape(cfg.dim, -1).T, dtype),
             "bias": jnp.asarray(_np(sd["patch_embedding.bias"]), dtype),
@@ -158,7 +160,7 @@ def dit_params_from_torch(
             "head": _linear(sd, "head.head", dtype),
             "modulation": jnp.asarray(_np(sd["head.modulation"])[0], dtype),
         },
-    }
+    }, cfg)
 
 
 def fold_lora_into_dit_sd(sd: dict, lora_sd: dict, alpha_over_rank: float = 1.0) -> dict:

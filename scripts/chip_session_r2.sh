@@ -8,6 +8,10 @@ set -x
 # 0) is the chip back?
 timeout 120 python -c "import jax; print('TPU-UP', jax.devices())" || exit 1
 
+# 0b) rope-layout A/B (exact reformulation; expect ~10+ ms/forward off the
+#     pair-gather relayouts) + component breakdown at serving defaults
+timeout 1800 python scripts/dit_breakdown.py 2>/dev/null | tail -8
+
 # 1) kernel-level sweep: dead-tile elision at the real decode layout
 #    (frame-aligned dead range), bkv in {1024, 512, 256} + bf16 baselines
 for st in bf16 bf16_512 twoseg_skip_1024 twoseg_skip_512 twoseg_skip_256; do
@@ -23,6 +27,13 @@ echo "=== twoseg_skip bkv=256 ==="
 LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=256 timeout 2400 python bench.py 2>/dev/null | tail -1
 echo "=== fast mode + best skip (expected best overall) ==="
 BENCH_REUSE_KV=1 LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tail -1
+
+# 2b) subpixel upsample-conv A/B (exact reformulation; expect a few ms off
+#     the VAE decode)
+echo "=== vae decode: subpixel (default) ==="
+timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
+echo "=== vae decode: literal upsample+conv ==="
+LONGLIVE_VAE_SUBPIXEL=0 timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
 
 # 3) does the int8 rollout cache close the 9-frame full-geometry gap?
 echo "=== 1.3B lora_step, 9 frames, int8 rollout cache ==="

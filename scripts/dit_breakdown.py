@@ -97,7 +97,8 @@ def main():
         patch(NN, "rms_norm", lambda x, w, eps=1e-6: x)
 
     def v_no_rope():
-        patch(D, "apply_rotary", lambda x, c, s, premul=None: x)
+        patch(D, "apply_rotary",
+              lambda x, c, s, premul=None, layout="interleaved": x)
 
     def v_no_attn():
         patch(D, "attend", lambda q, k, v, *a, **kw: q)
@@ -120,8 +121,25 @@ def main():
         rows.append({"variant": name, "ms": round(dt * 1e3, 2),
                      "delta_ms": round((base - dt) * 1e3, 2)})
 
+    # rope-layout A/B: same weights, other channel basis (outputs identical;
+    # only the rotation's data movement differs — halfsplit removes the
+    # stride-2 pair gather)
+    import dataclasses
+
+    other = ("interleaved" if cfg.rope_layout == "halfsplit" else "halfsplit")
+    cfg2 = dataclasses.replace(cfg, rope_layout=other)
+    params2 = D.init_dit_params(jax.random.PRNGKey(0), cfg2, jnp.bfloat16)
+    if use_int8:
+        params2 = quantize_dit_params(params2)
+    fwd2 = jax.jit(lambda p, xx, cc: D.dit_forward_cached(
+        p, cfg2, cache_cfg, tables, xx, t, cross, cc, start)[0])
+    dt = timeit(fwd2, params2, x, cache, n=8)
+    rows.append({"variant": f"rope_layout={other}", "ms": round(dt * 1e3, 2),
+                 "delta_ms": round((base - dt) * 1e3, 2)})
+
     for r in rows:
         print(json.dumps({**r, "window": f"{local},{sink}",
+                          "rope_layout": cfg.rope_layout,
                           "int8": use_int8}), flush=True)
 
 

@@ -4,6 +4,7 @@ complex ops."""
 
 import numpy as np
 import torch
+import jax
 import jax.numpy as jnp
 
 from longlive_tpu.ops import rope as R
@@ -86,3 +87,59 @@ def test_head_dim_128_split_sizes():
     assert t.cos_w.shape == (64, 21)
     cos, sin = R.rope_multipliers(t, 3, 30, 52, start_frame=0)
     assert cos.shape == (3 * 30 * 52, 64)
+
+
+def test_halfsplit_layout_forward_equivalence():
+    """rope_layout='halfsplit' (q/k channel basis permuted at param-build
+    time, rotation as 64-lane halves) must reproduce the interleaved
+    forward exactly — attention is invariant to a consistent q/k channel
+    permutation."""
+    import dataclasses
+
+    import numpy as np
+
+    from longlive_tpu.config import CacheConfig, tiny_dit_config, tiny_geometry
+    from longlive_tpu.models import dit as D
+    from longlive_tpu.ops import kv_cache as kvc
+
+    cfg_i = dataclasses.replace(tiny_dit_config(), rope_layout="interleaved")
+    cfg_h = dataclasses.replace(cfg_i, rope_layout="halfsplit")
+    geom = tiny_geometry()
+    params_i = D.init_dit_params(jax.random.PRNGKey(0), cfg_i, jnp.float32,
+                                 zero_head=False)
+    params_h = D.canonicalize_rope_layout(params_i, cfg_h)
+    # the permutation moved q/k features; everything else is shared
+    assert not np.allclose(
+        np.asarray(params_i["blocks"]["self_attn"]["q"]["kernel"]),
+        np.asarray(params_h["blocks"]["self_attn"]["q"]["kernel"]))
+
+    tables = R.make_rope_tables(cfg_i.head_dim, cfg_i.rope_max_pos)
+    prompts = jax.random.normal(jax.random.PRNGKey(1),
+                                (1, cfg_i.text_len, cfg_i.text_dim))
+    cross = D.prepare_cross_kv(params_i, cfg_i, prompts, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2),
+                          (1, 2, geom.channels, geom.height, geom.width))
+    t = jnp.full((1, 2), 500.0)
+    cache_cfg = CacheConfig(1, 4, geom.frame_seq_length)
+
+    def run(cfg, params):
+        cache = kvc.init_cache(cache_cfg, cfg.num_layers, 1, cfg.num_heads,
+                               cfg.head_dim, jnp.float32)
+        flow, _ = D.dit_forward_cached(
+            params, cfg, cache_cfg, tables, x, t, cross, cache,
+            jnp.asarray(0, jnp.int32), attn_impl="xla")
+        return np.asarray(flow)
+
+    f_i, f_h = run(cfg_i, params_i), run(cfg_h, params_h)
+    err = np.max(np.abs(f_i - f_h)) / (np.max(np.abs(f_i)) + 1e-9)
+    assert err < 1e-5, err
+
+    # full (masked prefill) forward too
+    mask = jnp.tril(jnp.ones((2, 2), bool))
+    fi = D.dit_forward_full(params_i, cfg_i, tables, x, t, cross, mask,
+                            attn_impl="xla")
+    fh = D.dit_forward_full(params_h, cfg_h, tables, x, t, cross, mask,
+                            attn_impl="xla")
+    err = np.max(np.abs(np.asarray(fi) - np.asarray(fh))) / (
+        np.max(np.abs(np.asarray(fi))) + 1e-9)
+    assert err < 1e-5, err
