@@ -366,7 +366,8 @@ def _attention_layer_cached(
 
 
 def _cross_attention_layer(
-    layer_p: dict, cfg: DiTConfig, x: jax.Array, ck: jax.Array, cv: jax.Array
+    layer_p: dict, cfg: DiTConfig, x: jax.Array, ck: jax.Array, cv: jax.Array,
+    attn_impl: str = "xla",
 ) -> jax.Array:
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
@@ -374,7 +375,11 @@ def _cross_attention_layer(
     if cfg.qk_norm:
         q = nn.rms_norm(q, layer_p["norm_q"]["scale"], cfg.eps)
     q = q.reshape(b, s, n, hd)
-    out = dense_attention(q, ck.astype(q.dtype), cv.astype(q.dtype))
+    # flash kernel on TPU: the einsum form materializes [B, N, Sq, text_len]
+    # probs (115 MB/layer at the decode shape) that the online softmax never
+    # touches HBM with
+    out = attend(q, ck.astype(q.dtype), cv.astype(q.dtype), None,
+                 impl=attn_impl)
     return nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
 
 
@@ -422,7 +427,8 @@ def _block_body(
     h = nn.layer_norm(x, cfg.eps,
                       scale=None if norm3 is None else norm3["scale"],
                       bias=None if norm3 is None else norm3["bias"])
-    x = x + _cross_attention_layer(layer_p["cross_attn"], cfg, h, cross_k, cross_v)
+    x = x + _cross_attention_layer(layer_p["cross_attn"], cfg, h, cross_k,
+                                   cross_v, attn_impl)
 
     # ffn with per-frame adaLN
     h = _per_frame(nn.layer_norm(x, cfg.eps), f)
@@ -532,7 +538,8 @@ def dit_forward_full(
         hh = nn.layer_norm(xcur, cfg.eps,
                            scale=None if norm3 is None else norm3["scale"],
                            bias=None if norm3 is None else norm3["bias"])
-        xcur = xcur + _cross_attention_layer(layer_p["cross_attn"], cfg, hh, ck, cv)
+        xcur = xcur + _cross_attention_layer(layer_p["cross_attn"], cfg, hh,
+                                             ck, cv, attn_impl)
 
         hh = _per_frame(nn.layer_norm(xcur, cfg.eps), f)
         hh = _flat(hh * (1 + e_[4]) + e_[3])
@@ -621,7 +628,8 @@ def dit_forward_teacher_forcing(
         hh = nn.layer_norm(xcur, cfg.eps,
                            scale=None if norm3 is None else norm3["scale"],
                            bias=None if norm3 is None else norm3["bias"])
-        xcur = xcur + _cross_attention_layer(layer_p["cross_attn"], cfg, hh, ck, cv)
+        xcur = xcur + _cross_attention_layer(layer_p["cross_attn"], cfg, hh,
+                                             ck, cv, attn_impl)
 
         hh = _per_frame(nn.layer_norm(xcur, cfg.eps), ftot)
         hh = _flat(hh * (1 + e_[4]) + e_[3])

@@ -117,12 +117,13 @@ def bidirectional_forward(
         if cfg.qk_norm:
             cq = nn.rms_norm(cq, layer_p["cross_attn"]["norm_q"]["scale"], cfg.eps)
         cq = cq.reshape(b, s, n, hd)
-        co = dense_attention(cq, ck.astype(cq.dtype), cv.astype(cq.dtype))
+        co = attend(cq, ck.astype(cq.dtype), cv.astype(cq.dtype), None,
+                    impl=attn_impl)
         if cki is not None:
             # i2v: image-token attention added to the text attention output
             # before the shared output projection (model.py:255-263).
-            co = co + dense_attention(cq, cki.astype(cq.dtype),
-                                      cvi.astype(cq.dtype))
+            co = co + attend(cq, cki.astype(cq.dtype), cvi.astype(cq.dtype),
+                             None, impl=attn_impl)
         xcur = xcur + nn.linear(co.reshape(b, s, n * hd), layer_p["cross_attn"]["o"])
 
         hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[4]) + e_[3]
@@ -278,8 +279,8 @@ def bidirectional_forward_classify(
                            bias=None if norm3 is None else norm3["bias"])
         cq = nn.rms_norm(nn.linear(hh, layer_p["cross_attn"]["q"]),
                          layer_p["cross_attn"]["norm_q"]["scale"], cfg.eps)
-        co = dense_attention(cq.reshape(b, s, n, hd), ck.astype(cq.dtype),
-                             cv.astype(cq.dtype))
+        co = attend(cq.reshape(b, s, n, hd), ck.astype(cq.dtype),
+                    cv.astype(cq.dtype), None, impl=attn_impl)
         xcur = xcur + nn.linear(co.reshape(b, s, n * hd), layer_p["cross_attn"]["o"])
         hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[4]) + e_[3]
         y = nn.linear(nn.gelu_tanh(nn.linear(hh, layer_p["ffn"]["fc1"])),
