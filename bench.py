@@ -209,6 +209,10 @@ def main():
         "int8": use_int8,
         "int8_kv": kv_int8,
         "reuse_last_denoise_kv": reuse_kv,
+        "rope_layout": cfg.rope_layout,
+        "two_segment": os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1",
+        "block_kv": int(os.environ.get("LONGLIVE_BKV", "1024")),
+        "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",
         "first_run_s": round(compile_and_run, 1),
         "device": str(jax.devices()[0]),
     }

@@ -103,12 +103,21 @@ def main():
     def v_no_attn():
         patch(D, "attend", lambda q, k, v, *a, **kw: q)
 
+    def v_cross_dense():
+        # pre-flash-routing form: cross-attn as the XLA einsum (materialized
+        # [B, N, Sq, text_len] probs)
+        real = D._cross_attention_layer
+        patch(D, "_cross_attention_layer",
+              lambda lp, cf, x, ck, cv, impl="xla": real(lp, cf, x, ck, cv,
+                                                         "xla"))
+
     variants = [
         ("no_layernorm", v_no_layernorm, True),
         ("no_rmsnorm", v_no_rmsnorm, True),
         ("no_rope", v_no_rope, True),
         ("no_kv_writes", None, False),
         ("no_self_attn", v_no_attn, True),
+        ("cross_attn_dense", v_cross_dense, True),
     ]
 
     for name, setup, write in variants:

@@ -73,6 +73,7 @@ def test_cached_equals_uncached_global(setup):
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_close_to_f32(setup):
     """int8-KV serving mode: cached generation with int8-stored keys
     (per-token scales, quantized once at write time) tracks the f32-cache
@@ -231,6 +232,7 @@ def test_forward_full_spec_kernel_equals_dense(setup):
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_two_segment_equals_single_segment(setup):
     """The two-segment decode path (cache ++ fresh block as separate
     attention operands, in-place post-scan commit) must match the

@@ -222,6 +222,7 @@ def test_streaming_trainer_dp2_mesh(setup):
     assert m["current_length"] >= scfg.chunk_size
 
 
+@pytest.mark.slow
 def test_int8_rollout_cache_close_to_bf16(setup):
     """cache_int8 stores the rollout KV cache int8 (k AND v, per-token
     scales; training/rollout.py RolloutConfig.cache_int8).  The cache is

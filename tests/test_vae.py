@@ -112,6 +112,7 @@ def test_roundtrip_shapes_full_geometry():
     assert mu.shape == (1, 3, 4, 8, 8)
 
 
+@pytest.mark.slow
 def test_int8_quantized_decode_close_to_bf16():
     """quantize_vae_params + conv3d_int8: decode output stays close to the
     bf16 path (per-tensor activation x per-channel weight int8)."""
