@@ -8,9 +8,22 @@ set -x
 # 0) is the chip back?
 timeout 120 python -c "import jax; print('TPU-UP', jax.devices())" || exit 1
 
+# 0a) numerical sanity of the newly flash-routed cross-attention at the
+#     real decode shape (Skv=512 pads into one 1024 tile)
+timeout 900 python - <<'EOF' 2>/dev/null | tail -1
+import jax, jax.numpy as jnp
+from longlive_tpu.ops.attention import attend
+q = jax.random.normal(jax.random.PRNGKey(0), (1, 4680, 12, 128), jnp.bfloat16)
+k = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 12, 128), jnp.bfloat16)
+v = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 12, 128), jnp.bfloat16)
+a = attend(q, k, v, None, impl="pallas").astype(jnp.float32)
+b = attend(q, k, v, None, impl="xla").astype(jnp.float32)
+print("cross flash-vs-dense max abs err:", float(jnp.max(jnp.abs(a - b))))
+EOF
+
 # 0b) rope-layout A/B (exact reformulation; expect ~10+ ms/forward off the
 #     pair-gather relayouts) + component breakdown at serving defaults
-timeout 1800 python scripts/dit_breakdown.py 2>/dev/null | tail -8
+timeout 1800 python scripts/dit_breakdown.py 2>/dev/null | tail -9
 
 # 1) kernel-level sweep: dead-tile elision at the real decode layout
 #    (frame-aligned dead range), bkv in {1024, 512, 256} + bf16 baselines
