@@ -274,3 +274,35 @@ def test_int8_rollout_cache_close_to_bf16(setup):
     g = jax.grad(loss)(gen)
     n = float(jax.tree.reduce(lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0))
     assert np.isfinite(n) and n > 0.0
+
+
+def test_dmd_with_larger_teacher_cfg(setup):
+    """DMD with a teacher of DIFFERENT geometry than the generator (the
+    reference's real_name=14B configuration, longlive_train_init.yaml:5-7 —
+    14B shares head_dim 128 so rope tables are shared): loss + gradient
+    must be finite through the mixed-config score computation."""
+    import dataclasses
+
+    cfg, geom, gen, critic, _, tables, sched, cross_c, cross_u = setup
+    teacher_cfg = dataclasses.replace(
+        tiny_dit_config(), dim=2 * tiny_dit_config().dim,
+        num_heads=2 * tiny_dit_config().num_heads,
+        ffn_dim=2 * tiny_dit_config().ffn_dim)
+    assert teacher_cfg.head_dim == cfg.head_dim  # shared rope tables
+    teacher_big = D.init_dit_params(jax.random.PRNGKey(9), teacher_cfg,
+                                    jnp.float32, zero_head=False)
+    dcfg = dmd_mod.DMDConfig(timestep_shift=5.0, real_guidance_scale=3.0)
+    pe = jax.random.normal(jax.random.PRNGKey(10), (1, cfg.text_len, cfg.text_dim))
+    lat = jax.random.normal(
+        jax.random.PRNGKey(11),
+        (1, 2, geom.channels, geom.height, geom.width))
+
+    def loss_fn(x):
+        loss, aux = dmd_mod.distribution_matching_loss(
+            x, critic, teacher_big, cfg, tables, sched, dcfg, pe, pe * 0.1,
+            jax.random.PRNGKey(12), attn_impl="xla", teacher_cfg=teacher_cfg)
+        return loss
+
+    val, g = jax.value_and_grad(loss_fn)(lat)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0.0
