@@ -107,8 +107,8 @@ def sp_bidirectional_forward(
             cq = nn.linear(hh, layer_p["cross_attn"]["q"])
             if cfg.qk_norm:
                 cq = nn.rms_norm(cq, layer_p["cross_attn"]["norm_q"]["scale"], cfg.eps)
-            co = dense_attention(cq.reshape(b, s_loc, n, hd),
-                                 ck_l.astype(cq.dtype), cv_l.astype(cq.dtype))
+            co = attend(cq.reshape(b, s_loc, n, hd), ck_l.astype(cq.dtype),
+                        cv_l.astype(cq.dtype), None, impl=attn_impl)
             xcur = xcur + nn.linear(co.reshape(b, s_loc, n * hd),
                                     layer_p["cross_attn"]["o"])
 
