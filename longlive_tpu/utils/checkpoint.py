@@ -163,6 +163,83 @@ def dit_params_from_torch(
     }, cfg)
 
 
+_PEFT_NAME = {"fc1": "ffn.0", "fc2": "ffn.2"}  # reference Sequential indices
+
+
+def lora_to_peft_sd(lora: dict, cfg: DiTConfig,
+                    prefix: str = "base_model.model.") -> dict:
+    """Our stacked adapter tree (training.lora.init_lora layout:
+    {group: {name: {a [L, d_in, r], b [L, r, d_out]}}}) -> reference PEFT
+    LoRA state dict (numpy values; keys
+    ``{prefix}blocks.{i}.{group}.{name}.lora_{A,B}.weight`` with torch
+    layouts A [r, d_in], B [d_out, r]) — so adapters trained here can be
+    stacked onto reference checkpoints (inference.py:96-130) or fed back
+    through fold_lora_into_dit_sd.
+
+    Under ``cfg.rope_layout == 'halfsplit'`` the self-attn q/k adapters were
+    trained in the permuted channel basis; their B output axis is mapped
+    back to the reference's interleaved basis here (and forward-mapped in
+    :func:`peft_sd_to_lora`), so the exported delta composes with
+    UNpermuted reference weights exactly."""
+    from ..ops.rope import halfsplit_qk_perm
+
+    g = halfsplit_qk_perm(cfg.head_dim, cfg.num_heads)
+    ginv = np.argsort(g)
+    out = {}
+    for group, lg in lora.items():
+        for name, ab in lg.items():
+            a = np.asarray(ab["a"], np.float32)  # [L, d_in, r]
+            b = np.asarray(ab["b"], np.float32)  # [L, r, d_out]
+            if (cfg.rope_layout == "halfsplit" and group == "self_attn"
+                    and name in ("q", "k")):
+                # ours[:, :, j] corresponds to ref column g[j]
+                b = b[:, :, ginv]
+            ref_name = _PEFT_NAME.get(name, f"{group}.{name}")
+            for i in range(a.shape[0]):
+                base = f"{prefix}blocks.{i}.{ref_name}"
+                out[f"{base}.lora_A.weight"] = a[i].T.copy()  # [r, d_in]
+                out[f"{base}.lora_B.weight"] = b[i].T.copy()  # [d_out, r]
+    return out
+
+
+def peft_sd_to_lora(lora_sd: dict, cfg: DiTConfig) -> dict:
+    """Inverse of :func:`lora_to_peft_sd`: reference PEFT LoRA state dict ->
+    our stacked adapter tree (for continued training of released adapters).
+    Accepts the reference's ``.default`` PEFT key variant."""
+    import re as _re
+
+    from ..ops.rope import halfsplit_qk_perm
+
+    lora_sd = clean_state_dict_keys(lora_sd)
+    g = halfsplit_qk_perm(cfg.head_dim, cfg.num_heads)
+    pat = _re.compile(
+        r"(?:base_model\.(?:model\.)*)?blocks\.(\d+)\.(.+)\.lora_A"
+        r"(?:\.default)?\.weight$")
+    names = {"ffn.0": ("ffn", "fc1"), "ffn.2": ("ffn", "fc2")}
+    acc = {}
+    for k, a in lora_sd.items():
+        m = pat.match(k)
+        if not m:
+            continue
+        i, ref_name = int(m.group(1)), m.group(2)
+        if ref_name in names:
+            group, name = names[ref_name]
+        else:
+            group, name = ref_name.rsplit(".", 1)
+        b = lora_sd[k.replace("lora_A", "lora_B")]
+        acc.setdefault((group, name), {})[i] = (_np(a), _np(b))
+    lora = {}
+    for (group, name), per_layer in sorted(acc.items()):
+        a = np.stack([per_layer[i][0].T for i in sorted(per_layer)])  # [L,d_in,r]
+        b = np.stack([per_layer[i][1].T for i in sorted(per_layer)])  # [L,r,d_out]
+        if (cfg.rope_layout == "halfsplit" and group == "self_attn"
+                and name in ("q", "k")):
+            b = b[:, :, g]
+        lora.setdefault(group, {})[name] = {
+            "a": jnp.asarray(a, jnp.float32), "b": jnp.asarray(b, jnp.float32)}
+    return lora
+
+
 def fold_lora_into_dit_sd(sd: dict, lora_sd: dict, alpha_over_rank: float = 1.0) -> dict:
     """Folds PEFT LoRA weights into base linears: W += (alpha/r) * B @ A
     (reference stacks base + adapter at inference, inference.py:96-130;

@@ -113,3 +113,65 @@ def test_lora_streaming_step():
     assert np.isfinite(m0.get("generator_loss", m0.get("critic_loss")))
     m1 = tr.streaming_train_step(jax.random.PRNGKey(8))
     assert np.isfinite(m1.get("generator_loss", m1.get("critic_loss")))
+
+
+def test_peft_export_roundtrip_and_reference_fold():
+    """lora_to_peft_sd / peft_sd_to_lora: (a) roundtrip is exact; (b) the
+    exported PEFT sd folded into the ACTUAL reference state dict
+    (fold_lora_into_dit_sd, the inference stacking path) and converted
+    equals merge_lora applied on our side — proving the halfsplit basis
+    mapping is correct end to end."""
+    import torch
+
+    from longlive_tpu.config import tiny_dit_config, tiny_geometry
+    from longlive_tpu.training.lora import init_lora, merge_lora
+    from longlive_tpu.utils.checkpoint import (dit_params_from_torch,
+                                               fold_lora_into_dit_sd,
+                                               lora_to_peft_sd,
+                                               peft_sd_to_lora)
+    from ref_loader import load_causal_model
+
+    cfg = tiny_dit_config()
+    assert cfg.rope_layout == "halfsplit"
+    cm = load_causal_model()
+    torch.manual_seed(0)
+    ref = cm.CausalWanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=cfg.text_len,
+        in_dim=cfg.in_dim, dim=cfg.dim, ffn_dim=cfg.ffn_dim,
+        freq_dim=cfg.freq_dim, text_dim=cfg.text_dim, out_dim=cfg.out_dim,
+        num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        local_attn_size=cfg.local_attn_size, sink_size=cfg.sink_size,
+        qk_norm=True, cross_attn_norm=True, eps=1e-6,
+    ).eval()
+    params = dit_params_from_torch(ref.state_dict(), cfg, jnp.float32)
+
+    lora = init_lora(jax.random.PRNGKey(3), params, rank=4)
+    # non-trivial B so deltas are non-zero
+    lora = jax.tree.map(
+        lambda x: x + 0.1 * jax.random.normal(jax.random.PRNGKey(4), x.shape),
+        lora)
+
+    peft = lora_to_peft_sd(lora, cfg)
+    back = peft_sd_to_lora(peft, cfg)
+    for g in lora:
+        for n in lora[g]:
+            for ab in ("a", "b"):
+                np.testing.assert_allclose(np.asarray(lora[g][n][ab]),
+                                           np.asarray(back[g][n][ab]),
+                                           rtol=1e-6, atol=1e-6)
+
+    folded_sd = fold_lora_into_dit_sd(ref.state_dict(), peft,
+                                      alpha_over_rank=0.5)
+    folded_ref = dit_params_from_torch(folded_sd, cfg, jnp.float32)
+    folded_ours = merge_lora(params, lora, alpha_over_rank=0.5)
+    flat_a = jax.tree_util.tree_leaves_with_path(folded_ref)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(folded_ours))
+    checked = 0
+    for path, leaf in flat_a:
+        other = flat_b.get(path)
+        assert other is not None, path
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(other),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=str(path))
+        checked += 1
+    assert checked > 20
