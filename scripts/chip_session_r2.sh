@@ -34,10 +34,10 @@ done
 # 2) e2e A/B of the winning tile (edit LONGLIVE_BKV if the sweep disagrees)
 echo "=== default (current shipped config) ==="
 timeout 2400 python bench.py 2>/dev/null | tail -1
-echo "=== twoseg_skip bkv=512 ==="
-LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tail -1
-echo "=== twoseg_skip bkv=256 ==="
-LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=256 timeout 2400 python bench.py 2>/dev/null | tail -1
+echo "=== twoseg_skip bkv=512 (short exploratory run) ==="
+BENCH_FRAMES=18 LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tail -1
+echo "=== twoseg_skip bkv=256 (short exploratory run) ==="
+BENCH_FRAMES=18 LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=256 timeout 2400 python bench.py 2>/dev/null | tail -1
 echo "=== fast mode + best skip (expected best overall) ==="
 BENCH_REUSE_KV=1 LONGLIVE_TWO_SEGMENT=1 LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tail -1
 
