@@ -116,3 +116,33 @@ def test_interactive_same_prompt_recache_is_consistent(pipe_setup):
     )
     lat = pipe.generate_latents_interactive(noise, [cross, cross], [4])
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_batched_generation_sample_isolation(pipe_setup):
+    """B=2 generation: sample 0's latents must be bit-identical whether
+    sample 1 carries the same or a different prompt (per-sample cache/
+    attention isolation; deterministic renoise removes RNG coupling).
+    The reference serves B=1 only — batched serving is TPU-side value."""
+    cfg, geom, params, pcfg = pipe_setup
+    import numpy as np
+
+    pipe = CausalInferencePipeline(pcfg, params, geometry=geom,
+                                   dit_config=cfg, attn_impl="xla",
+                                   deterministic_renoise=True)
+    emb_a = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
+    emb_b = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.text_len, cfg.text_dim))
+    noise1 = jax.random.normal(
+        jax.random.PRNGKey(4), (1, 2 * cfg.num_frame_per_block, geom.channels, geom.height,
+         geom.width))
+    noise = jnp.concatenate([noise1, noise1 * 0.5], axis=0)
+
+    def run(second_emb):
+        ckv = pipe.prepare_condition(jnp.concatenate([emb_a, second_emb]))
+        lat, _, _ = pipe.generate_latents_scanned(noise, ckv)
+        return np.asarray(lat)
+
+    la = run(emb_a * 0.7)
+    lb = run(emb_b)
+    assert np.isfinite(la).all()
+    np.testing.assert_array_equal(la[0], lb[0])
+    assert np.abs(la[1] - lb[1]).max() > 1e-6  # prompt actually mattered
