@@ -75,6 +75,16 @@ def _norm_silu_tile(tile_f32: jax.Array, gamma: jax.Array, out_dtype,
     return yb * sig
 
 
+def _lane_chunks(n: int):
+    """Split a lane extent into DMA-legal chunks (<=128 or 128-multiples,
+    offsets 128-aligned): full 128s plus one remainder."""
+    full, rem = divmod(n, 128)
+    out = [(i * 128, 128) for i in range(full)]
+    if rem:
+        out.append((full * 128, rem))
+    return out
+
+
 def _fused_kernel(
     # refs (order: gamma?, bias?, residual?, w, cache, x, out, nx,
     #        stage0, stage1, stage2, kbuf, sems)
@@ -85,6 +95,7 @@ def _fused_kernel(
     width: int,
     n_rows: int,
     true_c: int,
+    src_c: int,
     cp: int,
     kh: int,
     kw: int,
@@ -112,6 +123,23 @@ def _fused_kernel(
     o = pl.program_id(2)
     num_r = pl.num_programs(0)
 
+    # lane chunking: src frames may be DENSE (src_c == true_c < cp, the
+    # LONGLIVE_VAE_DENSE mode — HBM streams only real channels) or padded
+    # (src_c == cp, one full-width copy)
+    chunks = [(0, cp)] if src_c == cp else _lane_chunks(src_c)
+
+    def _copy_rows(src_ref, src_idx, src_row0, stage_ref, dst_row0, nrows):
+        for ci, (c0, ext) in enumerate(chunks):
+            cp_ = pltpu.make_async_copy(
+                src_ref.at[src_idx, pl.ds(src_row0, nrows), slice(None),
+                           pl.ds(c0, ext)],
+                stage_ref.at[pl.ds(dst_row0, nrows), pl.ds(8, width),
+                             pl.ds(c0, ext)],
+                sems_ref.at[ci],
+            )
+            cp_.start()
+            cp_.wait()
+
     def _load_stage(src_ref, src_idx, stage_ref, normalize, nx_idx):
         """DMA rows [r*th-1, r*th+th] of frame ``src_idx`` into a staging
         buffer (halo rows included), zero the borders, optionally
@@ -120,13 +148,7 @@ def _fused_kernel(
         row0 = r * th - 1
 
         if n_rows == 1:  # single row tile: th == H, zero both halo rows
-            cp_ = pltpu.make_async_copy(
-                src_ref.at[src_idx, pl.ds(0, th)],
-                stage_ref.at[pl.ds(1, th), pl.ds(8, width)],
-                sems_ref.at[0],
-            )
-            cp_.start()
-            cp_.wait()
+            _copy_rows(src_ref, src_idx, 0, stage_ref, 1, th)
             stage_ref[0:1] = jnp.zeros_like(stage_ref[0:1])
             stage_ref[th + 1 : th + 2] = jnp.zeros_like(
                 stage_ref[th + 1 : th + 2]
@@ -134,34 +156,16 @@ def _fused_kernel(
         else:
             @pl.when(r == 0)
             def _top():
-                cp_ = pltpu.make_async_copy(
-                    src_ref.at[src_idx, pl.ds(0, th + 1)],
-                    stage_ref.at[pl.ds(1, th + 1), pl.ds(8, width)],
-                    sems_ref.at[0],
-                )
-                cp_.start()
-                cp_.wait()
+                _copy_rows(src_ref, src_idx, 0, stage_ref, 1, th + 1)
                 stage_ref[0:1] = jnp.zeros_like(stage_ref[0:1])
 
             @pl.when((r > 0) & (r < num_r - 1))
             def _mid():
-                cp_ = pltpu.make_async_copy(
-                    src_ref.at[src_idx, pl.ds(row0, th + 2)],
-                    stage_ref.at[pl.ds(0, th + 2), pl.ds(8, width)],
-                    sems_ref.at[0],
-                )
-                cp_.start()
-                cp_.wait()
+                _copy_rows(src_ref, src_idx, row0, stage_ref, 0, th + 2)
 
             @pl.when((r == num_r - 1) & (r > 0))
             def _bot():
-                cp_ = pltpu.make_async_copy(
-                    src_ref.at[src_idx, pl.ds(row0, th + 1)],
-                    stage_ref.at[pl.ds(0, th + 1), pl.ds(8, width)],
-                    sems_ref.at[0],
-                )
-                cp_.start()
-                cp_.wait()
+                _copy_rows(src_ref, src_idx, row0, stage_ref, 0, th + 1)
                 stage_ref[th + 1 : th + 2] = jnp.zeros_like(
                     stage_ref[th + 1 : th + 2]
                 )
@@ -185,13 +189,16 @@ def _fused_kernel(
         if nx_idx is not None:
             @pl.when(nx_idx >= 0)
             def _emit():
-                cp_ = pltpu.make_async_copy(
-                    stage_ref.at[pl.ds(1, th), pl.ds(8, width)],
-                    nx_ref.at[nx_idx, pl.ds(r * th, th)],
-                    sems_ref.at[0],
-                )
-                cp_.start()
-                cp_.wait()
+                for ci, (c0, ext) in enumerate(chunks):
+                    cp_ = pltpu.make_async_copy(
+                        stage_ref.at[pl.ds(1, th), pl.ds(8, width),
+                                     pl.ds(c0, ext)],
+                        nx_ref.at[nx_idx, pl.ds(r * th, th), slice(None),
+                                  pl.ds(c0, ext)],
+                        sems_ref.at[ci],
+                    )
+                    cp_.start()
+                    cp_.wait()
 
     def _pack_kbuf():
         """3*kh row-shifted VMEM copies staging -> K-packed GEMM operand.
@@ -211,6 +218,15 @@ def _fused_kernel(
             c_.start()
         for c_ in copies:
             c_.wait()
+
+    # dense-stream mode: DMAs only fill lanes [0, src_c); zero the staging
+    # buffers once so the pad lanes [src_c, cp) stay exactly zero (norm and
+    # the VMEM shift-copies preserve zeros thereafter)
+    if src_c < cp:
+        @pl.when((r == 0) & (t == 0) & (o == 0))
+        def _zero_stages():
+            for sref in stage_refs:
+                sref[...] = jnp.zeros_like(sref)
 
     # ---- tap loading (only on the first O tile of each (r, t)) ----
     # stagings hold virtual frames [t, t+1, t+2] of [cache0, cache1, x...];
@@ -298,12 +314,17 @@ def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
     return 2, min(bo_cands[-1], 128)
 
 
-@functools.partial(jax.jit, static_argnames=("true_c", "kh", "kw", "interpret"))
+@functools.partial(jax.jit, static_argnames=("true_c", "out_c", "kh", "kw",
+                                              "interpret"))
 def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
+                            out_c: Optional[int] = None,
                             kh: int = 3, kw: int = 3,
                             interpret: bool = False):
-    t, h, wd, cp = x.shape
+    t, h, wd, src_c = x.shape
+    cp = _aligned(src_c)
     op = wp9.shape[0] * wp9.shape[2] // kw
+    if out_c is None:
+        out_c = op
     th, bo = _pick_tiles(cp, op, h, wd, x.dtype.itemsize, kh, kw)
     assert wp9.shape == (op // bo, 3 * kh * cp, kw * bo), (wp9.shape, cp, op, bo)
     grid = (h // th, t, op // bo)
@@ -339,7 +360,7 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
     out, nx = pl.pallas_call(
         functools.partial(
             _fused_kernel, th=th, bo=bo, t_frames=t, width=wd,
-            n_rows=h // th, true_c=true_c, cp=cp, kh=kh, kw=kw,
+            n_rows=h // th, true_c=true_c, src_c=src_c, cp=cp, kh=kh, kw=kw,
             apply_norm=apply_norm,
             has_bias=has_bias, has_residual=has_residual,
         ),
@@ -351,8 +372,8 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, h, wd, op), x.dtype),
-            jax.ShapeDtypeStruct((2, h, wd, cp), x.dtype),
+            jax.ShapeDtypeStruct((t, h, wd, out_c), x.dtype),
+            jax.ShapeDtypeStruct((2, h, wd, src_c), x.dtype),
         ],
         scratch_shapes=[
             # data at columns [8, 8+W); 8 pad columns each side keep every
@@ -437,15 +458,23 @@ def fused_causal_conv(
                         kh, kw)
 
     wp9 = pack_weights(w, cp, op, bo, x.dtype)
-    x = _lane_pad(x, cp)
-    cache = _lane_pad(cache, cp)
+    # LONGLIVE_VAE_DENSE=1: stream x/cache/residual/out at their TRUE
+    # channel widths — the zero lanes exist only in VMEM (staging buffers /
+    # GEMM operand), never in HBM.  Kills the (cp/C)^2 HBM-stream tax of
+    # the lane padding on the 96/192-channel stages (the round-1 "one
+    # double-buffered pack away" item, PERF.md).  The GEMM and weight
+    # layout are unchanged (masked lanes cost nothing on the MXU).
+    dense = os.environ.get("LONGLIVE_VAE_DENSE", "0") == "1"
+    if not dense:
+        x = _lane_pad(x, cp)
+        cache = _lane_pad(cache, cp)
+        residual = _lane_pad(residual, op)
     gamma = _lane_pad(gamma, cp)
     b = _lane_pad(b, op)
-    residual = _lane_pad(residual, op)
 
     out, nx = _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual,
-                                      true_c=ci, kh=kh, kw=kw,
-                                      interpret=interpret)
+                                      true_c=ci, out_c=(o if dense else op),
+                                      kh=kh, kw=kw, interpret=interpret)
     if x.shape[0] == 1:
         # only nx[1] was computable from x; frame 0 of the new cache is the
         # old cache's frame 1

@@ -12,3 +12,28 @@ timeout 2400 python scripts/vae_breakdown.py 2>/dev/null
 
 # 5) prompt-switch recache split: attention / linears / dispatch RTT
 timeout 2400 python scripts/recache_breakdown.py 2>/dev/null
+
+# 6) HBM-layout ground truth: does XLA:TPU store (…,96) lane-padded to 128?
+#    per-step scan time ratio ~1.0 => padded (dense streaming saves only the
+#    pad ops); ~0.75 => dense (the (128/96)^2 stream tax is real)
+timeout 900 python - <<'EOF' 2>/dev/null | tail -2
+import time, jax, jax.numpy as jnp
+def step_ms(c):
+    x = jnp.ones((8192, 512, c), jnp.bfloat16)
+    f = jax.jit(lambda a: jax.lax.scan(lambda s, _: (s * 1.0001, 0.0), a,
+                                       None, length=50)[0])
+    r = f(x); _ = float(jnp.sum(r[::512, ::64, 0].astype(jnp.float32)))
+    t0 = time.perf_counter(); r = f(x)
+    _ = float(jnp.sum(r[::512, ::64, 0].astype(jnp.float32)))
+    return (time.perf_counter() - t0) / 50 * 1e3
+a, b = step_ms(96), step_ms(128)
+print({"lane96_ms": round(a, 3), "lane128_ms": round(b, 3),
+       "ratio": round(a / b, 3)})
+EOF
+
+# 7) dense-stream fused VAE kernel A/B (exact; Mosaic acceptance unproven
+#    off-chip — if it crashes, the log shows it and default stays padded)
+echo "=== vae decode: padded streams (current default) ==="
+VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
+echo "=== vae decode: dense streams (LONGLIVE_VAE_DENSE=1) ==="
+LONGLIVE_VAE_DENSE=1 VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>&1 | tail -3

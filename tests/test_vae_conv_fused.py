@@ -55,6 +55,55 @@ def test_kernel_matches_concat_conv(t, h, w, c, o, norm, res, khw):
     )
 
 
+@pytest.mark.parametrize(
+    "t,c,o,norm,res,khw",
+    [
+        (1, 96, 96, True, True, 3),    # the full-res decoder stage shape
+        (2, 96, 192, True, False, 3),  # dense in, partial O tiles
+        (1, 136, 96, True, False, 3),  # 2-chunk dense DMA (128 + 8)
+        (1, 96, 192, False, False, 1), # (3,1,1) time conv, dense
+    ],
+)
+def test_kernel_dense_stream_matches_concat_conv(t, c, o, norm, res, khw):
+    """LONGLIVE_VAE_DENSE=1: x/cache/residual/out stream at TRUE channel
+    width (no HBM lane padding); parity vs the XLA concat path."""
+    rng = np.random.default_rng(1)
+    h, w = 8, 16
+    x = jnp.asarray(rng.standard_normal((t, h, w, c)), jnp.float32)
+    cache = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((o, c, 3, khw, khw)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((c,)), jnp.float32) if norm else None
+    residual = (
+        jnp.asarray(rng.standard_normal((t, h, w, o)), jnp.float32) if res else None
+    )
+
+    xin = x
+    if norm:
+        xin = lnn.silu(V.rms_norm_channel(x[None], gamma)[0])
+    full = jnp.concatenate([cache, xin], axis=0)
+    ref = V.conv3d(full[None], wt, b)[0]
+    if res:
+        ref = ref + residual
+    ref_cache = full[-2:]
+
+    prev = os.environ.get("LONGLIVE_VAE_DENSE")
+    try:
+        os.environ["LONGLIVE_VAE_DENSE"] = "1"
+        out, nc = fused_causal_conv(x, cache, wt, b, gamma, residual,
+                                    interpret=True)
+    finally:
+        if prev is None:
+            os.environ.pop("LONGLIVE_VAE_DENSE", None)
+        else:
+            os.environ["LONGLIVE_VAE_DENSE"] = prev
+
+    assert out.shape == (t, h, w, o)  # dense: no lane padding in HBM
+    assert nc.shape == (2, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nc), np.asarray(ref_cache), atol=1e-5)
+
+
 @pytest.mark.slow
 def test_streaming_decode_parity_fused_vs_xla():
     """Two streaming chunks through the tiny decoder, fused vs legacy."""
