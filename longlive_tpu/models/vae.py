@@ -294,7 +294,21 @@ def causal_conv3d(x, p, thread: _CacheThread, stride=(1, 1, 1)):
     if thread.caches is None:
         xt = jnp.pad(x, [(0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)])
         return _apply_conv3d(xt, p, stride)
-    full = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    cache = cache.astype(x.dtype)
+    if (x.shape[1] == 1 and kt == 3 and stride == (1, 1, 1) and "w" in p
+            and os.environ.get("LONGLIVE_VAE_TAPSPLIT", "1") == "1"):
+        # EXACT tap decomposition for the per-frame streaming path: the
+        # kt=3 conv over [c0, c1, x] is the sum of one spatial conv per
+        # temporal tap, so the 3-frame concatenated buffer (a full
+        # write+read of 3 frames per conv, ~31 ms/latent-frame across the
+        # round-1 XLA decode) never materializes.
+        w = p["w"]
+        y = conv3d(x, w[:, :, 2:3], p.get("b"), stride)
+        y = y + conv3d(cache[:, 1:2], w[:, :, 1:2], None, stride)
+        y = y + conv3d(cache[:, 0:1], w[:, :, 0:1], None, stride)
+        thread.push(jnp.concatenate([cache[:, 1:], x], axis=1))
+        return y
+    full = jnp.concatenate([cache, x], axis=1)
     thread.push(full[:, -CACHE_T:])
     return _apply_conv3d(full, p, stride)
 

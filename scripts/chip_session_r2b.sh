@@ -13,6 +13,12 @@ timeout 2400 python scripts/vae_breakdown.py 2>/dev/null
 # 5) prompt-switch recache split: attention / linears / dispatch RTT
 timeout 2400 python scripts/recache_breakdown.py 2>/dev/null
 
+# 5b) tap-split causal conv on the XLA decode path (exact; removes the
+#     3-frame concat materialization per conv)
+echo "=== vae decode xla: tap-split (default) vs concat ==="
+VAE_PROBE_ONLY=xla timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
+LONGLIVE_VAE_TAPSPLIT=0 VAE_PROBE_ONLY=xla timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
+
 # 6) HBM-layout ground truth: does XLA:TPU store (…,96) lane-padded to 128?
 #    per-step scan time ratio ~1.0 => padded (dense streaming saves only the
 #    pad ops); ~0.75 => dense (the (128/96)^2 stream tax is real)
