@@ -105,6 +105,43 @@ def test_kernel_dense_stream_matches_concat_conv(t, c, o, norm, res, khw):
 
 
 @pytest.mark.slow
+def test_streaming_decode_parity_dense_real_channels():
+    """Dense-stream mode through the REAL decoder channel widths
+    (96/192/384 — incl. the 2-chunk 192-lane DMA) at tiny spatial dims:
+    two streaming chunks, fused+dense interpret vs the XLA path."""
+    cfg = V.VAEConfig()  # real channels: dim 96, mult (1,2,4,4)
+    params = V.init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, cfg.z_dim, 4, 4),
+                          jnp.float32)
+
+    prev = {k: os.environ.get(k)
+            for k in ("LONGLIVE_VAE_FUSED", "LONGLIVE_VAE_DENSE")}
+    try:
+        os.environ["LONGLIVE_VAE_FUSED"] = "0"
+        caches = V.init_decoder_caches(params, cfg, 1, 4, 4, jnp.float32)
+        r0, cr = V.vae_decode_chunk(params, cfg, z[:, :1], caches, True)
+        r1, cr = V.vae_decode_chunk(params, cfg, z[:, 1:2], cr, False)
+
+        os.environ["LONGLIVE_VAE_FUSED"] = "interpret"
+        os.environ["LONGLIVE_VAE_DENSE"] = "1"
+        caches = V.init_decoder_caches(params, cfg, 1, 4, 4, jnp.float32)
+        f0, cf = V.vae_decode_chunk(params, cfg, z[:, :1], caches, True)
+        f1, cf = V.vae_decode_chunk(params, cfg, z[:, 1:2], cf, False)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(r0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(r1), atol=2e-4)
+    for a, b_ in zip(cf, cr):
+        assert a.shape == b_.shape  # dense: carry matches init shapes
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+@pytest.mark.slow
 def test_streaming_decode_parity_fused_vs_xla():
     """Two streaming chunks through the tiny decoder, fused vs legacy."""
     cfg = V.tiny_vae_config()
