@@ -26,7 +26,44 @@ The prompt-switch (KV-recache) latency is always measured and reported as
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: int = 90):
+    """The axon TPU tunnel has multi-hour outages (PERF.md measurement
+    notes); a wedged in-process jax init holds a global probe lock, so
+    availability is checked in SUBPROCESSES before this process imports
+    jax.  Bounded: gives up after ~25 min and lets the run fail loudly."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return  # CPU run (tests/smoke): nothing to wait for
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform == 'tpu'"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(f"bench: TPU tunnel still down after {attempt} probes; "
+                  "proceeding (run will fail if it stays down)",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"bench: TPU tunnel down (probe {attempt}); retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
+if __name__ == "__main__":
+    _wait_for_tpu()
 
 import jax
 import jax.numpy as jnp
