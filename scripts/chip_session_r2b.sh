@@ -43,3 +43,5 @@ echo "=== vae decode: padded streams (current default) ==="
 VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
 echo "=== vae decode: dense streams (LONGLIVE_VAE_DENSE=1) ==="
 LONGLIVE_VAE_DENSE=1 VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>&1 | tail -3
+echo "=== vae decode: dense + big tiles (halo-redundancy tradeoff moved) ==="
+LONGLIVE_VAE_DENSE=1 VAE_PROBE_ONLY=fused_bigtiles_96 timeout 1800 python scripts/vae_probe.py 2>&1 | tail -3
