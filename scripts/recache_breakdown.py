@@ -109,6 +109,11 @@ def main():
         lambda: patch(D, "apply_rotary",
                       lambda x, c, s, premul=None, layout="interleaved": x))
     run("xla_attn", attn_impl="xla")
+    if jax.default_backend() == "tpu":
+        # int8-QK lost at the DECODE shape (per-forward K-requant streams,
+        # PERF.md negative result #2) but a prefill quantizes K once and
+        # its kernel is MXU-bound — the calculus may flip here
+        run("pallas_qk8_attn", attn_impl="pallas_qk8")
 
     # dispatch RTT: chained double call (second call's dispatch overlaps the
     # first's execution; delta vs 2x single ~= one RTT)
