@@ -223,6 +223,50 @@ def test_streaming_trainer_dp2_mesh(setup):
 
 
 @pytest.mark.slow
+def test_sharded_train_step_matches_single_device(setup):
+    """One full DMD train step (generator + critic update) on the (dp=2,
+    fsdp=4) mesh produces the same losses and updated parameters as the
+    unsharded step — the sharding rules are a pure layout choice.
+    Tolerance covers collective reduction reordering in f32."""
+    cfg, geom, gen, critic, teacher, *_ = setup
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                         slice_last_frames=3, attn_impl="xla",
+                         dfake_gen_update_ratio=1)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(21), (2, 3, geom.channels, geom.height, geom.width))
+    pe_c = jax.random.normal(jax.random.PRNGKey(22),
+                             (2, cfg.text_len, cfg.text_dim))
+    pe_u = pe_c * 0.1
+
+    tr0 = ScoreDistillationTrainer(tcfg, cfg, geom, copy(gen), copy(critic),
+                                   teacher)
+    m0 = tr0.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(23))
+
+    mesh = M.make_mesh(dp=2, fsdp=4, sp=1)
+    tr1 = ScoreDistillationTrainer(
+        tcfg, cfg, geom, M.shard_params(copy(gen), mesh),
+        M.shard_params(copy(critic), mesh),
+        M.shard_params(copy(teacher), mesh), mesh=mesh)
+    bs = M.batch_sharding(mesh)
+    m1 = tr1.train_step(jax.device_put(noise, bs), jax.device_put(pe_c, bs),
+                        jax.device_put(pe_u, bs), jax.random.PRNGKey(23))
+
+    np.testing.assert_allclose(m0["generator_loss"], m1["generator_loss"],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(m0["critic_loss"], m1["critic_loss"],
+                               rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(tr0.state["gen_params"]),
+                    jax.tree.leaves(tr1.state["gen_params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(tr0.state["critic_params"]),
+                    jax.tree.leaves(tr1.state["critic_params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_int8_rollout_cache_close_to_bf16(setup):
     """cache_int8 stores the rollout KV cache int8 (k AND v, per-token
     scales; training/rollout.py RolloutConfig.cache_int8).  The cache is
