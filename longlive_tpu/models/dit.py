@@ -275,22 +275,25 @@ def _attention_layer_cached(
     cache_sc: Optional[jax.Array] = None,  # [B, S_cache, N] int8-KV scales
     skip_ranges: Optional[jax.Array] = None,  # [F, 2] dead cache-token ranges
     cache_vsc: Optional[jax.Array] = None,  # [B, S_cache, N] int8-V scales
+    kv_only: bool = False,  # compute/write K,V only (no q, no attention)
 ):
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
-    q = nn.linear(x, layer_p["q"])
     k = nn.linear(x, layer_p["k"])
     v = nn.linear(x, layer_p["v"]).reshape(b, s, n, hd)
-    q_pre = k_pre = None
+    k_pre = None
     if cfg.qk_norm:
         # fuse the RMS scale into RoPE's f32 domain (saves a bf16 round trip
         # between the projection and the rotation)
-        q_pre = nn.rms_scale(q, layer_p["norm_q"]["scale"], cfg.eps)
         k_pre = nn.rms_scale(k, layer_p["norm_k"]["scale"], cfg.eps)
-    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin, premul=q_pre,
-                     layout=cfg.rope_layout)
     k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin, premul=k_pre,
                      layout=cfg.rope_layout)
+    if not kv_only:
+        q = nn.linear(x, layer_p["q"])
+        q_pre = (nn.rms_scale(q, layer_p["norm_q"]["scale"], cfg.eps)
+                 if cfg.qk_norm else None)
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         premul=q_pre, layout=cfg.rope_layout)
 
     fs = cache_cfg.frame_seq
     if two_segment:
@@ -303,6 +306,8 @@ def _attention_layer_cached(
         # resident + remat residual) is dequantized here per layer: one
         # [S_cache, N, D] VPU pass, recomputed (not stored) under
         # remat_layers.
+        if kv_only:
+            return None, k, v, None, None
         ck, cv = cache_k, cache_v
         if ck.dtype == jnp.int8:
             ck = dequantize_k(ck, cache_sc, q.dtype)
@@ -350,6 +355,8 @@ def _attention_layer_cached(
                 new_vsc, sf.astype(new_vsc.dtype), offsets[i], axis=1
             )
 
+    if kv_only:
+        return None, new_k, new_v, new_sc, new_vsc
     if int8_v:
         # training int8 cache: dequantize both operands and attend bf16
         # (the int8-QK kernel path is a serving mode; training impls need
@@ -404,8 +411,13 @@ def _block_body(
     cache_sc: Optional[jax.Array] = None,
     skip_ranges: Optional[jax.Array] = None,
     cache_vsc: Optional[jax.Array] = None,
+    kv_only: bool = False,
 ):
-    """One CausalWanAttentionBlock (causal_model.py:413-477)."""
+    """One CausalWanAttentionBlock (causal_model.py:413-477).
+
+    ``kv_only``: compute and write this layer's K/V but skip its attention,
+    cross-attention, and FFN — the LAST layer of a commit/recache forward,
+    whose flow output nobody reads (the scan prevents XLA from eliding it)."""
     f = num_frames
     mod = layer_p["modulation"][None, None]  # [1, 1, 6, dim]
     e = mod.astype(e0.dtype) + e0  # [B, F, 6, dim]
@@ -418,8 +430,10 @@ def _block_body(
         layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
         cache_k, cache_v, kv_valid, offsets, write_frames, attn_impl,
         two_segment=two_segment, cache_sc=cache_sc, skip_ranges=skip_ranges,
-        cache_vsc=cache_vsc,
+        cache_vsc=cache_vsc, kv_only=kv_only,
     )
+    if kv_only:
+        return x, new_k, new_v, new_sc, new_vsc
     x = x + _flat(_per_frame(y, f) * e_[2])
 
     # cross-attention
@@ -668,6 +682,7 @@ def dit_forward_cached(
     commit_writes: bool = True,
     remat_layers: bool = False,
     two_segment: Optional[bool] = None,
+    kv_only: bool = False,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One cached DiT forward over a block of ``F`` frames starting at
     absolute frame ``start_frame`` (ref _forward_inference,
@@ -746,15 +761,34 @@ def dit_forward_cached(
         )
         return xout, (nk, nv, nsc, nvsc)
 
-    tokens, (new_k, new_v, new_sc, new_vsc) = jax.lax.scan(
-        jax.checkpoint(scan_body) if remat_layers else scan_body,
-        tokens,
-        (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v,
-         cache.k_scale, cache.v_scale),
-    )
-
-    out_tokens = _head(params, cfg, tokens, e, f)
-    flow = unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
+    blocks_xs = (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v,
+                 cache.k_scale, cache.v_scale)
+    body = jax.checkpoint(scan_body) if remat_layers else scan_body
+    if kv_only:
+        # commit/recache passes discard the flow output, but the uniform
+        # layer scan forces XLA to compute the LAST layer's attention +
+        # cross-attn + FFN anyway (~1/30 of the pass) and the head.  Run
+        # the scan over L-1 layers and finish with a K/V-projection-only
+        # tail; the returned flow is a placeholder of zeros.
+        tokens, (new_k, new_v, new_sc, new_vsc) = jax.lax.scan(
+            body, tokens, jax.tree.map(lambda a: a[:-1], blocks_xs))
+        lp, ck, cv, xk, xv, csc, cvsc = jax.tree.map(
+            lambda a: a[-1], blocks_xs)
+        _, tk, tv, tsc, tvsc = _block_body(
+            cfg, cache_cfg, f, tokens, lp, ck, cv, xk, xv,
+            e0, rope_cos, rope_sin, kv_valid, offsets, write_frames,
+            attn_impl, two_segment=two_segment, cache_sc=csc,
+            skip_ranges=skip_ranges, cache_vsc=cvsc, kv_only=True)
+        cat = lambda hd_, tl: (None if tl is None
+                               else jnp.concatenate([hd_, tl[None]], axis=0))
+        new_k, new_v = cat(new_k, tk), cat(new_v, tv)
+        new_sc, new_vsc = cat(new_sc, tsc), cat(new_vsc, tvsc)
+        flow = jnp.zeros((b, f, c, h, w), jnp.float32)
+    else:
+        tokens, (new_k, new_v, new_sc, new_vsc) = jax.lax.scan(
+            body, tokens, blocks_xs)
+        out_tokens = _head(params, cfg, tokens, e, f)
+        flow = unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
 
     base = kvc.advance(cache_cfg, cache, start_frame, f) if advance_counters else cache
     if two_segment:

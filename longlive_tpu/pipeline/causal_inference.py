@@ -65,7 +65,7 @@ def build_recache_fn(
             params, cfg, cache_cfg, tables, replay, t, cross_new, state,
             recache_start_frame, kv_valid=kv_valid, offsets=offsets,
             write_frames=write_frames, advance_counters=False,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, kv_only=True,
         )
         return state
 
@@ -145,6 +145,7 @@ class CausalInferencePipeline:
             from ..parallel.decode_sp import sp_dit_forward_cached
 
             kw.pop("commit_writes", None)  # sp path keeps write-then-attend
+            kw.pop("kv_only", None)
             return sp_dit_forward_cached(
                 params, self.cfg, self.cache_cfg, self.tables, self.mesh,
                 x, t, cross_kv, cache, start_frame, attn_impl=self.attn_impl,
@@ -193,10 +194,11 @@ class CausalInferencePipeline:
                         b * f, *x0.shape[2:]), t_next
                 ).reshape(x0.shape)
         if not reuse_kv:
-            # clean-context commit pass (causal_inference.py:191-200)
+            # clean-context commit pass (causal_inference.py:191-200); its
+            # flow output is never read, so the last layer runs K/V-only
             _, cache = self._forward(
                 params, x0, float(self.config.context_noise), cross_kv, cache,
-                start_frame
+                start_frame, kv_only=True
             )
         return x0, cache, rng
 
@@ -295,7 +297,7 @@ class CausalInferencePipeline:
                 params, replay, float(self.config.context_noise), cross_new,
                 state, recache_start_frame,
                 kv_valid=kv_valid, offsets=offsets, write_frames=write_frames,
-                advance_counters=False,
+                advance_counters=False, kv_only=True,
             )
             return state
 

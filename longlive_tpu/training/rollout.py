@@ -135,22 +135,25 @@ def rollout_trajectory(
             return rcfg.window_schedule[i]
         return rcfg.window_frames
 
-    def _fwd(p, xx, tt, ck, sf, window, commit):
+    def _fwd(p, xx, tt, ck, sf, window, commit, kv_only):
         return D.dit_forward_cached(
             p, cfg, cache_cfg, tables, xx, tt, cross_kv, ck, sf,
             attn_impl=rcfg.attn_impl, window_frames=window,
             remat_layers=rcfg.remat_layers,
             two_segment=True if rcfg.two_segment else None,
-            commit_writes=commit,
+            commit_writes=commit, kv_only=kv_only,
         )
 
-    fwd_fn = (jax.checkpoint(_fwd, static_argnums=(5, 6))
+    fwd_fn = (jax.checkpoint(_fwd, static_argnums=(5, 6, 7))
               if rcfg.remat else _fwd)
 
-    def forward(x, t_val, cache_in, start_frame, step_idx=None, commit=False):
+    def forward(x, t_val, cache_in, start_frame, step_idx=None, commit=False,
+                kv_only=False):
         t = jnp.full((b, fpb), t_val, jnp.float32)
         flow, cache_out = fwd_fn(gen_params, x, t, cache_in, start_frame,
-                                 _window_for(step_idx), commit)
+                                 _window_for(step_idx), commit, kv_only)
+        if kv_only:  # commit-style call: only the cache is meaningful
+            return flow, cache_out
         bf = b * fpb
         x0 = S.convert_flow_to_x0(
             sched, flow.reshape(bf, *flow.shape[2:]),
@@ -170,6 +173,7 @@ def rollout_trajectory(
             current_start_frame, attn_impl=rcfg.attn_impl,
             window_frames=rcfg.window_frames,
             two_segment=True if rcfg.two_segment else None,
+            kv_only=True,
         )
         cache = jax.lax.stop_gradient(cache)
         current_start_frame = current_start_frame + f0
@@ -211,7 +215,7 @@ def rollout_trajectory(
             jnp.full((b * fpb,), rcfg.context_noise, jnp.float32),
         ).reshape(x0.shape)
         _, cache = forward(ctx, rcfg.context_noise, cache, abs_start,
-                           commit=True)
+                           commit=True, kv_only=True)
         cache = jax.lax.stop_gradient(cache)
 
     return jnp.concatenate(outputs, axis=1), cache, rng
