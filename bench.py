@@ -13,6 +13,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/20.7, ...}
 
 Env knobs: BENCH_FRAMES (measured latent frames, default 30),
+BENCH_BATCH (batched serving, aggregate FPS; default 1),
 BENCH_SWITCHES=1 to run the measured segment with a mid-run prompt switch,
 BENCH_SKIP_VAE=1 to exclude VAE decode, BENCH_INT8=1 for the quantized DiT,
 BENCH_WINDOW="local,sink" attention window (default "9,3" — the reference's
@@ -83,6 +84,10 @@ def main():
     from longlive_tpu.pipeline import InteractiveCausalInferencePipeline
 
     frames = int(os.environ.get("BENCH_FRAMES", "30"))
+    # BENCH_BATCH>1: batched serving (beyond the reference's B=1 — samples
+    # are bit-independent, tests/test_pipeline.py batch-isolation); FPS is
+    # reported as AGGREGATE pixel frames/s across the batch
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     use_switches = os.environ.get("BENCH_SWITCHES", "0") == "1"
     skip_vae = os.environ.get("BENCH_SKIP_VAE", "0") == "1"
     # int8 DiT is the default serving mode (the reference's own headline
@@ -122,11 +127,11 @@ def main():
                                               dit_config=cfg,
                                               attn_impl=attn_impl)
 
-    prompt_a = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    prompt_a = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     cross_a = pipe.prepare_condition(prompt_a)
     cross_b = cross_a
     if use_switches:
-        prompt_b = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+        prompt_b = jax.random.normal(jax.random.PRNGKey(2), (batch, cfg.text_len, cfg.text_dim), jnp.bfloat16)
         cross_b = pipe.prepare_condition(prompt_b)
 
     vcfg = V.VAEConfig()
@@ -157,12 +162,12 @@ def main():
 
     total = warmup_frames + frames
     noise = jax.random.normal(
-        jax.random.PRNGKey(4), (1, total, geom.channels, geom.height, geom.width),
+        jax.random.PRNGKey(4), (batch, total, geom.channels, geom.height, geom.width),
         jnp.float32)
 
     def full_run(measure_from_warm=True):
         rng = jax.random.PRNGKey(5)
-        cache = pipe.init_cache(1, jnp.bfloat16)
+        cache = pipe.init_cache(batch, jnp.bfloat16)
         vae_caches = None
         # warmup segment (also compiles all programs)
         lat, cache, rng, vae_caches, px = run_segment(
@@ -205,7 +210,7 @@ def main():
         min(local_attn, t) frames under the new prompt).  Timed as a
         dependent chain so the tunnel RTT is paid once, not per rep."""
         rng = jax.random.PRNGKey(7)
-        cache = pipe.init_cache(1, jnp.bfloat16)
+        cache = pipe.init_cache(batch, jnp.bfloat16)
         n_gen = -(-cfg.local_attn_size // 3) * 3 + 3
         lat, cache, rng = pipe.generate_latents_scanned(
             noise[:, :n_gen], cross_a, rng=rng, cache=cache, start_frame=0)
@@ -229,7 +234,7 @@ def main():
 
     switch_ms = measure_switch()
 
-    pixel_frames = 4 * frames  # measured segment only (post-warmup)
+    pixel_frames = 4 * frames * batch  # measured segment only (post-warmup)
     fps = pixel_frames / elapsed
     baseline_fps = 20.7  # H100 reference (README.md:50)
     result = {
@@ -239,6 +244,7 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 4),
         "ms_per_latent_frame": round(elapsed / frames * 1e3, 2),
         "latent_frames_measured": frames,
+        "batch": batch,
         "prompt_switches": 1 if use_switches else 0,
         "switch_recache_ms": round(switch_ms, 1),
         "attn_window": f"{local_attn},{sink}",
