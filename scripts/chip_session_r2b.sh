@@ -19,6 +19,12 @@ echo "=== vae decode xla: tap-split (default) vs concat ==="
 VAE_PROBE_ONLY=xla timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
 LONGLIVE_VAE_TAPSPLIT=0 VAE_PROBE_ONLY=xla timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
 
+# 5c) batched serving throughput (aggregate FPS; B>1 VAE falls back to the
+#     XLA conv path by design — fused kernel is B==1)
+echo "=== batched serving B=2 (e2e) / B=4 (DiT only) ==="
+BENCH_BATCH=2 BENCH_FRAMES=18 timeout 2400 python bench.py 2>/dev/null | tail -1
+BENCH_BATCH=4 BENCH_FRAMES=12 BENCH_SKIP_VAE=1 timeout 2400 python bench.py 2>/dev/null | tail -1
+
 # 6) HBM-layout ground truth: does XLA:TPU store (…,96) lane-padded to 128?
 #    per-step scan time ratio ~1.0 => padded (dense streaming saves only the
 #    pad ops); ~0.75 => dense (the (128/96)^2 stream tax is real)
