@@ -53,3 +53,37 @@ def test_pipelined_render_matches_sequential(setup):
                                rtol=2e-4, atol=2e-4)
     # output landed on the decode device
     assert jax.devices()[1] in {d for d in px_pipe.devices()}
+
+
+@pytest.mark.slow
+def test_pipelined_render_composes_with_sp_generation(setup):
+    """The full multi-chip serving claim in one test: generation sharded
+    over an sp=2 mesh (devices 0-1) while the VAE decodes pipelined on a
+    THIRD device — output must match single-device sequential rendering."""
+    from longlive_tpu.parallel import mesh as M
+
+    cfg, geom, params, pconfig, vcfg, vae_params = setup
+    pipe = CausalInferencePipeline(pconfig, params, geometry=geom,
+                                   dit_config=cfg, attn_impl="xla")
+    mesh = M.make_mesh(dp=1, fsdp=1, sp=2, devices=jax.devices()[:2])
+    pipe_sp = CausalInferencePipeline(pconfig, params, geometry=geom,
+                                      dit_config=cfg, attn_impl="xla",
+                                      mesh=mesh)
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 6, geom.channels, geom.height, geom.width))
+
+    lat, _, _ = pipe.generate_latents_scanned(noise, pipe.prepare_condition(pe))
+    lat_z = lat[:, :, : vcfg.z_dim].astype(jnp.float32)
+    px_ref, _ = V.vae_decode_scan(vae_params, vcfg, lat_z, None, True)
+
+    renderer = PipelinedRenderer(
+        pipe_sp, vae_params, vcfg, segment_frames=2,
+        decode_device=jax.devices()[2])
+    px_pipe = renderer.render(noise, pipe_sp.prepare_condition(pe),
+                              dtype=jnp.float32)
+
+    assert px_pipe.shape == px_ref.shape
+    np.testing.assert_allclose(np.asarray(px_ref), np.asarray(px_pipe),
+                               rtol=5e-4, atol=5e-4)
+    assert jax.devices()[2] in {d for d in px_pipe.devices()}
