@@ -384,9 +384,11 @@ def _cross_attention_layer(
     q = q.reshape(b, s, n, hd)
     # flash kernel on TPU: the einsum form materializes [B, N, Sq, text_len]
     # probs (115 MB/layer at the decode shape) that the online softmax never
-    # touches HBM with
+    # touches HBM with.  int8-QK variants apply to SELF-attention only —
+    # cross-attention stays bf16 so int8 A/Bs measure one thing.
+    impl = "pallas" if attn_impl == "pallas_qk8" else attn_impl
     out = attend(q, ck.astype(q.dtype), cv.astype(q.dtype), None,
-                 impl=attn_impl)
+                 impl=impl)
     return nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
 
 
@@ -783,7 +785,8 @@ def dit_forward_cached(
                                else jnp.concatenate([hd_, tl[None]], axis=0))
         new_k, new_v = cat(new_k, tk), cat(new_v, tv)
         new_sc, new_vsc = cat(new_sc, tsc), cat(new_vsc, tvsc)
-        flow = jnp.zeros((b, f, c, h, w), jnp.float32)
+        # placeholder must match the real flow's shape (out_dim, not in_dim)
+        flow = jnp.zeros((b, f, cfg.out_dim, h, w), jnp.float32)
     else:
         tokens, (new_k, new_v, new_sc, new_vsc) = jax.lax.scan(
             body, tokens, blocks_xs)
@@ -797,7 +800,10 @@ def dit_forward_cached(
         # one in-place commit of all layers' block K/V (ys are
         # [L, B, F*fs, N, D]); XLA aliases the donated cache buffers.
         # int8 caches quantize the block here — once per block, not per
-        # layer-forward
+        # layer-forward.  NOTE: this is the [L]-stacked + int8-scales +
+        # write_frames-subset generalization of ops.kv_cache.write_block_kv
+        # (used by the per-layer SP path) — keep the ring-write convention
+        # in sync with it.
         fs = cache_cfg.frame_seq
         ck, cv = cache.k, cache.v
         csk, csv = cache.k_scale, cache.v_scale

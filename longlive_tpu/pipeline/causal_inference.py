@@ -41,12 +41,32 @@ def build_recache_fn(
     overwrite_sink: bool,
     window_frames: int,
     attn_impl: str = "auto",
+    forward=None,
 ):
-    """KV-recache as a pure function (see CausalInferencePipeline._recache_fn
-    for semantics; shared with the streaming trainer).  Returns
-    fn(params, cache, cross_new, replay, recache_start_frame) -> cache'."""
+    """KV-recache as a pure function — the single implementation behind
+    CausalInferencePipeline._recache_fn, the streaming trainer, and the
+    interactive pipeline (reference interactive_causal_inference.py:34-106):
+    zero the cache (unless global_sink), replay the last ``num_frames``
+    generated frames under the new prompt in ONE kv_only forward, writing
+    K/V linearly from slot 0 (or from the sink boundary when the original
+    sink is kept).
+
+    ``forward``: optional pipeline-style callable
+    ``(params, x, t_val, cross, state, start, **kw)`` (e.g.
+    CausalInferencePipeline._forward, which routes to the SP path on a
+    mesh); defaults to the single-device cached forward.
+    Returns fn(params, cache, cross_new, replay, recache_start_frame)
+    -> cache'."""
     sink = cache_cfg.sink_frames
     budget = window_frames - sink
+
+    if forward is None:
+        def forward(params, x, t_val, cross, state, start, **kw):
+            b, f = x.shape[:2]
+            t = jnp.full((b, f), t_val, jnp.float32)
+            return D.dit_forward_cached(
+                params, cfg, cache_cfg, tables, x, t, cross, state, start,
+                attn_impl=attn_impl, **kw)
 
     def fn(params, cache, cross_new, replay, recache_start_frame):
         n = num_frames
@@ -57,15 +77,15 @@ def build_recache_fn(
         write_frames = tuple(range(n)) if overwrite_sink else tuple(range(sink, n))
         slots = jnp.arange(cache_cfg.total_frames, dtype=jnp.int32)
         n_arr = jnp.maximum(jnp.asarray(n, jnp.int32), sink)
+        # attend: sink slots + the most recent `budget` replay slots
+        # (reference recache attention = sink ++ local window,
+        #  causal_model.py:331-341)
         kv_valid = (slots < sink) | ((slots >= n_arr - budget) & (slots < n_arr))
         kv_valid = jnp.repeat(kv_valid, cache_cfg.frame_seq)
-        b, f = replay.shape[:2]
-        t = jnp.full((b, f), sched_context_noise, jnp.float32)
-        _, state = D.dit_forward_cached(
-            params, cfg, cache_cfg, tables, replay, t, cross_new, state,
+        _, state = forward(
+            params, replay, float(sched_context_noise), cross_new, state,
             recache_start_frame, kv_valid=kv_valid, offsets=offsets,
-            write_frames=write_frames, advance_counters=False,
-            attn_impl=attn_impl, kv_only=True,
+            write_frames=write_frames, advance_counters=False, kv_only=True,
         )
         return state
 
@@ -270,37 +290,15 @@ class CausalInferencePipeline:
         streaming_switch_training.py:244-318 + causal_model.py:264,302."""
         if overwrite_sink is None:
             overwrite_sink = not global_sink
-        window = self.attn_window_frames
         key = (num_frames, global_sink, overwrite_sink)
         if key in self._recache_fns:
             return self._recache_fns[key]
 
-        cc = self.cache_cfg
-        sink = cc.sink_frames
-        budget = window - sink
-
-        def fn(params, cache, cross_new, replay, recache_start_frame):
-            n = num_frames
-            if not global_sink:
-                cache = kvc.zero_cache(cache)
-            state = kvc.recache_state(cc, cache, recache_start_frame + n, n)
-            offsets = jnp.arange(n, dtype=jnp.int32) * cc.frame_seq
-            write_frames = tuple(range(n)) if overwrite_sink else tuple(range(sink, n))
-            slots = jnp.arange(cc.total_frames, dtype=jnp.int32)
-            n_arr = jnp.maximum(jnp.asarray(n, jnp.int32), sink)
-            # attend: sink slots + the most recent `budget` replay slots
-            # (reference recache attention = sink ++ local window,
-            #  causal_model.py:331-341)
-            kv_valid = (slots < sink) | ((slots >= n_arr - budget) & (slots < n_arr))
-            kv_valid = jnp.repeat(kv_valid, cc.frame_seq)
-            _, state = self._forward(
-                params, replay, float(self.config.context_noise), cross_new,
-                state, recache_start_frame,
-                kv_valid=kv_valid, offsets=offsets, write_frames=write_frames,
-                advance_counters=False, kv_only=True,
-            )
-            return state
-
+        fn = build_recache_fn(
+            self.cfg, self.cache_cfg, self.tables,
+            float(self.config.context_noise), num_frames, global_sink,
+            overwrite_sink, self.attn_window_frames, forward=self._forward,
+        )
         jitted = jax.jit(fn, donate_argnums=(1,))
         self._recache_fns[key] = jitted
         return jitted
