@@ -13,6 +13,7 @@ both.  Differences from the causal path:
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -56,6 +57,54 @@ def prepare_img_cross_kv(params: dict, cfg: DiTConfig,
     return CrossKV(k=k, v=v)
 
 
+def _bidi_block(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
+                cfg: DiTConfig, attn_impl: str, cki=None, cvi=None):
+    """One WanAttentionBlock (model.py:315-354) as a pure module-level
+    function — shared by the scanned forward and the host-streamed forward
+    (whose per-layer jit needs a stable function identity to compile once)."""
+    b, s, _ = xcur.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    em = layer_p["modulation"][None].astype(e0.dtype) + e0  # [B, 6, dim]
+    e_ = [em[:, i][:, None] for i in range(6)]  # [B, 1, dim]
+
+    hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[1]) + e_[0]
+    q = nn.linear(hh, layer_p["self_attn"]["q"])
+    k = nn.linear(hh, layer_p["self_attn"]["k"])
+    if cfg.qk_norm:
+        q = nn.rms_norm(q, layer_p["self_attn"]["norm_q"]["scale"], cfg.eps)
+        k = nn.rms_norm(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
+    v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
+    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                     layout=cfg.rope_layout)
+    k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin,
+                     layout=cfg.rope_layout)
+    y = attend(q, k, v, None, impl=attn_impl)
+    y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
+    xcur = xcur + y * e_[2]
+
+    norm3 = layer_p.get("norm3")
+    hh = nn.layer_norm(xcur, cfg.eps,
+                       scale=None if norm3 is None else norm3["scale"],
+                       bias=None if norm3 is None else norm3["bias"])
+    cq = nn.linear(hh, layer_p["cross_attn"]["q"])
+    if cfg.qk_norm:
+        cq = nn.rms_norm(cq, layer_p["cross_attn"]["norm_q"]["scale"], cfg.eps)
+    cq = cq.reshape(b, s, n, hd)
+    co = attend(cq, ck.astype(cq.dtype), cv.astype(cq.dtype), None,
+                impl=attn_impl)
+    if cki is not None:
+        # i2v: image-token attention added to the text attention output
+        # before the shared output projection (model.py:255-263).
+        co = co + attend(cq, cki.astype(cq.dtype), cvi.astype(cq.dtype),
+                         None, impl=attn_impl)
+    xcur = xcur + nn.linear(co.reshape(b, s, n * hd), layer_p["cross_attn"]["o"])
+
+    hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[4]) + e_[3]
+    y = nn.linear(nn.gelu_tanh(nn.linear(hh, layer_p["ffn"]["fc1"])),
+                  layer_p["ffn"]["fc2"])
+    return xcur + y * e_[5]
+
+
 def bidirectional_forward(
     params: dict,
     cfg: DiTConfig,
@@ -91,46 +140,8 @@ def bidirectional_forward(
     rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, 0)
 
     def block(xcur, layer_p, ck, cv, cki=None, cvi=None):
-        em = layer_p["modulation"][None].astype(e0.dtype) + e0  # [B, 6, dim]
-        e_ = [em[:, i][:, None] for i in range(6)]  # [B, 1, dim]
-
-        hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[1]) + e_[0]
-        q = nn.linear(hh, layer_p["self_attn"]["q"])
-        k = nn.linear(hh, layer_p["self_attn"]["k"])
-        if cfg.qk_norm:
-            q = nn.rms_norm(q, layer_p["self_attn"]["norm_q"]["scale"], cfg.eps)
-            k = nn.rms_norm(k, layer_p["self_attn"]["norm_k"]["scale"], cfg.eps)
-        v = nn.linear(hh, layer_p["self_attn"]["v"]).reshape(b, s, n, hd)
-        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
-                         layout=cfg.rope_layout)
-        k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin,
-                         layout=cfg.rope_layout)
-        y = attend(q, k, v, None, impl=attn_impl)
-        y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
-        xcur = xcur + y * e_[2]
-
-        norm3 = layer_p.get("norm3")
-        hh = nn.layer_norm(xcur, cfg.eps,
-                           scale=None if norm3 is None else norm3["scale"],
-                           bias=None if norm3 is None else norm3["bias"])
-        cq = nn.linear(hh, layer_p["cross_attn"]["q"])
-        if cfg.qk_norm:
-            cq = nn.rms_norm(cq, layer_p["cross_attn"]["norm_q"]["scale"], cfg.eps)
-        cq = cq.reshape(b, s, n, hd)
-        co = attend(cq, ck.astype(cq.dtype), cv.astype(cq.dtype), None,
-                    impl=attn_impl)
-        if cki is not None:
-            # i2v: image-token attention added to the text attention output
-            # before the shared output projection (model.py:255-263).
-            co = co + attend(cq, cki.astype(cq.dtype), cvi.astype(cq.dtype),
-                             None, impl=attn_impl)
-        xcur = xcur + nn.linear(co.reshape(b, s, n * hd), layer_p["cross_attn"]["o"])
-
-        hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[4]) + e_[3]
-        y = nn.linear(nn.gelu_tanh(nn.linear(hh, layer_p["ffn"]["fc1"])),
-                      layer_p["ffn"]["fc2"])
-        xcur = xcur + y * e_[5]
-        return xcur, None
+        return _bidi_block(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
+                           cfg, attn_impl, cki, cvi), None
 
     if cross_kv_img is not None:
         def scan_body(carry, xs):
@@ -160,6 +171,76 @@ def bidirectional_forward(
     y = nn.layer_norm(tokens, cfg.eps) * (1 + em[:, 1][:, None]) + em[:, 0][:, None]
     out = nn.linear(y, hp_["head"])
     return unpatchify(out.astype(jnp.float32), cfg, f, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def _bidi_block_step(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
+                     cfg: DiTConfig, attn_impl: str):
+    return _bidi_block(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
+                       cfg, attn_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _bidi_prologue(params, cfg: DiTConfig, tables: RopeTables, x, t):
+    b, f, c, h, w = x.shape
+    dtype = params["patch_embedding"]["kernel"].dtype
+    tokens = nn.linear(patchify(x.astype(dtype), cfg),
+                       params["patch_embedding"])
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, t).astype(dtype)
+    e = nn.linear(nn.silu(nn.linear(emb, params["time_embedding"]["fc1"])),
+                  params["time_embedding"]["fc2"])
+    e0 = nn.linear(nn.silu(e), params["time_projection"]["fc"]).reshape(
+        b, 6, cfg.dim)
+    hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
+    rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, 0)
+    return tokens, e, e0, rope_cos, rope_sin
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "f", "h", "w"))
+def _bidi_head(head_p, cfg: DiTConfig, tokens, e, f: int, h: int, w: int):
+    em = head_p["modulation"][None].astype(e.dtype) + e[:, None]
+    y = (nn.layer_norm(tokens, cfg.eps) * (1 + em[:, 1][:, None])
+         + em[:, 0][:, None])
+    out = nn.linear(y, head_p["head"])
+    return unpatchify(out.astype(jnp.float32), cfg, f, h, w)
+
+
+def bidirectional_forward_streamed(
+    params: dict,
+    cfg: DiTConfig,
+    tables: RopeTables,
+    x: jax.Array,  # [B, F, C, H, W]
+    t: jax.Array,  # [B]
+    cross_kv: CrossKV,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """`bidirectional_forward` with per-access weight streaming — the
+    TPU-native DynamicSwapInstaller path (reference utils/memory.py:13-58,
+    applied to the DiT for the <40 GB inference mode, inference.py:62).
+
+    ``params["blocks"]`` leaves live on HOST (see
+    utils.memory.blocks_to_host); each layer's slice is device_put one
+    layer ahead of its compute (utils.memory.stream_scan), so peak HBM
+    holds the embeddings/head plus TWO layers of block weights.  Numerics
+    match `bidirectional_forward` exactly (same per-layer math, jitted with
+    stable identity — one compile total).  Inference-only: gradients do not
+    flow through the host round-trip.
+    """
+    from ..utils.memory import stream_scan
+
+    b, f, c, h, w = x.shape
+    small = {k: params[k] for k in
+             ("patch_embedding", "time_embedding", "time_projection")}
+    tokens, e, e0, rope_cos, rope_sin = _bidi_prologue(small, cfg, tables, x, t)
+
+    def step(carry, xs):
+        layer_p, ck, cv = xs
+        return _bidi_block_step(carry, layer_p, ck, cv, e0, rope_cos,
+                                rope_sin, cfg, attn_impl)
+
+    tokens = stream_scan(step, tokens,
+                         (params["blocks"], cross_kv.k, cross_kv.v))
+    return _bidi_head(params["head"], cfg, tokens, e, f, h, w)
 
 
 # ---------------------------------------------------------------------------

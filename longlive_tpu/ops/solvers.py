@@ -309,3 +309,33 @@ def sample_flow(
           coeffs.bm2)
     (x, _, _, _), _ = jax.lax.scan(body, (x0, z, z, z), xs)
     return x.astype(noise.dtype)
+
+
+def sample_flow_eager(
+    model_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    noise: jax.Array,
+    coeffs: SolverCoeffs,
+) -> jax.Array:
+    """`sample_flow` as a host-side Python loop: same math, but `model_fn`
+    runs OUTSIDE any trace, so it may be a non-jittable callable — in
+    particular the weight-streamed forward
+    (models.dit_bidirectional.bidirectional_forward_streamed), whose
+    per-layer host→device copies cannot live inside one jitted program.
+    Coefficients are host numpy already (make_coefficients), so slicing
+    them per step stays on the host."""
+    import numpy as np
+
+    x = noise.astype(jnp.float32)
+    z = jnp.zeros_like(x)
+    m1, m2, x_prev = z, z, z
+    n_steps = np.asarray(coeffs.timesteps).shape[0]
+    for i in range(n_steps):
+        t = jnp.asarray(coeffs.timesteps[i], jnp.float32)
+        v = model_fn(x.astype(noise.dtype), t).astype(jnp.float32)
+        mt = x - coeffs.sigmas[i] * v
+        xc = (coeffs.bxt[i] * x + coeffs.bx[i] * x_prev + coeffs.bmt[i] * mt
+              + coeffs.bm1[i] * m1 + coeffs.bm2[i] * m2)
+        xn = (coeffs.ax[i] * xc + coeffs.am0[i] * mt + coeffs.am1[i] * m1
+              + coeffs.am2[i] * m2)
+        x, m1, m2, x_prev = xn, mt, m1, xc
+    return x.astype(noise.dtype)

@@ -43,7 +43,7 @@ class Text2VideoPipeline:
     """
 
     def __init__(self, params: dict, cfg: DiTConfig, attn_impl: str = "auto",
-                 mesh=None):
+                 mesh=None, offload_blocks: bool = False):
         self.params = params
         self.cfg = cfg
         self.attn_impl = attn_impl
@@ -54,6 +54,18 @@ class Text2VideoPipeline:
         self.mesh = mesh
         self.sp = int(mesh.shape["sp"]) if mesh is not None and "sp" in mesh.shape else 1
         self._fn_cache = {}
+        # per-access weight streaming (reference offload_model=True +
+        # DynamicSwapInstaller, the 14B-on-small-HBM path): block params
+        # live on host, streamed one layer ahead of compute
+        self.offload_blocks = offload_blocks
+        if offload_blocks:
+            if self.sp > 1:
+                raise ValueError("offload_blocks streams layers on one "
+                                 "device; it composes with dp sharding of "
+                                 "prompts, not sp")
+            from ..utils.memory import blocks_to_host
+
+            self.params = blocks_to_host(params)
 
     def prepare_condition(self, prompt_embeds: jax.Array) -> CrossKV:
         return prepare_cross_kv(self.params, self.cfg, prompt_embeds)
@@ -117,6 +129,21 @@ class Text2VideoPipeline:
             v=jnp.concatenate([cond.v, null.v], axis=1),
         )
         coeffs = SV.make_coefficients(solver, sampling_steps, shift)
+        if self.offload_blocks:
+            from ..models.dit_bidirectional import bidirectional_forward_streamed
+
+            b = noise.shape[0]
+
+            def model_fn(x, t):
+                xx = jnp.concatenate([x, x], axis=0)
+                tt = jnp.full((2 * b,), t, jnp.float32)
+                out = bidirectional_forward_streamed(
+                    self.params, self.cfg, self.tables, xx, tt, both,
+                    attn_impl=self.attn_impl)
+                c_, u_ = out[:b], out[b:]
+                return u_ + guide_scale * (c_ - u_)
+
+            return SV.sample_flow_eager(model_fn, noise.astype(dtype), coeffs)
         out = self._sampler(guide_scale)(self.params, noise.astype(dtype),
                                          both, coeffs)
         return out

@@ -40,6 +40,60 @@ def hbm_bytes(tree: Any) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
+def blocks_to_host(params: dict, key: str = "blocks") -> dict:
+    """Per-access weight streaming, part 1: move the layer-stacked block
+    params (every leaf [L, ...]) to host memory, leaving the small
+    embedding/head params on device.  The TPU-native counterpart of the
+    reference's ``DynamicSwapInstaller.install_model`` (utils/memory.py:13-58),
+    which swaps individual submodule tensors on ``__getattr__``: here the
+    unit of streaming is one transformer layer's slice of the stacked tree,
+    fetched one layer ahead of compute by :func:`stream_scan`."""
+    import numpy as np
+
+    out = dict(params)
+    # numpy (not pinned-host jax arrays): slicing a host jax array is a
+    # device computation, which would pull the whole stack back to HBM;
+    # a numpy slice is a view and device_put streams just that layer
+    out[key] = jax.tree.map(lambda x: np.asarray(x), params[key])
+    return out
+
+
+def stream_scan(step, carry, host_xs, device=None):
+    """Double-buffered host→device layer streaming — the compute side of
+    per-access weight streaming (reference DynamicSwapInstaller,
+    utils/memory.py:13-58).
+
+    ``step(carry, xs_l) -> carry`` runs per layer (callers pass a jitted
+    module-level function so it compiles once); ``host_xs`` is a pytree
+    whose leaves are stacked [L, ...] and may live on host (numpy or
+    pinned-host jax arrays) or device.  Layer l+1's slice is dispatched
+    (async) to ``device`` before layer l's compute, so the H2D copy of the
+    next layer overlaps the current layer's FLOPs; peak HBM holds two
+    layers of weights instead of L.
+
+    Exact-equivalence contract: identical math to
+    ``jax.lax.scan(lambda c, xs: (step(c, xs), None), carry, device_xs)``
+    (tests/test_weight_streaming.py).
+    """
+    leaves = jax.tree.leaves(host_xs)
+    if not leaves:
+        return carry
+    length = leaves[0].shape[0]
+    if device is None:
+        device = jax.devices()[0]
+
+    def fetch(i):
+        return jax.device_put(
+            jax.tree.map(lambda a: a[i], host_xs), device)
+
+    buf = fetch(0)
+    for l in range(length):
+        nxt = fetch(l + 1) if l + 1 < length else None
+        carry = step(carry, buf)
+        buf = nxt
+    return carry
+
+
 def log_memory(tag: str = ""):
     """Device memory stats printout (reference log_gpu_memory,
     utils/memory.py:86-91)."""
