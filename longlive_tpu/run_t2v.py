@@ -61,6 +61,11 @@ def main():
                     help="Ulysses sequence-parallel degree (t2v only; the "
                          "reference wires xDiT SP into exactly this path, "
                          "wan/text2video.py:87-97)")
+    ap.add_argument("--offload_blocks", action="store_true",
+                    help="stream DiT block weights from host per layer "
+                         "(the reference's offload_model=True / "
+                         "DynamicSwapInstaller low-HBM path — fits the 14B "
+                         "model on one 16 GB chip; t2v only)")
     ap.add_argument("--tiny_debug", action="store_true",
                     help="tiny random-weight model (CI / smoke runs)")
     args = ap.parse_args()
@@ -143,7 +148,8 @@ def main():
             assert len(jax.devices()) >= args.sp, "not enough devices for --sp"
             mesh = M.make_mesh(dp=1, fsdp=1, sp=args.sp,
                                devices=jax.devices()[: args.sp])
-        pipe = Text2VideoPipeline(params, cfg, mesh=mesh)
+        pipe = Text2VideoPipeline(params, cfg, mesh=mesh,
+                                  offload_blocks=args.offload_blocks)
         latents = pipe.generate_latents(
             cond, null, rng=rng, latent_shape=shape,
             sampling_steps=args.steps, shift=args.shift,
