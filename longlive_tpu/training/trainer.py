@@ -91,6 +91,17 @@ class TrainerConfig:
     # rel-RMS per the serving int8-K measurement); halves the largest
     # rollout residents (see training/rollout.py RolloutConfig.cache_int8)
     cache_int8: bool = False
+    # split each DMD update into three jits — rollout fwd (generator
+    # resident), DMD loss grad wrt latents (critic+teacher resident),
+    # rollout vjp (generator resident) — and page the teacher + frozen
+    # critic base to pinned host between them.  Removes ~5.2 GB (two bf16
+    # 1.3B models) from the rollout phases' HBM residency, the remaining
+    # lever for the 21-frame full-geometry single-chip step (PERF.md).
+    # Exact by the chain rule (dL/dθ = (∂L/∂latents)ᵀ·∂latents/∂θ); costs
+    # one extra grad-free rollout forward per generator update + ~5 GB of
+    # host↔HBM paging per step.  Matches the reference's activation/teacher
+    # offload levers (trainer/distillation.py offload flags).
+    staged_phases: bool = False
     # micro-steps per optimizer update (longlive_train_init.yaml:34)
     gradient_accumulation_steps: int = 1
 
@@ -279,8 +290,23 @@ class ScoreDistillationTrainer:
                 gen_trained),
             step=jnp.zeros([], jnp.int32),
         )
+        if tcfg.staged_phases:
+            # the frozen trees leave HBM: teacher always, critic base when
+            # only its adapters train.  train_step pages device copies in
+            # for the loss-grad phase only.
+            from ..utils import memory as mem_mod
+
+            self.teacher_params = mem_mod.offload_to_host(self.teacher_params)
+            if self.critic_lora_on:
+                self.state["critic_params"] = mem_mod.offload_to_host(
+                    self.state["critic_params"])
+
         self._gen_steps = {}
         self._critic_steps = {}
+        self._staged_rolls = {}
+        self._staged_dmd = {}
+        self._staged_vjps = {}
+        self._staged_closs = {}
 
     # -- trainable-tree materialization ------------------------------------
 
@@ -401,6 +427,144 @@ class ScoreDistillationTrainer:
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    # -- staged-phase builders (tcfg.staged_phases) -------------------------
+    #
+    # The monolithic jits above hold generator, critic AND teacher in HBM
+    # for the whole step.  The staged split runs three programs per
+    # generator update — rollout fwd (generator resident), DMD loss grad
+    # wrt latents (critic+teacher resident), rollout vjp (generator
+    # resident) — with the frozen trees paged to pinned host in between.
+    # Chain rule: dL/dθ = (∂L/∂latents)ᵀ · ∂latents/∂θ, so the composition
+    # is exact up to bf16 scheduling differences between the grad-free and
+    # differentiated rollout compilations (tests/test_training.py asserts
+    # closeness vs the monolithic step at tiny config).
+
+    def _latents_fn(self, exit_idx: int, grad_start: int):
+        """Rollout → (sliced/re-encoded) latents as a pure function of the
+        trained generator tree — the forward both staged rollout jits share."""
+
+        def f(gen_train, gen_base, noise, prompt_c, rng_roll):
+            gp = self._gen_full(gen_train, gen_base)
+            dtype = gp["patch_embedding"]["kernel"].dtype
+            cross_gen = D.prepare_cross_kv(gp, self.cfg, prompt_c, dtype)
+            latents, _, _ = self._rollout(gp, noise, cross_gen, rng_roll,
+                                          exit_idx, grad_start)
+            return self._slice_reencode(latents)
+
+        return f
+
+    def _staged_roll(self, key):
+        if key not in self._staged_rolls:
+            self._staged_rolls[key] = jax.jit(self._latents_fn(*key))
+        return self._staged_rolls[key]
+
+    def _staged_dmd_grad(self, exit_idx: int, use_mask: bool):
+        key = (exit_idx, use_mask)
+        if key in self._staged_dmd:
+            return self._staged_dmd[key]
+        t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
+
+        def f(latents, critic_train, critic_base, teacher_params,
+              prompt_c, prompt_u, rng_dmd):
+            critic_params = self._critic_full(critic_train, critic_base)
+            gmask = None
+            if use_mask:
+                fr = latents.shape[1]
+                gmask = jnp.arange(fr)[None] >= self.rcfg.frame_block
+                gmask = jnp.broadcast_to(gmask, latents.shape[:2])
+
+            def lf(lat):
+                return dmd_mod.distribution_matching_loss(
+                    lat, critic_params, teacher_params, self.cfg,
+                    self.tables, self.sched, self.dcfg, prompt_c, prompt_u,
+                    rng_dmd, gradient_mask=gmask,
+                    denoised_from=t_from, denoised_to=t_to,
+                    attn_impl=self.rcfg.attn_impl, teacher_cfg=self.teacher_cfg,
+                )
+
+            (loss, aux), dlat = jax.value_and_grad(lf, has_aux=True)(latents)
+            return loss, aux, dlat
+
+        self._staged_dmd[key] = jax.jit(f)
+        return self._staged_dmd[key]
+
+    def _staged_vjp(self, key):
+        if key in self._staged_vjps:
+            return self._staged_vjps[key]
+        lat_f = self._latents_fn(*key)
+
+        def f(gen_train, gen_base, noise, prompt_c, rng_roll, dlat):
+            def scalar(gt):
+                lat = lat_f(gt, gen_base, noise, prompt_c, rng_roll)
+                return jnp.sum(lat * dlat)
+
+            return jax.grad(scalar)(gen_train)
+
+        self._staged_vjps[key] = jax.jit(f)
+        return self._staged_vjps[key]
+
+    def _staged_critic_grad(self, exit_idx: int):
+        if exit_idx in self._staged_closs:
+            return self._staged_closs[exit_idx]
+        t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
+
+        def f(critic_train, critic_base, latents, prompt_c, rng_crit):
+            def lf(ct):
+                cp = self._critic_full(ct, critic_base)
+                return dmd_mod.critic_denoising_loss(
+                    cp, latents, self.cfg, self.tables, self.sched, self.dcfg,
+                    prompt_c, rng_crit, denoised_from=t_from, denoised_to=t_to,
+                    attn_impl=self.rcfg.attn_impl,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(critic_train)
+            return grads, loss, aux
+
+        self._staged_closs[exit_idx] = jax.jit(f)
+        return self._staged_closs[exit_idx]
+
+    def _gen_step_staged(self, exit_idx, grad_start, use_mask, trained,
+                         noise, prompt_c, prompt_u, rng):
+        from ..utils import memory as mem_mod
+
+        empty = {}
+        rng_roll, rng_dmd = jax.random.split(rng)
+        gen_base = self.state["gen_params"] if self.use_lora else empty
+        rkey = (exit_idx, grad_start)
+        latents = self._staged_roll(rkey)(trained, gen_base, noise,
+                                          prompt_c, rng_roll)
+        critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
+                       if self.critic_lora_on else empty)
+        teacher = mem_mod.fetch_from_host(self.teacher_params)
+        critic_train = self.state[
+            "critic_lora" if self.critic_lora_on else "critic_params"]
+        loss, aux, dlat = self._staged_dmd_grad(exit_idx, use_mask)(
+            latents, critic_train, critic_base, teacher,
+            prompt_c, prompt_u, rng_dmd)
+        dlat.block_until_ready()  # the pages must not overlap the vjp peak
+        del teacher, critic_base, latents
+        grads = self._staged_vjp(rkey)(trained, gen_base, noise, prompt_c,
+                                       rng_roll, dlat)
+        return grads, loss, aux
+
+    def _critic_step_staged(self, exit_idx, trained_c, noise, prompt_c, rng):
+        from ..utils import memory as mem_mod
+
+        empty = {}
+        rng_roll, rng_crit = jax.random.split(rng)
+        gen_train = self.state["gen_lora" if self.use_lora else "gen_params"]
+        gen_base = self.state["gen_params"] if self.use_lora else empty
+        rkey = (exit_idx, noise.shape[1] + 1)  # no grad anywhere
+        latents = self._staged_roll(rkey)(gen_train, gen_base, noise,
+                                          prompt_c, rng_roll)
+        critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
+                       if self.critic_lora_on else empty)
+        grads, loss, aux = self._staged_critic_grad(exit_idx)(
+            trained_c, critic_base, latents, prompt_c, rng_crit)
+        jax.tree.leaves(grads)[0].block_until_ready()
+        del critic_base, latents
+        return grads, loss, aux
+
     # -- public API --------------------------------------------------------
 
     def _sample_rollout_geometry(self, noise, rng_exit, rng_len):
@@ -440,21 +604,28 @@ class ScoreDistillationTrainer:
         if train_generator:
             exit_idx, nb, use_mask = self._sample_rollout_geometry(
                 noise, rng_exit, rng_len)
-            key = (exit_idx, 0, use_mask)
-            if key not in self._gen_steps:
-                self._gen_steps[key] = self._gen_step_fn(*key)
             trained = self.state[gen_train_key]
-            args = (
-                trained, empty if self.tcfg.opt_on_host else self.state["gen_opt"],
-                self.state["gen_params"] if self.use_lora else empty,
-                self.state[critic_train_key],
-                self.state["critic_params"] if self.critic_lora_on else empty,
-                self.teacher_params, noise[:, : nb * fpb], prompt_c, prompt_u,
-                rng_g,
-            )
+            if self.tcfg.staged_phases:
+                grads, loss, aux = self._gen_step_staged(
+                    exit_idx, 0, use_mask, trained, noise[:, : nb * fpb],
+                    prompt_c, prompt_u, rng_g)
+            else:
+                key = (exit_idx, 0, use_mask)
+                if key not in self._gen_steps:
+                    self._gen_steps[key] = self._gen_step_fn(*key)
+                args = (
+                    trained,
+                    empty if self.tcfg.opt_on_host else self.state["gen_opt"],
+                    self.state["gen_params"] if self.use_lora else empty,
+                    self.state[critic_train_key],
+                    self.state["critic_params"] if self.critic_lora_on else empty,
+                    self.teacher_params, noise[:, : nb * fpb], prompt_c,
+                    prompt_u, rng_g,
+                )
             if self.tcfg.opt_on_host:
                 dtypes = [x.dtype for x in jax.tree.leaves(trained)]
-                grads, loss, aux = self._gen_steps[key](*args)
+                if not self.tcfg.staged_phases:
+                    grads, loss, aux = self._gen_steps[key](*args)
                 gt, gnorm = host_adamw_step(
                     self.state["gen_opt"], grads, lr=self.tcfg.lr,
                     b1=self.tcfg.beta1, b2=self.tcfg.beta2,
@@ -462,6 +633,12 @@ class ScoreDistillationTrainer:
                     clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
                 del grads
                 aux = dict(aux, generator_grad_norm=gnorm)
+            elif self.tcfg.staged_phases:
+                updates, self.state["gen_opt"] = self.gen_tx.update(
+                    grads, self.state["gen_opt"], trained)
+                gt = optax.apply_updates(trained, updates)
+                aux = dict(aux, generator_grad_norm=optax.global_norm(grads))
+                del grads
             else:
                 gt, gopt, loss, aux = self._gen_steps[key](*args)
                 self.state["gen_opt"] = gopt
@@ -475,19 +652,27 @@ class ScoreDistillationTrainer:
         # critic trains every step, on its own rollout of the same prompts
         # (reference fwdbwd_one_step(batch, False) after the generator pass)
         exit_c, nb_c, _ = self._sample_rollout_geometry(noise, rng_exit2, rng_len2)
-        if exit_c not in self._critic_steps:
-            self._critic_steps[exit_c] = self._critic_step_fn(exit_c)
         trained_c = self.state[critic_train_key]
-        cargs = (
-            trained_c, empty if self.tcfg.opt_on_host else self.state["critic_opt"],
-            self.state["critic_params"] if self.critic_lora_on else empty,
-            self.state[gen_train_key],
-            self.state["gen_params"] if self.use_lora else empty,
-            noise[:, : nb_c * fpb], prompt_c, rng_c,
-        )
+        if self.tcfg.staged_phases:
+            cgrads, closs, caux = self._critic_step_staged(
+                exit_c, trained_c, noise[:, : nb_c * fpb], prompt_c, rng_c)
+        else:
+            if exit_c not in self._critic_steps:
+                self._critic_steps[exit_c] = self._critic_step_fn(exit_c)
+            cargs = (
+                trained_c,
+                empty if self.tcfg.opt_on_host else self.state["critic_opt"],
+                self.state["critic_params"] if self.critic_lora_on else empty,
+                self.state[gen_train_key],
+                self.state["gen_params"] if self.use_lora else empty,
+                noise[:, : nb_c * fpb], prompt_c, rng_c,
+            )
         if self.tcfg.opt_on_host:
             dtypes = [x.dtype for x in jax.tree.leaves(trained_c)]
-            grads, loss, aux = self._critic_steps[exit_c](*cargs)
+            if self.tcfg.staged_phases:
+                grads, loss, aux = cgrads, closs, caux
+            else:
+                grads, loss, aux = self._critic_steps[exit_c](*cargs)
             ct, gnorm = host_adamw_step(
                 self.state["critic_opt"], grads, lr=self.tcfg.lr_critic,
                 b1=self.tcfg.beta1_critic, b2=self.tcfg.beta2_critic,
@@ -495,6 +680,13 @@ class ScoreDistillationTrainer:
                 clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
             del grads
             aux = dict(aux, critic_grad_norm=gnorm)
+        elif self.tcfg.staged_phases:
+            updates, self.state["critic_opt"] = self.critic_tx.update(
+                cgrads, self.state["critic_opt"], trained_c)
+            ct = optax.apply_updates(trained_c, updates)
+            loss, aux = closs, dict(
+                caux, critic_grad_norm=optax.global_norm(cgrads))
+            del cgrads
         else:
             ct, copt, loss, aux = self._critic_steps[exit_c](*cargs)
             self.state["critic_opt"] = copt

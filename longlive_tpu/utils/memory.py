@@ -36,6 +36,21 @@ def to_device(tree: Any) -> Any:
     return jax.tree.map(jax.device_put, tree)
 
 
+def fetch_from_host(tree: Any, device=None) -> Any:
+    """Explicit pinned-host → device-HBM fetch.
+
+    ``jax.device_put(x)`` with no target is a no-op for an array already
+    committed to a pinned-host sharding, so paging host-resident params
+    back to HBM needs the device memory kind spelled out."""
+    dev = device if device is not None else jax.devices()[0]
+    try:
+        sh = jax.sharding.SingleDeviceSharding(dev, memory_kind="device")
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    except Exception:  # backend without memory kinds (offload fell back
+        return jax.tree.map(  # to numpy there too — plain put suffices)
+            lambda x: jax.device_put(x, dev), tree)
+
+
 def hbm_bytes(tree: Any) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 

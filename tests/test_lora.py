@@ -63,6 +63,41 @@ def test_lora_trainer_step():
 
 
 @pytest.mark.slow
+def test_lora_staged_phases_step():
+    """The 1.3B single-chip combo — staged_phases + LoRA adapters +
+    host-offloaded AdamW.  Teacher and the frozen critic base live on host
+    between phases; one gen+critic step must run and leave the bases
+    untouched (trainer._gen_step_staged / _critic_step_staged)."""
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    mk = lambda s: D.init_dit_params(jax.random.PRNGKey(s), cfg, jnp.float32,
+                                     zero_head=False)
+    tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                         min_num_training_frames=3, slice_last_frames=3,
+                         attn_impl="xla", dfake_gen_update_ratio=1,
+                         lora_rank=4, lora_alpha=4.0, lora_dtype="float32",
+                         staged_phases=True, opt_on_host=True)
+    tr = ScoreDistillationTrainer(tcfg, cfg, geom, mk(0), mk(1), mk(2))
+    assert tr.critic_lora_on
+    base_before = np.asarray(tr.state["gen_params"]["blocks"]["ffn"]["fc1"]["kernel"])
+    lora_b_before = np.asarray(tr.state["gen_lora"]["ffn"]["fc1"]["b"])
+    crit_b_before = np.asarray(tr.state["critic_lora"]["ffn"]["fc1"]["b"])
+
+    noise = jax.random.normal(jax.random.PRNGKey(3),
+                              (1, 3, geom.channels, geom.height, geom.width))
+    pe = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.text_len, cfg.text_dim))
+    m0 = tr.train_step(noise, pe, pe * 0.1, jax.random.PRNGKey(5))
+    assert np.isfinite(m0["generator_loss"]) and np.isfinite(m0["critic_loss"])
+    np.testing.assert_array_equal(
+        np.asarray(tr.state["gen_params"]["blocks"]["ffn"]["fc1"]["kernel"]),
+        base_before)
+    assert np.abs(np.asarray(tr.state["gen_lora"]["ffn"]["fc1"]["b"]) -
+                  lora_b_before).max() > 0
+    assert np.abs(np.asarray(tr.state["critic_lora"]["ffn"]["fc1"]["b"]) -
+                  crit_b_before).max() > 0
+
+
+@pytest.mark.slow
 def test_opt_on_host_matches_device():
     """Host-offloaded AdamW (numpy f32 master + moments) must reproduce the
     on-device optax.adamw chain exactly (same clip, bias correction, decay)."""
