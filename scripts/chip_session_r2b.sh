@@ -51,3 +51,12 @@ echo "=== vae decode: dense streams (LONGLIVE_VAE_DENSE=1) ==="
 LONGLIVE_VAE_DENSE=1 VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>&1 | tail -3
 echo "=== vae decode: dense + big tiles (halo-redundancy tradeoff moved) ==="
 LONGLIVE_VAE_DENSE=1 VAE_PROBE_ONLY=fused_bigtiles_96 timeout 1800 python scripts/vae_probe.py 2>&1 | tail -3
+
+# 8) staged-phase DMD step (teacher + frozen critic base paged to host):
+#    the 21-frame full-geometry single-chip target (VERDICT #3)
+echo "=== 1.3B lora_step, 21 frames, staged phases ==="
+timeout 3600 python scripts/train_probe_1p3b.py --mode lora_step --frames 21 \
+  --reps 1 --staged --auto_shrink 2>/dev/null | tail -4
+echo "=== 1.3B lora_step, 21 frames, staged + int8 rollout cache ==="
+timeout 3600 python scripts/train_probe_1p3b.py --mode lora_step --frames 21 \
+  --reps 1 --staged --cache_int8 --auto_shrink 2>/dev/null | tail -4

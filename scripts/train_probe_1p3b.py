@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--cache_int8", action="store_true",
                     help="int8 rollout KV cache (k+v, per-token scales) — "
                          "the PERF.md squeeze for the 9/21-frame gap")
+    ap.add_argument("--staged", action="store_true",
+                    help="staged_phases: 3-jit DMD split with the teacher + "
+                         "frozen critic base paged to host between phases "
+                         "(~5.2 GB off the rollout residency; lora_step only)")
     args = ap.parse_args()
 
     from longlive_tpu.config import DiTConfig, LatentGeometry
@@ -117,7 +121,8 @@ def main():
                 # 16 GB chip: bf16 adapters (reference adapter.dtype) +
                 # ZeRO-Offload-style host AdamW — on-device f32 master+
                 # moments for 2x540M adapter params alone would be ~13 GB
-                opt_on_host=True, cache_int8=args.cache_int8)
+                opt_on_host=True, cache_int8=args.cache_int8,
+                staged_phases=args.staged)
             tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic, teacher)
             del gen, critic, teacher  # trainer owns them; free the dup refs
             mem("trainer_ready")
@@ -241,6 +246,7 @@ def main():
         "mode": args.mode,
         "frames": frames,
         "cache_int8": args.cache_int8,
+        "staged": args.staged,
         "ms_per_step": round(dt * 1e3, 1),
         "hbm_peak_gb": hbm_peak_gb(),
         "device": str(jax.devices()[0]),
