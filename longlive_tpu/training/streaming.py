@@ -42,7 +42,7 @@ from ..ops import kv_cache as kvc
 from ..pipeline.causal_inference import build_recache_fn
 from . import dmd as dmd_mod
 from . import rollout as ro
-from .trainer import ScoreDistillationTrainer
+from .trainer import ScoreDistillationTrainer, host_adamw_step
 
 
 @dataclasses.dataclass
@@ -182,12 +182,15 @@ class StreamingTrainer(ScoreDistillationTrainer):
 
             (loss, (aux, new_cache, new_prev)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(gen_train)
+            if self.tcfg.opt_on_host:
+                return grads, new_cache, new_prev, loss, aux
             updates, gen_opt = self.gen_tx.update(grads, gen_opt, gen_train)
             gen_train = optax.apply_updates(gen_train, updates)
             aux = dict(aux, generator_grad_norm=optax.global_norm(grads))
             return gen_train, gen_opt, new_cache, new_prev, loss, aux
 
-        fn = jax.jit(step, donate_argnums=(0, 1, 6))
+        fn = jax.jit(step, donate_argnums=(0, 6) if self.tcfg.opt_on_host
+                     else (0, 1, 6))
         self._gen_chunk_steps[key] = fn
         return fn
 
@@ -217,15 +220,177 @@ class StreamingTrainer(ScoreDistillationTrainer):
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 critic_train)
+            if self.tcfg.opt_on_host:
+                return grads, new_cache, new_prev, loss, aux
             updates, critic_opt = self.critic_tx.update(grads, critic_opt,
                                                         critic_train)
             critic_train = optax.apply_updates(critic_train, updates)
             aux = dict(aux, critic_grad_norm=optax.global_norm(grads))
             return critic_train, critic_opt, new_cache, new_prev, loss, aux
 
-        fn = jax.jit(step, donate_argnums=(0, 1, 5))
+        fn = jax.jit(step, donate_argnums=(0, 5) if self.tcfg.opt_on_host
+                     else (0, 1, 5))
         self._critic_chunk_steps[key] = fn
         return fn
+
+    # -- staged-phase chunk builders (tcfg.staged_phases) --------------------
+    #
+    # Same 3-jit split as the parent trainer's staged DMD step (rollout fwd /
+    # DMD loss grad wrt the chunk / rollout VJP), applied to the streaming
+    # chunk step: the frozen teacher (+ critic base under LoRA) is paged to
+    # host while the generator rolls the chunk forward and back.  Exact by
+    # the chain rule — new_cache/new_prev are stop-gradded side outputs of
+    # the forward, so only d(chunk) flows back through the VJP.
+
+    def _chunk_latents_fn(self, exit_idx: int):
+        def f(gen_train, gen_base, cache, prev_overlap, noise, prompt,
+              cur_start, rng_roll):
+            gp = self._gen_full(gen_train, gen_base)
+            dtype = gp["patch_embedding"]["kernel"].dtype
+            cross_gen = D.prepare_cross_kv(gp, self.cfg, prompt, dtype)
+            return self._chunk_pure(gp, cache, prev_overlap, noise, cross_gen,
+                                    rng_roll, cur_start, exit_idx, grad=True)
+
+        return f
+
+    def _staged_chunk_roll(self, key):
+        # no donation: the input cache must survive for the VJP phase
+        k = ("roll",) + key
+        if k not in self._gen_chunk_steps:
+            self._gen_chunk_steps[k] = jax.jit(self._chunk_latents_fn(key[0]))
+        return self._gen_chunk_steps[k]
+
+    def _staged_chunk_dmd(self, exit_idx: int, overlap: int):
+        k = ("dmd", exit_idx, overlap)
+        if k in self._gen_chunk_steps:
+            return self._gen_chunk_steps[k]
+        t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
+
+        def f(chunk, critic_train, critic_base, teacher_params, prompt,
+              prompt_u, rng_dmd):
+            critic_params = self._critic_full(critic_train, critic_base)
+            total = chunk.shape[1]
+            gmask = jnp.broadcast_to(
+                jnp.arange(total)[None] >= overlap, chunk.shape[:2]
+            ) if overlap > 0 else None
+
+            def lf(ch):
+                return dmd_mod.distribution_matching_loss(
+                    ch, critic_params, teacher_params, self.cfg, self.tables,
+                    self.sched, self.dcfg, prompt, prompt_u, rng_dmd,
+                    gradient_mask=gmask, denoised_from=t_from,
+                    denoised_to=t_to, attn_impl=self.rcfg.attn_impl,
+                    teacher_cfg=self.teacher_cfg)
+
+            (loss, aux), dch = jax.value_and_grad(lf, has_aux=True)(chunk)
+            return loss, aux, dch
+
+        self._gen_chunk_steps[k] = jax.jit(f)
+        return self._gen_chunk_steps[k]
+
+    def _staged_chunk_vjp(self, key):
+        k = ("vjp",) + key
+        if k in self._gen_chunk_steps:
+            return self._gen_chunk_steps[k]
+        lat_f = self._chunk_latents_fn(key[0])
+
+        def f(gen_train, gen_base, cache, prev_overlap, noise, prompt,
+              cur_start, rng_roll, dchunk):
+            def scalar(gt):
+                chunk, _, _ = lat_f(gt, gen_base, cache, prev_overlap, noise,
+                                    prompt, cur_start, rng_roll)
+                return jnp.sum(chunk * dchunk)
+
+            return jax.grad(scalar)(gen_train)
+
+        # the VJP is the cache's last consumer — donate it
+        self._gen_chunk_steps[k] = jax.jit(f, donate_argnums=(2,))
+        return self._gen_chunk_steps[k]
+
+    def _staged_chunk_croll(self, key):
+        """Grad-free chunk forward for the critic fwdbwd (donates the cache —
+        nothing else reads it)."""
+        k = ("croll",) + key
+        if k not in self._critic_chunk_steps:
+            exit_idx = key[0]
+
+            def f(gen_train, gen_base, cache, prev_overlap, noise, prompt,
+                  cur_start, rng_roll):
+                gp = self._gen_full(gen_train, gen_base)
+                dtype = gp["patch_embedding"]["kernel"].dtype
+                cross = D.prepare_cross_kv(gp, self.cfg, prompt, dtype)
+                chunk, new_cache, new_prev = self._chunk_pure(
+                    gp, cache, prev_overlap, noise, cross, rng_roll,
+                    cur_start, exit_idx, grad=False)
+                return jax.lax.stop_gradient(chunk), new_cache, new_prev
+
+            self._critic_chunk_steps[k] = jax.jit(f, donate_argnums=(2,))
+        return self._critic_chunk_steps[k]
+
+    def _staged_chunk_cgrad(self, exit_idx: int):
+        k = ("cgrad", exit_idx)
+        if k in self._critic_chunk_steps:
+            return self._critic_chunk_steps[k]
+        t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
+
+        def f(critic_train, critic_base, chunk, prompt, rng_crit):
+            def lf(ct):
+                cp = self._critic_full(ct, critic_base)
+                return dmd_mod.critic_denoising_loss(
+                    cp, chunk, self.cfg, self.tables, self.sched, self.dcfg,
+                    prompt, rng_crit, denoised_from=t_from, denoised_to=t_to,
+                    attn_impl=self.rcfg.attn_impl)
+
+            (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(
+                critic_train)
+            return grads, loss, aux
+
+        self._critic_chunk_steps[k] = jax.jit(f)
+        return self._critic_chunk_steps[k]
+
+    def _gen_chunk_staged(self, key, gen_train, cache, prev_overlap, noise,
+                          prompt, prompt_u, cur_start, rng):
+        from ..utils import memory as mem_mod
+
+        empty = {}
+        rng_roll, rng_dmd = jax.random.split(rng)
+        gen_base = self.state["gen_params"] if self.use_lora else empty
+        chunk, new_cache, new_prev = self._staged_chunk_roll(key)(
+            gen_train, gen_base, cache, prev_overlap, noise, prompt,
+            cur_start, rng_roll)
+        critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
+                       if self.critic_lora_on else empty)
+        teacher = mem_mod.fetch_from_host(self.teacher_params)
+        critic_train = self.state[
+            "critic_lora" if self.critic_lora_on else "critic_params"]
+        loss, aux, dch = self._staged_chunk_dmd(key[0], key[2])(
+            chunk, critic_train, critic_base, teacher, prompt, prompt_u,
+            rng_dmd)
+        dch.block_until_ready()  # the pages must not overlap the vjp peak
+        del teacher, critic_base, chunk
+        grads = self._staged_chunk_vjp(key)(
+            gen_train, gen_base, cache, prev_overlap, noise, prompt,
+            cur_start, rng_roll, dch)
+        return grads, new_cache, new_prev, loss, aux
+
+    def _critic_chunk_staged(self, key, trained_c, cache, prev_overlap, noise,
+                             prompt, cur_start, rng):
+        from ..utils import memory as mem_mod
+
+        empty = {}
+        rng_roll, rng_crit = jax.random.split(rng)
+        gen_train = self.state["gen_lora" if self.use_lora else "gen_params"]
+        gen_base = self.state["gen_params"] if self.use_lora else empty
+        chunk, new_cache, new_prev = self._staged_chunk_croll(key)(
+            gen_train, gen_base, cache, prev_overlap, noise, prompt,
+            cur_start, rng_roll)
+        critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
+                       if self.critic_lora_on else empty)
+        grads, loss, aux = self._staged_chunk_cgrad(key[0])(
+            trained_c, critic_base, chunk, prompt, rng_crit)
+        jax.tree.leaves(grads)[0].block_until_ready()
+        del critic_base, chunk
+        return grads, new_cache, new_prev, loss, aux
 
     def _gen_params_now(self):
         """Generator params with adapters embedded (no merged copy) for
@@ -379,26 +544,82 @@ class StreamingTrainer(ScoreDistillationTrainer):
         empty = {}
         gen_train_key = "gen_lora" if self.use_lora else "gen_params"
         critic_train_key = "critic_lora" if self.critic_lora_on else "critic_params"
+        skey = (exit_idx, new_frames, overlap)
         if train_generator:
-            fn = self._gen_chunk_step(exit_idx, new_frames, overlap)
-            gt, gopt, cache, new_prev, loss, aux = fn(
-                self.state[gen_train_key], self.state["gen_opt"],
-                self.state["gen_params"] if self.use_lora else empty,
-                self.state[critic_train_key],
-                self.state["critic_params"] if self.critic_lora_on else empty,
-                self.teacher_params, s["cache"], prev_overlap, noise, prompt,
-                s["prompt_u"], cur_start, rng_step)
-            self.state[gen_train_key], self.state["gen_opt"] = gt, gopt
+            trained = self.state[gen_train_key]
+            if self.tcfg.staged_phases:
+                grads, cache, new_prev, loss, aux = self._gen_chunk_staged(
+                    skey, trained, s["cache"], prev_overlap, noise, prompt,
+                    s["prompt_u"], cur_start, rng_step)
+            else:
+                fn = self._gen_chunk_step(*skey)
+                out = fn(
+                    trained,
+                    empty if self.tcfg.opt_on_host else self.state["gen_opt"],
+                    self.state["gen_params"] if self.use_lora else empty,
+                    self.state[critic_train_key],
+                    self.state["critic_params"] if self.critic_lora_on else empty,
+                    self.teacher_params, s["cache"], prev_overlap, noise,
+                    prompt, s["prompt_u"], cur_start, rng_step)
+            if self.tcfg.opt_on_host:
+                if not self.tcfg.staged_phases:
+                    grads, cache, new_prev, loss, aux = out
+                dtypes = [x.dtype for x in jax.tree.leaves(trained)]
+                gt, gnorm = host_adamw_step(
+                    self.state["gen_opt"], grads, lr=self.tcfg.lr,
+                    b1=self.tcfg.beta1, b2=self.tcfg.beta2,
+                    weight_decay=self.tcfg.weight_decay,
+                    clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
+                del grads
+                aux = dict(aux, generator_grad_norm=gnorm)
+            elif self.tcfg.staged_phases:
+                updates, self.state["gen_opt"] = self.gen_tx.update(
+                    grads, self.state["gen_opt"], trained)
+                gt = optax.apply_updates(trained, updates)
+                aux = dict(aux, generator_grad_norm=optax.global_norm(grads))
+                del grads
+            else:
+                gt, gopt, cache, new_prev, loss, aux = out
+                self.state["gen_opt"] = gopt
+            self.state[gen_train_key] = gt
             metrics = {"generator_loss": float(loss)}
         else:
-            fn = self._critic_chunk_step(exit_idx, new_frames, overlap)
-            ct, copt, cache, new_prev, loss, aux = fn(
-                self.state[critic_train_key], self.state["critic_opt"],
-                self.state["critic_params"] if self.critic_lora_on else empty,
-                self.state[gen_train_key],
-                self.state["gen_params"] if self.use_lora else empty,
-                s["cache"], prev_overlap, noise, prompt, cur_start, rng_step)
-            self.state[critic_train_key], self.state["critic_opt"] = ct, copt
+            trained_c = self.state[critic_train_key]
+            if self.tcfg.staged_phases:
+                grads, cache, new_prev, loss, aux = self._critic_chunk_staged(
+                    skey, trained_c, s["cache"], prev_overlap, noise, prompt,
+                    cur_start, rng_step)
+            else:
+                fn = self._critic_chunk_step(*skey)
+                out = fn(
+                    trained_c,
+                    empty if self.tcfg.opt_on_host else self.state["critic_opt"],
+                    self.state["critic_params"] if self.critic_lora_on else empty,
+                    self.state[gen_train_key],
+                    self.state["gen_params"] if self.use_lora else empty,
+                    s["cache"], prev_overlap, noise, prompt, cur_start,
+                    rng_step)
+            if self.tcfg.opt_on_host:
+                if not self.tcfg.staged_phases:
+                    grads, cache, new_prev, loss, aux = out
+                dtypes = [x.dtype for x in jax.tree.leaves(trained_c)]
+                ct, gnorm = host_adamw_step(
+                    self.state["critic_opt"], grads, lr=self.tcfg.lr_critic,
+                    b1=self.tcfg.beta1_critic, b2=self.tcfg.beta2_critic,
+                    weight_decay=self.tcfg.weight_decay,
+                    clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
+                del grads
+                aux = dict(aux, critic_grad_norm=gnorm)
+            elif self.tcfg.staged_phases:
+                updates, self.state["critic_opt"] = self.critic_tx.update(
+                    grads, self.state["critic_opt"], trained_c)
+                ct = optax.apply_updates(trained_c, updates)
+                aux = dict(aux, critic_grad_norm=optax.global_norm(grads))
+                del grads
+            else:
+                ct, copt, cache, new_prev, loss, aux = out
+                self.state["critic_opt"] = copt
+            self.state[critic_train_key] = ct
             metrics = {"critic_loss": float(loss)}
 
         s["cache"], s["previous_frames"] = cache, new_prev

@@ -60,3 +60,9 @@ timeout 3600 python scripts/train_probe_1p3b.py --mode lora_step --frames 21 \
 echo "=== 1.3B lora_step, 21 frames, staged + int8 rollout cache ==="
 timeout 3600 python scripts/train_probe_1p3b.py --mode lora_step --frames 21 \
   --reps 1 --staged --cache_int8 --auto_shrink 2>/dev/null | tail -4
+
+# 9) streaming long-tuning chunk step at full geometry (the shipped
+#    longlive_train_long.yaml config) with staged phases
+echo "=== 1.3B stream_chunk, 21 frames, staged phases ==="
+timeout 3600 python scripts/train_probe_1p3b.py --mode stream_chunk \
+  --frames 21 --reps 1 --staged --auto_shrink 2>/dev/null | tail -4

@@ -66,7 +66,8 @@ def mem(tag):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="lora_step",
-                    choices=["lora_step", "grad_gen", "grad_critic"])
+                    choices=["lora_step", "stream_chunk", "grad_gen",
+                             "grad_critic"])
     ap.add_argument("--frames", type=int, default=21)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--auto_shrink", action="store_true")
@@ -138,6 +139,48 @@ def main():
             dt = (time.perf_counter() - t0) / args.reps
             extra = {"generator_loss": float(m.get("generator_loss", float("nan"))),
                      "critic_loss": float(m["critic_loss"]),
+                     "compile_s": round(compile_s, 1)}
+            return dt, extra
+
+        if args.mode == "stream_chunk":
+            # streaming long-tuning chunk step at full geometry: persistent
+            # KV cache + overlapped 21-frame supervised chunk — the shipped
+            # longlive_train_long.yaml configuration
+            # (model/streaming_training.py:407-548)
+            from longlive_tpu.training.streaming import (StreamingConfig,
+                                                         StreamingTrainer)
+
+            tcfg = TrainerConfig(
+                num_frame_per_block=cfg.num_frame_per_block,
+                num_training_frames=frames, min_num_training_frames=frames,
+                slice_last_frames=-1, lora_rank=256, lora_alpha=256.0,
+                dfake_gen_update_ratio=1, opt_on_host=True,
+                cache_int8=args.cache_int8, staged_phases=args.staged)
+            scfg = StreamingConfig(chunk_size=frames, max_length=frames * 4,
+                                   min_new_frame=max(frames - 3, 3))
+            tr = StreamingTrainer(tcfg, cfg, geom, gen, critic, teacher,
+                                  streaming_cfg=scfg)
+            del gen, critic, teacher
+            tr.start_new_sequence(pe_c, pe_u, jax.random.PRNGKey(11))
+            restart = lambda: tr.start_new_sequence(pe_c, pe_u,
+                                                    jax.random.PRNGKey(99))
+            mem("trainer_ready")
+            t0 = time.perf_counter()
+            m = tr.streaming_train_step(jax.random.PRNGKey(12),
+                                        new_sequence_cb=restart)
+            _ = float(jnp.asarray(m["critic_loss"]))
+            mem("first_step_done")
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for r in range(args.reps):
+                m = tr.streaming_train_step(jax.random.PRNGKey(13 + r),
+                                            new_sequence_cb=restart)
+            _ = float(jnp.asarray(m["critic_loss"]))
+            mem("steady_step_done")
+            dt = (time.perf_counter() - t0) / args.reps
+            extra = {"generator_loss": float(m.get("generator_loss", float("nan"))),
+                     "critic_loss": float(m["critic_loss"]),
+                     "current_length": int(m["current_length"]),
                      "compile_s": round(compile_s, 1)}
             return dt, extra
 

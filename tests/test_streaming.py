@@ -83,3 +83,39 @@ def test_streaming_skip_first_chunk(streaming_setup):
         assert np.isfinite(m.get("generator_loss", m.get("critic_loss")))
     finally:
         tr.scfg.train_first_chunk = old
+
+
+@pytest.mark.slow
+def test_streaming_staged_matches_monolithic():
+    """staged_phases on the streaming chunk step (3-jit split, host-paged
+    teacher) must reproduce the monolithic step: same losses and updated
+    params after two streaming steps (gen+critic then critic-only)."""
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    mk = lambda s: D.init_dit_params(jax.random.PRNGKey(s), cfg, jnp.float32,
+                                     zero_head=False)
+    scfg = StreamingConfig(chunk_size=3, max_length=8, min_new_frame=2)
+    kw = dict(num_frame_per_block=1, num_training_frames=3,
+              slice_last_frames=3, attn_impl="xla", dfake_gen_update_ratio=2)
+
+    def run(staged):
+        tcfg = TrainerConfig(**kw, staged_phases=staged)
+        tr = StreamingTrainer(tcfg, cfg, geom, mk(0), mk(1), mk(2),
+                              streaming_cfg=scfg)
+        pe_c = jax.random.normal(jax.random.PRNGKey(3),
+                                 (1, cfg.text_len, cfg.text_dim))
+        tr.start_new_sequence(pe_c, pe_c * 0.1, jax.random.PRNGKey(1))
+        m0 = tr.streaming_train_step(jax.random.PRNGKey(7))
+        m1 = tr.streaming_train_step(jax.random.PRNGKey(8))
+        return m0, m1, tr.state
+
+    a0, a1, sa = run(False)
+    b0, b1, sb = run(True)
+    np.testing.assert_allclose(b0["generator_loss"], a0["generator_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(b0["critic_loss"], a0["critic_loss"], rtol=1e-5)
+    np.testing.assert_allclose(b1["critic_loss"], a1["critic_loss"], rtol=1e-4)
+    for key in ("gen_params", "critic_params"):
+        for x, y in zip(jax.tree.leaves(sa[key]), jax.tree.leaves(sb[key])):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=2e-4, atol=2e-5)
