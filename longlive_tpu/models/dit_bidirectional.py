@@ -180,6 +180,23 @@ def _bidi_block_step(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
                        cfg, attn_impl)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def _bidi_block_step_ctx(xcur, layer_p, ctx, e0, rope_cos, rope_sin,
+                         cfg: DiTConfig, attn_impl: str):
+    """Streamed-layer step that derives the layer's cross-attention K/V from
+    the embedded text ``ctx`` inline (prepare_cross_kv's per-layer body) —
+    so a host-streamed model never materializes [L, ...] cross arrays."""
+    n, hd = cfg.num_heads, cfg.head_dim
+    ck = nn.linear(ctx, layer_p["cross_attn"]["k"])
+    if cfg.qk_norm:
+        ck = nn.rms_norm(ck, layer_p["cross_attn"]["norm_k"]["scale"], cfg.eps)
+    cv = nn.linear(ctx, layer_p["cross_attn"]["v"])
+    b, s, _ = ck.shape
+    return _bidi_block(xcur, layer_p, ck.reshape(b, s, n, hd),
+                       cv.reshape(b, s, n, hd), e0, rope_cos, rope_sin,
+                       cfg, attn_impl)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _bidi_prologue(params, cfg: DiTConfig, tables: RopeTables, x, t):
     b, f, c, h, w = x.shape
@@ -211,8 +228,9 @@ def bidirectional_forward_streamed(
     tables: RopeTables,
     x: jax.Array,  # [B, F, C, H, W]
     t: jax.Array,  # [B]
-    cross_kv: CrossKV,
+    cross_kv: "CrossKV | None" = None,
     attn_impl: str = "auto",
+    context: "jax.Array | None" = None,  # raw T5 features [B, 512, text_dim]
 ) -> jax.Array:
     """`bidirectional_forward` with per-access weight streaming — the
     TPU-native DynamicSwapInstaller path (reference utils/memory.py:13-58,
@@ -225,6 +243,12 @@ def bidirectional_forward_streamed(
     match `bidirectional_forward` exactly (same per-layer math, jitted with
     stable identity — one compile total).  Inference-only: gradients do not
     flow through the host round-trip.
+
+    Pass EITHER ``cross_kv`` (precomputed [L, ...] arrays) OR ``context``
+    (raw T5 prompt features): with ``context`` each layer's cross K/V is
+    derived inline from its streamed weights, so no [L, ...] cross arrays
+    exist — the layout for very large teachers (14B) where even the
+    stacked cross K/V is significant HBM.
     """
     from ..utils.memory import stream_scan
 
@@ -233,13 +257,25 @@ def bidirectional_forward_streamed(
              ("patch_embedding", "time_embedding", "time_projection")}
     tokens, e, e0, rope_cos, rope_sin = _bidi_prologue(small, cfg, tables, x, t)
 
-    def step(carry, xs):
-        layer_p, ck, cv = xs
-        return _bidi_block_step(carry, layer_p, ck, cv, e0, rope_cos,
-                                rope_sin, cfg, attn_impl)
+    if context is not None:
+        from .dit import embed_text
 
-    tokens = stream_scan(step, tokens,
-                         (params["blocks"], cross_kv.k, cross_kv.v))
+        ctx = embed_text(params, context,
+                         params["patch_embedding"]["kernel"].dtype)
+
+        def step(carry, layer_p):
+            return _bidi_block_step_ctx(carry, layer_p, ctx, e0, rope_cos,
+                                        rope_sin, cfg, attn_impl)
+
+        tokens = stream_scan(step, tokens, params["blocks"])
+    else:
+        def step(carry, xs):
+            layer_p, ck, cv = xs
+            return _bidi_block_step(carry, layer_p, ck, cv, e0, rope_cos,
+                                    rope_sin, cfg, attn_impl)
+
+        tokens = stream_scan(step, tokens,
+                             (params["blocks"], cross_kv.k, cross_kv.v))
     return _bidi_head(params["head"], cfg, tokens, e, f, h, w)
 
 

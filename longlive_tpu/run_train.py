@@ -72,6 +72,7 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
         ema_on_host=bool(raw.get("ema_on_host", True)),
         cache_int8=bool(raw.get("cache_int8", False)),
         staged_phases=bool(raw.get("staged_phases", False)),
+        teacher_stream=bool(raw.get("teacher_stream", False)),
     )
 
 

@@ -70,6 +70,29 @@ def _sample_score_timestep(
     return jnp.clip(t, dcfg.min_step, dcfg.max_step)
 
 
+def _score_noisy(
+    rng: jax.Array,
+    dcfg: DMDConfig,
+    sched: S.FlowMatchSchedule,
+    x: jax.Array,  # [B, F, C, H, W]
+    denoised_from: Optional[int],
+    denoised_to: Optional[int],
+) -> Tuple[jax.Array, jax.Array]:
+    """The (noisy, t) pair both score models see.  Factored out so a
+    host-streamed teacher pass (teacher_real_x0) can reproduce EXACTLY the
+    noising the in-loss path samples — the rng split here must stay in
+    lockstep with distribution_matching_loss."""
+    b, f = x.shape[:2]
+    rng_t, rng_n = jax.random.split(rng)
+    t = _sample_score_timestep(rng_t, dcfg, b, f, denoised_from, denoised_to)
+    noise = jax.random.normal(rng_n, x.shape, jnp.float32)
+    noisy = S.add_noise(
+        sched, x.reshape(b * f, *x.shape[2:]),
+        noise.reshape(b * f, *x.shape[2:]), t.reshape(-1)
+    ).reshape(x.shape)
+    return noisy, t
+
+
 def _x0_pred_bidirectional(
     params, cfg, tables, sched, noisy, t, cross_kv, attn_impl,
     remat_layers=False
@@ -84,6 +107,61 @@ def _x0_pred_bidirectional(
         noisy.reshape(b * f, *noisy.shape[2:]).astype(jnp.float32),
         t.reshape(-1),
     ).reshape(flow.shape)
+
+
+def teacher_real_x0(
+    teacher_params: dict,
+    teacher_cfg: DiTConfig,
+    tables: RopeTables,
+    sched: S.FlowMatchSchedule,
+    dcfg: DMDConfig,
+    gen_latents: jax.Array,
+    prompt_cond: jax.Array,
+    prompt_uncond: jax.Array,
+    rng: jax.Array,
+    denoised_from: Optional[int] = None,
+    denoised_to: Optional[int] = None,
+    attn_impl: str = "auto",
+    streamed: bool = False,
+) -> jax.Array:
+    """The teacher's CFG-combined x0 prediction, as a standalone pass.
+
+    Reproduces exactly the (noisy, t) the loss samples (same rng split via
+    _score_noisy), runs cond+uncond CFG-batched in ONE forward, and returns
+    ``real_c + (real_c − real_u)·real_guidance_scale`` in f32.  With
+    ``streamed=True`` the teacher's layer stack may live on HOST memory
+    (``memory.blocks_to_host``) and is double-buffer-streamed one layer at
+    a time — the path that fits the 14B teacher (wan/configs/wan_t2v_14B.py)
+    next to nothing on a 16 GB chip."""
+    from ..models.dit_bidirectional import (bidirectional_forward,
+                                            bidirectional_forward_streamed)
+
+    x = jax.lax.stop_gradient(gen_latents)
+    b, f = x.shape[:2]
+    noisy, t = _score_noisy(rng, dcfg, sched, x, denoised_from, denoised_to)
+    # CFG batching: [cond ++ uncond] in the batch dim (text2video.py's
+    # batched guidance layout)
+    noisy2 = jnp.concatenate([noisy, noisy], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    prompts2 = jnp.concatenate([prompt_cond, prompt_uncond], axis=0)
+    if streamed:
+        flow2 = bidirectional_forward_streamed(
+            teacher_params, teacher_cfg, tables, noisy2, t2[:, 0],
+            attn_impl=attn_impl, context=prompts2)
+    else:
+        dtype = jax.tree.leaves(teacher_params["patch_embedding"])[0].dtype
+        ckv = D.prepare_cross_kv(teacher_params, teacher_cfg, prompts2, dtype)
+        flow2 = bidirectional_forward(teacher_params, teacher_cfg, tables,
+                                      noisy2, t2[:, 0], ckv,
+                                      attn_impl=attn_impl)
+    x02 = S.convert_flow_to_x0(
+        sched, flow2.reshape(2 * b * f, *flow2.shape[2:]),
+        noisy2.reshape(2 * b * f, *noisy2.shape[2:]).astype(jnp.float32),
+        t2.reshape(-1),
+    ).reshape(flow2.shape)
+    real_c, real_u = x02[:b], x02[b:]
+    return (real_c + (real_c - real_u) * dcfg.real_guidance_scale).astype(
+        jnp.float32)
 
 
 def distribution_matching_loss(
@@ -102,6 +180,7 @@ def distribution_matching_loss(
     denoised_to: Optional[int] = None,
     attn_impl: str = "auto",
     teacher_cfg: Optional[DiTConfig] = None,
+    real_x0: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, dict]:
     """DMD generator loss (dmd.py:134-200).
 
@@ -109,23 +188,23 @@ def distribution_matching_loss(
     their text-embedding/projection weights (each WanDiffusionWrapper
     encodes its own context, wan_wrapper.py:247-257), so the critic's
     conditioning must track its trained weights, not the generator's.
+
+    ``real_x0``: the teacher's CFG-combined x0 prediction, precomputed by
+    :func:`teacher_real_x0` (e.g. with a host-streamed 14B teacher that
+    cannot be resident next to the critic).  The teacher side of the KL
+    gradient is fully inside stop_gradient, so passing it in as a constant
+    is exact; ``teacher_params`` is then unused (may be ``None``/empty).
     """
     teacher_cfg = teacher_cfg or cfg
-    b, f = gen_latents.shape[:2]
-    rng_t, rng_n = jax.random.split(rng)
     dtype = critic_params["patch_embedding"]["kernel"].dtype
     crit_c = D.prepare_cross_kv(critic_params, cfg, prompt_cond, dtype)
     crit_u = D.prepare_cross_kv(critic_params, cfg, prompt_uncond, dtype)
-    teach_c = D.prepare_cross_kv(teacher_params, teacher_cfg, prompt_cond, dtype)
-    teach_u = D.prepare_cross_kv(teacher_params, teacher_cfg, prompt_uncond, dtype)
+    if real_x0 is None:
+        teach_c = D.prepare_cross_kv(teacher_params, teacher_cfg, prompt_cond, dtype)
+        teach_u = D.prepare_cross_kv(teacher_params, teacher_cfg, prompt_uncond, dtype)
 
     def no_grad_branch(x):
-        t = _sample_score_timestep(rng_t, dcfg, b, f, denoised_from, denoised_to)
-        noise = jax.random.normal(rng_n, x.shape, jnp.float32)
-        noisy = S.add_noise(
-            sched, x.reshape(b * f, *x.shape[2:]),
-            noise.reshape(b * f, *x.shape[2:]), t.reshape(-1)
-        ).reshape(x.shape)
+        noisy, t = _score_noisy(rng, dcfg, sched, x, denoised_from, denoised_to)
 
         fake_x0 = _x0_pred_bidirectional(
             critic_params, cfg, tables, sched, noisy, t, crit_c, attn_impl)
@@ -133,14 +212,19 @@ def distribution_matching_loss(
             fake_u = _x0_pred_bidirectional(
                 critic_params, cfg, tables, sched, noisy, t, crit_u, attn_impl)
             fake_x0 = fake_x0 + (fake_x0 - fake_u) * dcfg.fake_guidance_scale
-        real_c = _x0_pred_bidirectional(
-            teacher_params, teacher_cfg, tables, sched, noisy, t, teach_c, attn_impl)
-        real_u = _x0_pred_bidirectional(
-            teacher_params, teacher_cfg, tables, sched, noisy, t, teach_u, attn_impl)
-        real_x0 = real_c + (real_c - real_u) * dcfg.real_guidance_scale
+        if real_x0 is None:
+            real_c = _x0_pred_bidirectional(
+                teacher_params, teacher_cfg, tables, sched, noisy, t, teach_c,
+                attn_impl)
+            real_u = _x0_pred_bidirectional(
+                teacher_params, teacher_cfg, tables, sched, noisy, t, teach_u,
+                attn_impl)
+            real = real_c + (real_c - real_u) * dcfg.real_guidance_scale
+        else:
+            real = real_x0
 
-        grad = fake_x0.astype(jnp.float32) - real_x0.astype(jnp.float32)
-        p_real = x.astype(jnp.float32) - real_x0.astype(jnp.float32)
+        grad = fake_x0.astype(jnp.float32) - real.astype(jnp.float32)
+        p_real = x.astype(jnp.float32) - real.astype(jnp.float32)
         normalizer = jnp.mean(jnp.abs(p_real), axis=(1, 2, 3, 4), keepdims=True)
         grad = jnp.nan_to_num(grad / normalizer)
         return grad, t

@@ -260,13 +260,14 @@ class StreamingTrainer(ScoreDistillationTrainer):
             self._gen_chunk_steps[k] = jax.jit(self._chunk_latents_fn(key[0]))
         return self._gen_chunk_steps[k]
 
-    def _staged_chunk_dmd(self, exit_idx: int, overlap: int):
-        k = ("dmd", exit_idx, overlap)
+    def _staged_chunk_dmd(self, exit_idx: int, overlap: int,
+                          use_real_x0: bool = False):
+        k = ("dmd", exit_idx, overlap, use_real_x0)
         if k in self._gen_chunk_steps:
             return self._gen_chunk_steps[k]
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
-        def f(chunk, critic_train, critic_base, teacher_params, prompt,
+        def f(chunk, critic_train, critic_base, teacher_or_real, prompt,
               prompt_u, rng_dmd):
             critic_params = self._critic_full(critic_train, critic_base)
             total = chunk.shape[1]
@@ -276,11 +277,13 @@ class StreamingTrainer(ScoreDistillationTrainer):
 
             def lf(ch):
                 return dmd_mod.distribution_matching_loss(
-                    ch, critic_params, teacher_params, self.cfg, self.tables,
-                    self.sched, self.dcfg, prompt, prompt_u, rng_dmd,
-                    gradient_mask=gmask, denoised_from=t_from,
+                    ch, critic_params,
+                    None if use_real_x0 else teacher_or_real, self.cfg,
+                    self.tables, self.sched, self.dcfg, prompt, prompt_u,
+                    rng_dmd, gradient_mask=gmask, denoised_from=t_from,
                     denoised_to=t_to, attn_impl=self.rcfg.attn_impl,
-                    teacher_cfg=self.teacher_cfg)
+                    teacher_cfg=self.teacher_cfg,
+                    real_x0=teacher_or_real if use_real_x0 else None)
 
             (loss, aux), dch = jax.value_and_grad(lf, has_aux=True)(chunk)
             return loss, aux, dch
@@ -358,12 +361,22 @@ class StreamingTrainer(ScoreDistillationTrainer):
         chunk, new_cache, new_prev = self._staged_chunk_roll(key)(
             gen_train, gen_base, cache, prev_overlap, noise, prompt,
             cur_start, rng_roll)
+        stream = self.tcfg.teacher_stream
+        if stream:
+            t_from, t_to = ro.denoised_timestep_bounds(
+                self.sched, self.rcfg, key[0])
+            teacher = dmd_mod.teacher_real_x0(
+                self.teacher_params, self.teacher_cfg or self.cfg,
+                self.tables, self.sched, self.dcfg, chunk, prompt, prompt_u,
+                rng_dmd, denoised_from=t_from, denoised_to=t_to,
+                attn_impl=self.rcfg.attn_impl, streamed=True)
+        else:
+            teacher = mem_mod.fetch_from_host(self.teacher_params)
         critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
                        if self.critic_lora_on else empty)
-        teacher = mem_mod.fetch_from_host(self.teacher_params)
         critic_train = self.state[
             "critic_lora" if self.critic_lora_on else "critic_params"]
-        loss, aux, dch = self._staged_chunk_dmd(key[0], key[2])(
+        loss, aux, dch = self._staged_chunk_dmd(key[0], key[2], stream)(
             chunk, critic_train, critic_base, teacher, prompt, prompt_u,
             rng_dmd)
         dch.block_until_ready()  # the pages must not overlap the vjp peak

@@ -102,6 +102,15 @@ class TrainerConfig:
     # host↔HBM paging per step.  Matches the reference's activation/teacher
     # offload levers (trainer/distillation.py offload flags).
     staged_phases: bool = False
+    # stream the (frozen, fully stop-gradded) teacher's layer stack from
+    # host during the loss-grad phase instead of paging the whole tree into
+    # HBM: peak teacher residency becomes TWO layers.  The only way a 14B
+    # teacher (config.py WAN_14B geometry; reference real_name=Wan2.1-T2V-14B)
+    # fits next to the critic on a 16 GB chip.  The teacher side of the DMD
+    # KL gradient is entirely inside stop_gradient, so precomputing its x0
+    # prediction outside the loss jit is exact (dmd.teacher_real_x0).
+    # Requires staged_phases.
+    teacher_stream: bool = False
     # micro-steps per optimizer update (longlive_train_init.yaml:34)
     gradient_accumulation_steps: int = 1
 
@@ -290,13 +299,19 @@ class ScoreDistillationTrainer:
                 gen_trained),
             step=jnp.zeros([], jnp.int32),
         )
+        if tcfg.teacher_stream and not tcfg.staged_phases:
+            raise ValueError("teacher_stream requires staged_phases")
         if tcfg.staged_phases:
             # the frozen trees leave HBM: teacher always, critic base when
             # only its adapters train.  train_step pages device copies in
-            # for the loss-grad phase only.
+            # for the loss-grad phase only — or, with teacher_stream, never
+            # pages the teacher back at all (per-layer streaming).
             from ..utils import memory as mem_mod
 
-            self.teacher_params = mem_mod.offload_to_host(self.teacher_params)
+            self.teacher_params = (
+                mem_mod.blocks_to_host(self.teacher_params)
+                if tcfg.teacher_stream
+                else mem_mod.offload_to_host(self.teacher_params))
             if self.critic_lora_on:
                 self.state["critic_params"] = mem_mod.offload_to_host(
                     self.state["critic_params"])
@@ -458,14 +473,17 @@ class ScoreDistillationTrainer:
             self._staged_rolls[key] = jax.jit(self._latents_fn(*key))
         return self._staged_rolls[key]
 
-    def _staged_dmd_grad(self, exit_idx: int, use_mask: bool):
-        key = (exit_idx, use_mask)
+    def _staged_dmd_grad(self, exit_idx: int, use_mask: bool,
+                         use_real_x0: bool = False):
+        key = (exit_idx, use_mask, use_real_x0)
         if key in self._staged_dmd:
             return self._staged_dmd[key]
         t_from, t_to = ro.denoised_timestep_bounds(self.sched, self.rcfg, exit_idx)
 
-        def f(latents, critic_train, critic_base, teacher_params,
+        def f(latents, critic_train, critic_base, teacher_or_real,
               prompt_c, prompt_u, rng_dmd):
+            # teacher_or_real: the teacher param tree, or (teacher_stream)
+            # its precomputed CFG-combined x0 prediction
             critic_params = self._critic_full(critic_train, critic_base)
             gmask = None
             if use_mask:
@@ -475,11 +493,13 @@ class ScoreDistillationTrainer:
 
             def lf(lat):
                 return dmd_mod.distribution_matching_loss(
-                    lat, critic_params, teacher_params, self.cfg,
+                    lat, critic_params,
+                    None if use_real_x0 else teacher_or_real, self.cfg,
                     self.tables, self.sched, self.dcfg, prompt_c, prompt_u,
                     rng_dmd, gradient_mask=gmask,
                     denoised_from=t_from, denoised_to=t_to,
                     attn_impl=self.rcfg.attn_impl, teacher_cfg=self.teacher_cfg,
+                    real_x0=teacher_or_real if use_real_x0 else None,
                 )
 
             (loss, aux), dlat = jax.value_and_grad(lf, has_aux=True)(latents)
@@ -533,12 +553,24 @@ class ScoreDistillationTrainer:
         rkey = (exit_idx, grad_start)
         latents = self._staged_roll(rkey)(trained, gen_base, noise,
                                           prompt_c, rng_roll)
+        stream = self.tcfg.teacher_stream
+        if stream:
+            # layer-streamed teacher x0 prediction (14B teacher path): the
+            # blocks never co-reside with the critic
+            t_from, t_to = ro.denoised_timestep_bounds(
+                self.sched, self.rcfg, exit_idx)
+            teacher = dmd_mod.teacher_real_x0(
+                self.teacher_params, self.teacher_cfg or self.cfg,
+                self.tables, self.sched, self.dcfg, latents, prompt_c,
+                prompt_u, rng_dmd, denoised_from=t_from, denoised_to=t_to,
+                attn_impl=self.rcfg.attn_impl, streamed=True)
+        else:
+            teacher = mem_mod.fetch_from_host(self.teacher_params)
         critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
                        if self.critic_lora_on else empty)
-        teacher = mem_mod.fetch_from_host(self.teacher_params)
         critic_train = self.state[
             "critic_lora" if self.critic_lora_on else "critic_params"]
-        loss, aux, dlat = self._staged_dmd_grad(exit_idx, use_mask)(
+        loss, aux, dlat = self._staged_dmd_grad(exit_idx, use_mask, stream)(
             latents, critic_train, critic_base, teacher,
             prompt_c, prompt_u, rng_dmd)
         dlat.block_until_ready()  # the pages must not overlap the vjp peak

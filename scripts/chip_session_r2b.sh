@@ -66,3 +66,9 @@ timeout 3600 python scripts/train_probe_1p3b.py --mode lora_step --frames 21 \
 echo "=== 1.3B stream_chunk, 21 frames, staged phases ==="
 timeout 3600 python scripts/train_probe_1p3b.py --mode stream_chunk \
   --frames 21 --reps 1 --staged --auto_shrink 2>/dev/null | tail -4
+
+# 10) 14B teacher, host-streamed during the DMD loss (teacher_stream):
+#     the real_name=Wan2.1-T2V-14B configuration on one 16 GB chip
+echo "=== 1.3B generator + 14B streamed teacher, staged, 9 frames ==="
+timeout 5400 python scripts/train_probe_1p3b.py --mode lora_step --frames 9 \
+  --reps 1 --teacher_14b --auto_shrink 2>/dev/null | tail -4

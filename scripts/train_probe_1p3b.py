@@ -78,6 +78,13 @@ def main():
                     help="staged_phases: 3-jit DMD split with the teacher + "
                          "frozen critic base paged to host between phases "
                          "(~5.2 GB off the rollout residency; lora_step only)")
+    ap.add_argument("--teacher_14b", action="store_true",
+                    help="REAL 14B teacher geometry (dim 5120, ffn 13824, "
+                         "40 heads, 40 layers — config.WAN_MODEL_CONFIGS), "
+                         "host-resident and layer-streamed during the DMD "
+                         "loss (teacher_stream).  Probe weights repeat one "
+                         "random layer across the stack (memory/latency "
+                         "probe; implies --staged).  lora_step only.")
     args = ap.parse_args()
 
     from longlive_tpu.config import DiTConfig, LatentGeometry
@@ -101,9 +108,34 @@ def main():
         geom = LatentGeometry()
 
     def run(frames):
+        import dataclasses as dc
+
+        import numpy as np
+
         gen = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16, zero_head=False)
         critic = D.init_dit_params(jax.random.PRNGKey(1), cfg, jnp.bfloat16, zero_head=False)
-        teacher = D.init_dit_params(jax.random.PRNGKey(2), cfg, jnp.bfloat16, zero_head=False)
+        teacher_cfg = None
+        if args.teacher_14b:
+            # real 14B head/layer geometry (config.WAN_MODEL_CONFIGS); blocks
+            # built host-side as one random layer broadcast across the stack
+            # (stream_scan slices per layer, so views stream fine)
+            from longlive_tpu.config import WAN_MODEL_CONFIGS
+            tg = dict(WAN_MODEL_CONFIGS["Wan2.1-T2V-14B"])
+            if os.environ.get("LONGLIVE_PROBE_TINY") == "1":
+                tg = dict(dim=2 * cfg.dim, ffn_dim=2 * cfg.ffn_dim,
+                          num_heads=2 * cfg.num_heads, num_layers=4)
+            teacher_cfg = dc.replace(cfg, **tg)
+            one_cfg = dc.replace(teacher_cfg, num_layers=1)
+            tp1 = D.init_dit_params(jax.random.PRNGKey(2), one_cfg,
+                                    jnp.bfloat16, zero_head=False)
+            L = tg["num_layers"]
+            blocks = jax.tree.map(
+                lambda a: np.broadcast_to(np.asarray(a), (L,) + a.shape[1:]),
+                tp1["blocks"])
+            teacher = {**tp1, "blocks": blocks}
+        else:
+            teacher = D.init_dit_params(jax.random.PRNGKey(2), cfg,
+                                        jnp.bfloat16, zero_head=False)
         mem("models_initialized")
         noise = jax.random.normal(
             jax.random.PRNGKey(3),
@@ -123,8 +155,10 @@ def main():
                 # ZeRO-Offload-style host AdamW — on-device f32 master+
                 # moments for 2x540M adapter params alone would be ~13 GB
                 opt_on_host=True, cache_int8=args.cache_int8,
-                staged_phases=args.staged)
-            tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic, teacher)
+                staged_phases=args.staged or args.teacher_14b,
+                teacher_stream=args.teacher_14b)
+            tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic,
+                                          teacher, teacher_cfg=teacher_cfg)
             del gen, critic, teacher  # trainer owns them; free the dup refs
             mem("trainer_ready")
             t0 = time.perf_counter()
@@ -290,6 +324,7 @@ def main():
         "frames": frames,
         "cache_int8": args.cache_int8,
         "staged": args.staged,
+        "teacher_14b": args.teacher_14b,
         "ms_per_step": round(dt * 1e3, 1),
         "hbm_peak_gb": hbm_peak_gb(),
         "device": str(jax.devices()[0]),

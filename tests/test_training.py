@@ -386,3 +386,80 @@ def test_dmd_with_larger_teacher_cfg(setup):
     val, g = jax.value_and_grad(loss_fn)(lat)
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0.0
+
+
+@pytest.mark.slow
+def test_teacher_real_x0_paths(setup):
+    """dmd.teacher_real_x0 (standalone CFG-batched teacher pass) must equal
+    the in-loss teacher exactly: same loss and latent-grad when its output
+    is passed back via real_x0=, both with the resident and the
+    host-streamed (blocks_to_host) teacher."""
+    from longlive_tpu.utils.memory import blocks_to_host
+
+    cfg, geom, gen, critic, teacher, tables, sched, *_ = setup
+    dcfg = dmd_mod.DMDConfig(timestep_shift=5.0, real_guidance_scale=3.0)
+    lat = jax.random.normal(jax.random.PRNGKey(21),
+                            (1, 3, geom.channels, geom.height, geom.width))
+    pe_c = jax.random.normal(jax.random.PRNGKey(22),
+                             (1, cfg.text_len, cfg.text_dim))
+    pe_u = pe_c * 0.1
+    rng = jax.random.PRNGKey(23)
+
+    def loss_with(real_x0):
+        def lf(l):
+            loss, _ = dmd_mod.distribution_matching_loss(
+                l, critic, None if real_x0 is not None else teacher, cfg,
+                tables, sched, dcfg, pe_c, pe_u, rng, attn_impl="xla",
+                real_x0=real_x0)
+            return loss
+
+        return jax.value_and_grad(lf)(lat)
+
+    l_ref, g_ref = loss_with(None)
+
+    real = dmd_mod.teacher_real_x0(teacher, cfg, tables, sched, dcfg, lat,
+                                   pe_c, pe_u, rng, attn_impl="xla")
+    l_pre, g_pre = loss_with(real)
+    np.testing.assert_allclose(np.asarray(l_pre), np.asarray(l_ref),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pre), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+
+    real_s = dmd_mod.teacher_real_x0(blocks_to_host(teacher), cfg, tables,
+                                     sched, dcfg, lat, pe_c, pe_u, rng,
+                                     attn_impl="xla", streamed=True)
+    np.testing.assert_allclose(np.asarray(real_s), np.asarray(real),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_teacher_stream_trainer_matches_monolithic(setup):
+    """staged_phases + teacher_stream (layer-streamed 14B-style teacher)
+    reproduces the monolithic train step."""
+    cfg, geom, gen, critic, teacher, tables, sched, *_ = setup
+    kw = dict(num_frame_per_block=1, num_training_frames=3,
+              slice_last_frames=3, attn_impl="xla", dfake_gen_update_ratio=1)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    noise = jax.random.normal(jax.random.PRNGKey(11),
+                              (1, 3, geom.channels, geom.height, geom.width))
+    pe_c = jax.random.normal(jax.random.PRNGKey(31),
+                             (1, cfg.text_len, cfg.text_dim))
+    pe_u = pe_c * 0.1
+
+    tr_a = ScoreDistillationTrainer(TrainerConfig(**kw), cfg, geom,
+                                    copy(gen), copy(critic), copy(teacher))
+    m_a = tr_a.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
+    tr_b = ScoreDistillationTrainer(
+        TrainerConfig(**kw, staged_phases=True, teacher_stream=True), cfg,
+        geom, copy(gen), copy(critic), copy(teacher))
+    m_b = tr_b.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
+
+    np.testing.assert_allclose(m_b["generator_loss"], m_a["generator_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(m_b["critic_loss"], m_a["critic_loss"],
+                               rtol=1e-5)
+    for key in ("gen_params", "critic_params"):
+        for a, b in zip(jax.tree.leaves(tr_a.state[key]),
+                        jax.tree.leaves(tr_b.state[key])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
