@@ -231,6 +231,7 @@ def bidirectional_forward_streamed(
     cross_kv: "CrossKV | None" = None,
     attn_impl: str = "auto",
     context: "jax.Array | None" = None,  # raw T5 features [B, 512, text_dim]
+    context_dtype=None,  # embed_text dtype; default = the params' dtype
 ) -> jax.Array:
     """`bidirectional_forward` with per-access weight streaming — the
     TPU-native DynamicSwapInstaller path (reference utils/memory.py:13-58,
@@ -260,7 +261,7 @@ def bidirectional_forward_streamed(
     if context is not None:
         from .dit import embed_text
 
-        ctx = embed_text(params, context,
+        ctx = embed_text(params, context, context_dtype or
                          params["patch_embedding"]["kernel"].dtype)
 
         def step(carry, layer_p):

@@ -122,28 +122,35 @@ class Text2VideoPipeline:
             if rng is None or latent_shape is None:
                 raise ValueError("pass either noise or (rng, latent_shape)")
             noise = jax.random.normal(rng, latent_shape, jnp.float32)
+        coeffs = SV.make_coefficients(solver, sampling_steps, shift)
+        if self.offload_blocks:
+            # context mode: each layer's cross K/V is derived inline from
+            # its streamed weights — no [L, ...] cross arrays and no pull of
+            # the stacked cross projections to device (prepare_cross_kv
+            # would), so a model that NEVER fits in HBM (14B) still samples
+            from ..models.dit_bidirectional import bidirectional_forward_streamed
+
+            b = noise.shape[0]
+            ctx2 = jnp.concatenate([cond_embeds, null_embeds], axis=0)
+
+            def model_fn(x, t):
+                xx = jnp.concatenate([x, x], axis=0)
+                tt = jnp.full((2 * b,), t, jnp.float32)
+                out = bidirectional_forward_streamed(
+                    self.params, self.cfg, self.tables, xx, tt,
+                    attn_impl=self.attn_impl, context=ctx2,
+                    # match prepare_condition's embed dtype exactly
+                    context_dtype=jnp.bfloat16)
+                c_, u_ = out[:b], out[b:]
+                return u_ + guide_scale * (c_ - u_)
+
+            return SV.sample_flow_eager(model_fn, noise.astype(dtype), coeffs)
         cond = self.prepare_condition(cond_embeds)
         null = self.prepare_condition(null_embeds)
         both = CrossKV(
             k=jnp.concatenate([cond.k, null.k], axis=1),
             v=jnp.concatenate([cond.v, null.v], axis=1),
         )
-        coeffs = SV.make_coefficients(solver, sampling_steps, shift)
-        if self.offload_blocks:
-            from ..models.dit_bidirectional import bidirectional_forward_streamed
-
-            b = noise.shape[0]
-
-            def model_fn(x, t):
-                xx = jnp.concatenate([x, x], axis=0)
-                tt = jnp.full((2 * b,), t, jnp.float32)
-                out = bidirectional_forward_streamed(
-                    self.params, self.cfg, self.tables, xx, tt, both,
-                    attn_impl=self.attn_impl)
-                c_, u_ = out[:b], out[b:]
-                return u_ + guide_scale * (c_ - u_)
-
-            return SV.sample_flow_eager(model_fn, noise.astype(dtype), coeffs)
         out = self._sampler(guide_scale)(self.params, noise.astype(dtype),
                                          both, coeffs)
         return out
