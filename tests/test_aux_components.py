@@ -29,6 +29,7 @@ def base():
     return cfg, geom, params, tables, cross
 
 
+@pytest.mark.slow
 def test_teacher_forcing_forward(base):
     cfg, geom, params, tables, cross = base
     noisy = jax.random.normal(jax.random.PRNGKey(2), (1, 4, geom.channels, geom.height, geom.width))
@@ -45,6 +46,7 @@ def test_teacher_forcing_forward(base):
     assert np.abs(np.asarray(out[:, 3]) - np.asarray(out2[:, 3])).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_classify_branch(base):
     cfg, geom, params, tables, cross = base
     # tap layers are for 30-layer models; shrink for the tiny 2-layer config
@@ -68,6 +70,7 @@ def test_classify_branch(base):
         BD.GAN_TAP_LAYERS = old
 
 
+@pytest.mark.slow
 def test_rollout_initial_latent(base):
     cfg, geom, params, tables, cross = base
     sched = S.make_schedule(1000, shift=5.0, sigma_min=0.0, extra_one_step=True)
@@ -83,6 +86,7 @@ def test_rollout_initial_latent(base):
     assert int(cache.ring_filled) == 2  # init frame in sink + 2 generated
 
 
+@pytest.mark.slow
 def test_switch_pipeline(base):
     cfg, geom, params, tables, cross = base
     pc = PipelineConfig(num_frame_per_block=1, local_attn_size=4, sink_size=1,

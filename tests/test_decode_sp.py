@@ -134,6 +134,7 @@ def test_recache_parity(setup):
                                np.asarray(new_p.ring_base))
 
 
+@pytest.mark.slow
 def test_t2v_sampler_sp_parity(setup):
     """Text2VideoPipeline(mesh=) runs the 50-step sampler through
     sp_bidirectional_forward — must match the single-device sampler."""

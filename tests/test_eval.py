@@ -7,6 +7,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from longlive_tpu.eval import (
     background_consistency,
@@ -73,6 +74,7 @@ def test_imaging_quality_prefers_sharp():
     assert imaging_quality(sharp) > imaging_quality(blur)
 
 
+@pytest.mark.slow
 def test_clip_feature_paths():
     """CLIP-backed consistency + clip_score on the tiny vision tower."""
     from longlive_tpu.models import clip as C

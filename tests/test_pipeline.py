@@ -56,6 +56,7 @@ def test_generate_latents(pipe_setup):
     np.testing.assert_allclose(np.asarray(lat), np.asarray(lat2), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_reuse_last_denoise_kv_mode(pipe_setup):
     """Fast serving mode (skip the clean-context commit; keep the last
     denoise pass's K/V): first block's latents are IDENTICAL to the default

@@ -356,6 +356,7 @@ def test_int8_rollout_cache_close_to_bf16(setup):
     assert np.isfinite(n) and n > 0.0
 
 
+@pytest.mark.slow
 def test_dmd_with_larger_teacher_cfg(setup):
     """DMD with a teacher of DIFFERENT geometry than the generator (the
     reference's real_name=14B configuration, longlive_train_init.yaml:5-7 —
