@@ -86,8 +86,8 @@ def _lane_chunks(n: int):
 
 
 def _fused_kernel(
-    # refs (order: gamma?, bias?, residual?, w, cache, x, out, nx,
-    #        stage0, stage1, stage2, kbuf, sems)
+    # refs (order: gamma?, bias?, residual?, [wsc], w, cache, x, out, nx,
+    #        stage0, stage1, stage2, kbuf, [kbuf8, ascale], sems)
     *refs,
     th: int,
     bo: int,
@@ -102,21 +102,32 @@ def _fused_kernel(
     apply_norm: bool,
     has_bias: bool,
     has_residual: bool,
+    int8: bool = False,
 ):
     idx = 0
     gamma_ref = None
     bias_ref = None
     res_ref = None
+    wsc_ref = None
     if apply_norm:
         gamma_ref = refs[idx]; idx += 1
     if has_bias:
         bias_ref = refs[idx]; idx += 1
     if has_residual:
         res_ref = refs[idx]; idx += 1
+    ginv_ref = None
+    if int8:
+        wsc_ref = refs[idx]; ginv_ref = refs[idx + 1]; idx += 2
     w_ref, cache_ref, x_ref = refs[idx], refs[idx + 1], refs[idx + 2]
     out_ref, nx_ref = refs[idx + 3], refs[idx + 4]
     stage_refs = refs[idx + 5 : idx + 8]
-    kbuf_ref, sems_ref = refs[idx + 8], refs[idx + 9]
+    kbuf_ref = refs[idx + 8]
+    idx += 9
+    kbuf8_ref = ascale_ref = None
+    if int8:
+        kbuf8_ref, ascale_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    sems_ref = refs[idx]
 
     r = pl.program_id(0)
     t = pl.program_id(1)
@@ -219,6 +230,21 @@ def _fused_kernel(
         for c_ in copies:
             c_.wait()
 
+    def _quant_kbuf():
+        """int8 mode: the per-channel factor ``ginv`` (1/max(|gamma|, eps)
+        for norm prologues, ones otherwise; its inverse is pre-folded into
+        the quantized weights) uniformizes the K-dim dynamic range, then
+        one symmetric scalar scale covers the whole K-packed tile (the
+        contraction dim mixes all taps, so the residual scale must be
+        uniform along K; per-output-channel granularity lives in the
+        weight scales).  Runs once per (r, t) — the int8 operand is
+        reused by every O tile."""
+        a = kbuf_ref[...].astype(jnp.float32) * ginv_ref[0][None, None, :]
+        amax = jnp.maximum(jnp.max(jnp.abs(a)), 1e-8)
+        s = amax / 127.0
+        kbuf8_ref[...] = jnp.round(a / s).astype(jnp.int8)
+        ascale_ref[0, 0] = s
+
     # dense-stream mode: DMAs only fill lanes [0, src_c); zero the staging
     # buffers once so the pad lanes [src_c, cp) stay exactly zero (norm and
     # the VMEM shift-copies preserve zeros thereafter)
@@ -244,6 +270,8 @@ def _fused_kernel(
         _load_stage(x_ref, zero, stage_refs[2], normalize=apply_norm,
                     nx_idx=nx0)
         _pack_kbuf()
+        if int8:
+            _quant_kbuf()
 
     @pl.when((o == 0) & (t > 0))
     def _load_next():
@@ -252,15 +280,28 @@ def _fused_kernel(
         _load_stage(x_ref, t, stage_refs[2], normalize=apply_norm,
                     nx_idx=t - jnp.asarray(t_frames - 2, jnp.int32))
         _pack_kbuf()
+        if int8:
+            _quant_kbuf()
 
     # ---- the GEMM: [th*wp, 3*kh*cp] x [3*kh*cp, kw*bo], all taps at once --
     wp = width + 16
-    lhs = kbuf_ref[...].reshape(th * wp, 3 * kh * cp)
-    out9 = jax.lax.dot_general(
-        lhs, w_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [th*wp, kw*bo]
+    if int8:
+        lhs8 = kbuf8_ref[...].reshape(th * wp, 3 * kh * cp)
+        s32 = jax.lax.dot_general(
+            lhs8, w_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [th*wp, kw*bo] on the int8 MXU pipe (2x bf16 rate)
+        out9 = s32.astype(jnp.float32) * (
+            ascale_ref[0, 0] * wsc_ref[0, 0][None, :]
+        )
+    else:
+        lhs = kbuf_ref[...].reshape(th * wp, 3 * kh * cp)
+        out9 = jax.lax.dot_general(
+            lhs, w_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [th*wp, kw*bo]
 
     # Output col w sums input cols w+8-kw//2+dx.  In the flattened rows a
     # column shift of s is a row shift of s, and the wrap between h-blocks
@@ -319,7 +360,9 @@ def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
 def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
                             out_c: Optional[int] = None,
                             kh: int = 3, kw: int = 3,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            wsc: Optional[jax.Array] = None,
+                            ginv: Optional[jax.Array] = None):
     t, h, wd, src_c = x.shape
     cp = _aligned(src_c)
     op = wp9.shape[0] * wp9.shape[2] // kw
@@ -332,6 +375,7 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
     apply_norm = gamma is not None
     has_bias = b is not None
     has_residual = residual is not None
+    int8 = wsc is not None
 
     in_specs = []
     operands = []
@@ -348,6 +392,16 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             (1, th, wd, bo), lambda r, tt, oo: (tt, r, 0, oo),
             memory_space=pltpu.VMEM))
         operands.append(residual)
+    if int8:
+        in_specs.append(pl.BlockSpec((1, 1, kw * bo),
+                                     lambda r, tt, oo: (oo, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(wsc)
+        in_specs.append(pl.BlockSpec((1, 3 * kh * cp),
+                                     lambda r, tt, oo: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(ginv if ginv is not None
+                        else jnp.ones((1, 3 * kh * cp), jnp.float32))
     in_specs += [
         pl.BlockSpec((1, 3 * kh * cp, kw * bo), lambda r, tt, oo: (oo, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -362,7 +416,7 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             _fused_kernel, th=th, bo=bo, t_frames=t, width=wd,
             n_rows=h // th, true_c=true_c, src_c=src_c, cp=cp, kh=kh, kw=kw,
             apply_norm=apply_norm,
-            has_bias=has_bias, has_residual=has_residual,
+            has_bias=has_bias, has_residual=has_residual, int8=int8,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -382,6 +436,10 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             pltpu.VMEM((th + 2, wp_, cp), x.dtype),
             pltpu.VMEM((th + 2, wp_, cp), x.dtype),
             pltpu.VMEM((th, wp_, 3 * kh * cp), x.dtype),
+        ] + ([
+            pltpu.VMEM((th, wp_, 3 * kh * cp), jnp.int8),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ] if int8 else []) + [
             pltpu.SemaphoreType.DMA((9,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -412,6 +470,30 @@ def pack_weights(w: jax.Array, cp: int, op: int, bo: int, dtype) -> jax.Array:
     wt = wt.reshape(3 * kh * cp, kw, op // bo, bo)
     # NO leading (blockable dim); (3kh*cp, kw*bo) trailing (lane-tile aligned)
     return wt.transpose(2, 0, 1, 3).reshape(op // bo, 3 * kh * cp, kw * bo)
+
+
+def pack_weights_int8(w: jax.Array, cp: int, op: int, bo: int,
+                      kh: int, g: Optional[jax.Array] = None
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """pack_weights + symmetric per-column int8 quantization.  Each packed
+    column is one (dx, output-channel) pair, so the scales are exactly the
+    standard per-output-channel granularity; the contraction (K) axis keeps
+    a single scale as required for an int32 MXU accumulate.
+
+    ``g`` [cp] (norm prologues: max(|gamma|, eps)) is folded INTO the
+    weights along K and divided OUT of the activations in the kernel —
+    exact algebra that removes the per-channel gamma spread from the
+    single-scale activation quantization.  Returns (wq, scales, ginv_k)
+    with ginv_k [1, 3*kh*cp] laid out like the K packing."""
+    wf = pack_weights(w, cp, op, bo, jnp.float32)
+    if g is None:
+        g = jnp.ones((cp,), jnp.float32)
+    gk = jnp.tile(g.astype(jnp.float32), 3 * kh)          # K = (tau, dy, c)
+    wf = wf * gk[None, :, None]
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)    # [op//bo, 1, kw*bo]
+    sc = jnp.maximum(amax, 1e-12) / 127.0
+    wq = jnp.round(wf / sc).astype(jnp.int8)
+    return wq, sc.astype(jnp.float32), (1.0 / gk)[None, :]
 
 
 def fused_causal_conv(
@@ -457,7 +539,19 @@ def fused_causal_conv(
     _, bo = _pick_tiles(cp, op, x.shape[1], x.shape[2], x.dtype.itemsize,
                         kh, kw)
 
-    wp9 = pack_weights(w, cp, op, bo, x.dtype)
+    # LONGLIVE_VAE_INT8=1: the GEMM runs on the int8 MXU pipe (2x the bf16
+    # rate) — per-output-channel weight scales, one dynamic activation
+    # scale per (row-tile, frame) quantized in VMEM (never re-streams HBM,
+    # unlike the XLA int8-conv path whose layout poisoning blocked mixing
+    # with the fused kernel, PERF.md r1), gamma spread folded into the
+    # weights.  Quantization-bounded, not exact; opt-in for the A/B.
+    int8 = os.environ.get("LONGLIVE_VAE_INT8", "0") == "1"
+    if int8:
+        g = (jnp.maximum(jnp.abs(_lane_pad(gamma, cp)), 1e-6)
+             if gamma is not None else None)
+        wp9, wsc, ginv = pack_weights_int8(w, cp, op, bo, kh, g)
+    else:
+        wp9, wsc, ginv = pack_weights(w, cp, op, bo, x.dtype), None, None
     # LONGLIVE_VAE_DENSE=1: stream x/cache/residual/out at their TRUE
     # channel widths — the zero lanes exist only in VMEM (staging buffers /
     # GEMM operand), never in HBM.  Kills the (cp/C)^2 HBM-stream tax of
@@ -474,7 +568,8 @@ def fused_causal_conv(
 
     out, nx = _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual,
                                       true_c=ci, out_c=(o if dense else op),
-                                      kh=kh, kw=kw, interpret=interpret)
+                                      kh=kh, kw=kw, interpret=interpret,
+                                      wsc=wsc, ginv=ginv)
     if x.shape[0] == 1:
         # only nx[1] was computable from x; frame 0 of the new cache is the
         # old cache's frame 1

@@ -72,3 +72,12 @@ timeout 3600 python scripts/train_probe_1p3b.py --mode stream_chunk \
 echo "=== 1.3B generator + 14B streamed teacher, staged, 9 frames ==="
 timeout 5400 python scripts/train_probe_1p3b.py --mode lora_step --frames 9 \
   --reps 1 --teacher_14b --auto_shrink 2>/dev/null | tail -4
+
+# 11) int8 MXU pipe inside the fused VAE conv kernel (LONGLIVE_VAE_INT8):
+#     per-oc weight scales + gamma-fold + per-tile dynamic activation
+#     scale; quantization-bounded.  Perf A/B + isolated quality row.
+echo "=== vae decode: fused_96 bf16 vs int8 (vs int8+dense) ==="
+VAE_PROBE_ONLY=fused_96,fused_96_int8,fused_96_int8_dense \
+  timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -3
+echo "=== quality delta incl. bf16_latents+int8_vae_decode row ==="
+timeout 3600 python scripts/quality_delta.py --frames 12 2>/dev/null | tail -6

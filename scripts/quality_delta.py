@@ -132,6 +132,35 @@ def main():
                     -10 * np.log10(((v01 - ref_px) ** 2).mean() + 1e-12))
         print(json.dumps(row), flush=True)
 
+    if vae_params is not None and ref_lat is not None:
+        # isolate the int8 VAE kernel (LONGLIVE_VAE_INT8): decode the SAME
+        # bf16 latents, compare pixels vs the bf16-kernel decode above
+        os.environ["LONGLIVE_VAE_INT8"] = "1"
+        prev_fused = os.environ.get("LONGLIVE_VAE_FUSED")
+        if tiny:
+            os.environ["LONGLIVE_VAE_FUSED"] = "interpret"
+        try:
+            px, _ = jax.jit(
+                lambda vp, z: V.vae_decode_scan(vp, vcfg, z, None, True))(
+                vae_params, jnp.asarray(ref_lat, jnp.bfloat16))
+        finally:
+            os.environ.pop("LONGLIVE_VAE_INT8", None)
+            if tiny:
+                if prev_fused is None:
+                    os.environ.pop("LONGLIVE_VAE_FUSED", None)
+                else:
+                    os.environ["LONGLIVE_VAE_FUSED"] = prev_fused
+        v01 = np.clip(np.asarray(px.astype(jnp.float32))[0].transpose(
+            0, 2, 3, 1) * 0.5 + 0.5, 0, 1)
+        print(json.dumps({
+            "mode": "bf16_latents+int8_vae_decode",
+            "pixel_mae_vs_bf16": float(np.abs(v01 - ref_px).mean()),
+            "pixel_psnr_vs_bf16": float(
+                -10 * np.log10(((v01 - ref_px) ** 2).mean() + 1e-12)),
+            "temporal_flicker": float(EM.temporal_flicker(v01)),
+            "imaging_quality": float(EM.imaging_quality(v01)),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -39,7 +39,8 @@ def main():
                           jnp.bfloat16)
 
     base = {"LONGLIVE_VAE_FUSED": "1", "LONGLIVE_VAE_FUSED_TIMECONV": "1",
-            "LONGLIVE_VAE_FUSED_96": "0", "LONGLIVE_VAE_VMEM_BUDGET": "20e6"}
+            "LONGLIVE_VAE_FUSED_96": "0", "LONGLIVE_VAE_VMEM_BUDGET": "20e6",
+            "LONGLIVE_VAE_INT8": "0", "LONGLIVE_VAE_DENSE": "0"}
     variants = [
         ("fused", {}),
         ("fused_bigtiles", {"LONGLIVE_VAE_VMEM_BUDGET": "45e6"}),
@@ -48,6 +49,13 @@ def main():
         ("fused_96", {"LONGLIVE_VAE_FUSED_96": "1"}),
         ("fused_no_timeconv", {"LONGLIVE_VAE_FUSED_TIMECONV": "0"}),
         ("xla", {"LONGLIVE_VAE_FUSED": "0"}),
+        # int8 MXU pipe inside the fused kernel (quantization-bounded;
+        # quality row in scripts/quality_delta.py)
+        ("fused_96_int8", {"LONGLIVE_VAE_FUSED_96": "1",
+                           "LONGLIVE_VAE_INT8": "1"}),
+        ("fused_96_int8_dense", {"LONGLIVE_VAE_FUSED_96": "1",
+                                 "LONGLIVE_VAE_INT8": "1",
+                                 "LONGLIVE_VAE_DENSE": "1"}),
     ]
     variants = [(n, {**base, **env}) for n, env in variants]
     only = os.environ.get("VAE_PROBE_ONLY")

@@ -172,3 +172,104 @@ def test_streaming_decode_parity_fused_vs_xla():
         np.testing.assert_allclose(
             np.asarray(a)[..., :c_true], np.asarray(b_), atol=1e-5
         )
+
+
+@pytest.mark.parametrize(
+    "t,c,o,norm,res,khw",
+    [
+        (2, 96, 96, True, True, 3),    # the full-res decoder stage shape
+        (1, 96, 192, True, False, 3),  # partial O tiles
+        (2, 96, 192, False, False, 1), # (3,1,1) time conv
+    ],
+)
+def test_kernel_int8_close_to_concat_conv(t, c, o, norm, res, khw):
+    """LONGLIVE_VAE_INT8=1: int8 MXU GEMM (per-output-channel weight
+    scales, one dynamic activation scale per row-tile x frame).
+    Quantization-bounded closeness vs the exact XLA concat path."""
+    rng = np.random.default_rng(7)
+    h, w = 8, 16
+    x = jnp.asarray(rng.standard_normal((t, h, w, c)), jnp.float32)
+    cache = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((o, c, 3, khw, khw)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((c,)), jnp.float32) if norm else None
+    residual = (
+        jnp.asarray(rng.standard_normal((t, h, w, o)), jnp.float32) if res else None
+    )
+
+    xin = x
+    if norm:
+        xin = lnn.silu(V.rms_norm_channel(x[None], gamma)[0])
+        # norm-prologue convs receive caches holding the PREVIOUS frames'
+        # normalized values (models/vae._fused_conv feeds new_cache back
+        # verbatim) — they scale with gamma like the current frames, which
+        # the int8 gamma-fold relies on.  Raw N(0,1) caches here would be
+        # a state the streaming path never produces.
+        cache = lnn.silu(V.rms_norm_channel(cache[None], gamma)[0])
+    full = jnp.concatenate([cache, xin], axis=0)
+    ref = V.conv3d(full[None], wt, b)[0]
+    if res:
+        ref = ref + residual
+    ref_cache = full[-2:]
+
+    prev = os.environ.get("LONGLIVE_VAE_INT8")
+    try:
+        os.environ["LONGLIVE_VAE_INT8"] = "1"
+        out, nc = fused_causal_conv(x, cache, wt, b, gamma, residual,
+                                    interpret=True)
+    finally:
+        if prev is None:
+            os.environ.pop("LONGLIVE_VAE_INT8", None)
+        else:
+            os.environ["LONGLIVE_VAE_INT8"] = prev
+
+    got = np.asarray(out)[..., :o]
+    refn = np.asarray(ref)
+    # int8 x int8 contraction: ~1-2% relative RMS on N(0,1) data
+    rel = np.linalg.norm(got - refn) / max(np.linalg.norm(refn), 1e-9)
+    assert rel < 0.025, rel
+    # the cache side output is NOT quantized (it feeds the next call exactly)
+    np.testing.assert_allclose(
+        np.asarray(nc)[..., :c], np.asarray(ref_cache), atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_streaming_decode_int8_close_to_xla():
+    """LONGLIVE_VAE_INT8 through the REAL decoder channel widths at tiny
+    spatial dims: two streaming chunks, int8 fused interpret vs the XLA
+    path — quantization-bounded closeness, finite everywhere."""
+    cfg = V.VAEConfig()
+    params = V.init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, cfg.z_dim, 4, 4),
+                          jnp.float32)
+
+    prev = {k: os.environ.get(k)
+            for k in ("LONGLIVE_VAE_FUSED", "LONGLIVE_VAE_INT8")}
+    try:
+        os.environ["LONGLIVE_VAE_FUSED"] = "0"
+        caches = V.init_decoder_caches(params, cfg, 1, 4, 4, jnp.float32)
+        r0, cr = V.vae_decode_chunk(params, cfg, z[:, :1], caches, True)
+        r1, cr = V.vae_decode_chunk(params, cfg, z[:, 1:2], cr, False)
+
+        os.environ["LONGLIVE_VAE_FUSED"] = "interpret"
+        os.environ["LONGLIVE_VAE_INT8"] = "1"
+        caches = V.init_decoder_caches(params, cfg, 1, 4, 4, jnp.float32)
+        f0, cf = V.vae_decode_chunk(params, cfg, z[:, :1], caches, True)
+        f1, cf = V.vae_decode_chunk(params, cfg, z[:, 1:2], cf, False)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    for got, ref in ((f0, r0), (f1, r1)):
+        g, r = np.asarray(got), np.asarray(ref)
+        assert np.isfinite(g).all()
+        rel = np.linalg.norm(g - r) / max(np.linalg.norm(r), 1e-9)
+        # ~1.5%/conv compounding over ~30 quantized convs at RANDOM
+        # weights/gammas (the adversarial case for the single-K-scale
+        # quantizer); the adoption gate is the pixel-PSNR row the chip
+        # run of scripts/quality_delta.py produces on this mode
+        assert rel < 0.08, rel
