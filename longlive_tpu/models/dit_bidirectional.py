@@ -232,6 +232,7 @@ def bidirectional_forward_streamed(
     attn_impl: str = "auto",
     context: "jax.Array | None" = None,  # raw T5 features [B, 512, text_dim]
     context_dtype=None,  # embed_text dtype; default = the params' dtype
+    context_embedded: bool = False,  # context already through embed_text
 ) -> jax.Array:
     """`bidirectional_forward` with per-access weight streaming — the
     TPU-native DynamicSwapInstaller path (reference utils/memory.py:13-58,
@@ -253,16 +254,24 @@ def bidirectional_forward_streamed(
     """
     from ..utils.memory import stream_scan
 
+    if cross_kv is None and context is None:
+        raise ValueError(
+            "bidirectional_forward_streamed needs either cross_kv "
+            "(precomputed [L, ...] K/V) or context (raw T5 features)")
+
     b, f, c, h, w = x.shape
     small = {k: params[k] for k in
              ("patch_embedding", "time_embedding", "time_projection")}
     tokens, e, e0, rope_cos, rope_sin = _bidi_prologue(small, cfg, tables, x, t)
 
     if context is not None:
-        from .dit import embed_text
+        if context_embedded:
+            ctx = context  # hoisted by the caller (constant across steps)
+        else:
+            from .dit import embed_text
 
-        ctx = embed_text(params, context, context_dtype or
-                         params["patch_embedding"]["kernel"].dtype)
+            ctx = embed_text(params, context, context_dtype or
+                             params["patch_embedding"]["kernel"].dtype)
 
         def step(carry, layer_p):
             return _bidi_block_step_ctx(carry, layer_p, ctx, e0, rope_cos,

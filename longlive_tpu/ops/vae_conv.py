@@ -397,11 +397,11 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
                                      lambda r, tt, oo: (oo, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(wsc)
+        assert ginv is not None  # pack_weights_int8 always produces one
         in_specs.append(pl.BlockSpec((1, 3 * kh * cp),
                                      lambda r, tt, oo: (0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(ginv if ginv is not None
-                        else jnp.ones((1, 3 * kh * cp), jnp.float32))
+        operands.append(ginv)
     in_specs += [
         pl.BlockSpec((1, 3 * kh * cp, kw * bo), lambda r, tt, oo: (oo, 0, 0),
                      memory_space=pltpu.VMEM),

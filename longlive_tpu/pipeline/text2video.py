@@ -128,10 +128,17 @@ class Text2VideoPipeline:
             # its streamed weights — no [L, ...] cross arrays and no pull of
             # the stacked cross projections to device (prepare_cross_kv
             # would), so a model that NEVER fits in HBM (14B) still samples
+            from ..models.dit import embed_text
             from ..models.dit_bidirectional import bidirectional_forward_streamed
 
             b = noise.shape[0]
-            ctx2 = jnp.concatenate([cond_embeds, null_embeds], axis=0)
+            # the text embedding is constant for the whole generation —
+            # embed once here, not inside every solver step
+            # (match prepare_condition's embed dtype exactly)
+            ctx2 = embed_text(
+                self.params,
+                jnp.concatenate([cond_embeds, null_embeds], axis=0),
+                jnp.bfloat16)
 
             def model_fn(x, t):
                 xx = jnp.concatenate([x, x], axis=0)
@@ -139,8 +146,7 @@ class Text2VideoPipeline:
                 out = bidirectional_forward_streamed(
                     self.params, self.cfg, self.tables, xx, tt,
                     attn_impl=self.attn_impl, context=ctx2,
-                    # match prepare_condition's embed dtype exactly
-                    context_dtype=jnp.bfloat16)
+                    context_embedded=True)
                 c_, u_ = out[:b], out[b:]
                 return u_ + guide_scale * (c_ - u_)
 

@@ -108,8 +108,11 @@ def main():
         if i2v:
             cfg = DiTConfig(local_attn_size=-1, sink_size=0, model_type="i2v",
                             in_dim=16 + stride_t + vcfg.z_dim)
+        # offload_blocks: build the tree in host RAM — a 14B model must
+        # never be materialized in HBM just to be offloaded again
         params = loading.load_base_dit(
-            os.path.join("wan_models", args.model_name), cfg)
+            os.path.join("wan_models", args.model_name), cfg,
+            on_host=args.offload_blocks and not i2v)
         text_encoder = loading.load_text_encoder(config)
 
     neg = args.negative_prompt or DEFAULT_NEGATIVE_PROMPT
@@ -150,6 +153,9 @@ def main():
                                devices=jax.devices()[: args.sp])
         pipe = Text2VideoPipeline(params, cfg, mesh=mesh,
                                   offload_blocks=args.offload_blocks)
+        # the pipeline owns the (possibly host-resident) tree now; keeping
+        # this reference alive would pin a full device copy next to it
+        del params
         latents = pipe.generate_latents(
             cond, null, rng=rng, latent_shape=shape,
             sampling_steps=args.steps, shift=args.shift,

@@ -42,7 +42,7 @@ from ..ops import kv_cache as kvc
 from ..pipeline.causal_inference import build_recache_fn
 from . import dmd as dmd_mod
 from . import rollout as ro
-from .trainer import ScoreDistillationTrainer, host_adamw_step
+from .trainer import ScoreDistillationTrainer
 
 
 @dataclasses.dataclass
@@ -574,22 +574,13 @@ class StreamingTrainer(ScoreDistillationTrainer):
                     self.state["critic_params"] if self.critic_lora_on else empty,
                     self.teacher_params, s["cache"], prev_overlap, noise,
                     prompt, s["prompt_u"], cur_start, rng_step)
-            if self.tcfg.opt_on_host:
+            if self.tcfg.opt_on_host or self.tcfg.staged_phases:
                 if not self.tcfg.staged_phases:
                     grads, cache, new_prev, loss, aux = out
-                dtypes = [x.dtype for x in jax.tree.leaves(trained)]
-                gt, gnorm = host_adamw_step(
-                    self.state["gen_opt"], grads, lr=self.tcfg.lr,
-                    b1=self.tcfg.beta1, b2=self.tcfg.beta2,
-                    weight_decay=self.tcfg.weight_decay,
-                    clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
-                del grads
-                aux = dict(aux, generator_grad_norm=gnorm)
-            elif self.tcfg.staged_phases:
-                updates, self.state["gen_opt"] = self.gen_tx.update(
-                    grads, self.state["gen_opt"], trained)
-                gt = optax.apply_updates(trained, updates)
-                aux = dict(aux, generator_grad_norm=optax.global_norm(grads))
+                gt, aux = self._apply_update_eager(
+                    "gen_opt", self.gen_tx, grads, trained,
+                    self.tcfg.lr, self.tcfg.beta1, self.tcfg.beta2,
+                    "generator_grad_norm", aux)
                 del grads
             else:
                 gt, gopt, cache, new_prev, loss, aux = out
@@ -612,22 +603,13 @@ class StreamingTrainer(ScoreDistillationTrainer):
                     self.state["gen_params"] if self.use_lora else empty,
                     s["cache"], prev_overlap, noise, prompt, cur_start,
                     rng_step)
-            if self.tcfg.opt_on_host:
+            if self.tcfg.opt_on_host or self.tcfg.staged_phases:
                 if not self.tcfg.staged_phases:
                     grads, cache, new_prev, loss, aux = out
-                dtypes = [x.dtype for x in jax.tree.leaves(trained_c)]
-                ct, gnorm = host_adamw_step(
-                    self.state["critic_opt"], grads, lr=self.tcfg.lr_critic,
-                    b1=self.tcfg.beta1_critic, b2=self.tcfg.beta2_critic,
-                    weight_decay=self.tcfg.weight_decay,
-                    clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
-                del grads
-                aux = dict(aux, critic_grad_norm=gnorm)
-            elif self.tcfg.staged_phases:
-                updates, self.state["critic_opt"] = self.critic_tx.update(
-                    grads, self.state["critic_opt"], trained_c)
-                ct = optax.apply_updates(trained_c, updates)
-                aux = dict(aux, critic_grad_norm=optax.global_norm(grads))
+                ct, aux = self._apply_update_eager(
+                    "critic_opt", self.critic_tx, grads, trained_c,
+                    self.tcfg.lr_critic, self.tcfg.beta1_critic,
+                    self.tcfg.beta2_critic, "critic_grad_norm", aux)
                 del grads
             else:
                 ct, copt, cache, new_prev, loss, aux = out

@@ -597,6 +597,27 @@ class ScoreDistillationTrainer:
         del critic_base, latents
         return grads, loss, aux
 
+    def _apply_update_eager(self, opt_key: str, tx, grads, trained,
+                            lr: float, b1: float, b2: float,
+                            norm_key: str, aux: dict):
+        """Eager optimizer application shared by the staged-phases and
+        opt-on-host paths of BOTH trainers' generator and critic updates
+        (the monolithic path applies its update inside the train-step jit
+        instead).  Mutates ``self.state[opt_key]`` and returns
+        (new_trained, aux + grad norm)."""
+        if self.tcfg.opt_on_host:
+            dtypes = [x.dtype for x in jax.tree.leaves(trained)]
+            new_t, gnorm = host_adamw_step(
+                self.state[opt_key], grads, lr=lr, b1=b1, b2=b2,
+                weight_decay=self.tcfg.weight_decay,
+                clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
+        else:
+            updates, self.state[opt_key] = tx.update(
+                grads, self.state[opt_key], trained)
+            new_t = optax.apply_updates(trained, updates)
+            gnorm = optax.global_norm(grads)
+        return new_t, dict(aux, **{norm_key: gnorm})
+
     # -- public API --------------------------------------------------------
 
     def _sample_rollout_geometry(self, noise, rng_exit, rng_len):
@@ -654,22 +675,13 @@ class ScoreDistillationTrainer:
                     self.teacher_params, noise[:, : nb * fpb], prompt_c,
                     prompt_u, rng_g,
                 )
-            if self.tcfg.opt_on_host:
-                dtypes = [x.dtype for x in jax.tree.leaves(trained)]
+            if self.tcfg.opt_on_host or self.tcfg.staged_phases:
                 if not self.tcfg.staged_phases:
                     grads, loss, aux = self._gen_steps[key](*args)
-                gt, gnorm = host_adamw_step(
-                    self.state["gen_opt"], grads, lr=self.tcfg.lr,
-                    b1=self.tcfg.beta1, b2=self.tcfg.beta2,
-                    weight_decay=self.tcfg.weight_decay,
-                    clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
-                del grads
-                aux = dict(aux, generator_grad_norm=gnorm)
-            elif self.tcfg.staged_phases:
-                updates, self.state["gen_opt"] = self.gen_tx.update(
-                    grads, self.state["gen_opt"], trained)
-                gt = optax.apply_updates(trained, updates)
-                aux = dict(aux, generator_grad_norm=optax.global_norm(grads))
+                gt, aux = self._apply_update_eager(
+                    "gen_opt", self.gen_tx, grads, trained,
+                    self.tcfg.lr, self.tcfg.beta1, self.tcfg.beta2,
+                    "generator_grad_norm", aux)
                 del grads
             else:
                 gt, gopt, loss, aux = self._gen_steps[key](*args)
@@ -699,26 +711,17 @@ class ScoreDistillationTrainer:
                 self.state["gen_params"] if self.use_lora else empty,
                 noise[:, : nb_c * fpb], prompt_c, rng_c,
             )
-        if self.tcfg.opt_on_host:
-            dtypes = [x.dtype for x in jax.tree.leaves(trained_c)]
+        if self.tcfg.opt_on_host or self.tcfg.staged_phases:
             if self.tcfg.staged_phases:
                 grads, loss, aux = cgrads, closs, caux
+                del cgrads
             else:
                 grads, loss, aux = self._critic_steps[exit_c](*cargs)
-            ct, gnorm = host_adamw_step(
-                self.state["critic_opt"], grads, lr=self.tcfg.lr_critic,
-                b1=self.tcfg.beta1_critic, b2=self.tcfg.beta2_critic,
-                weight_decay=self.tcfg.weight_decay,
-                clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
+            ct, aux = self._apply_update_eager(
+                "critic_opt", self.critic_tx, grads, trained_c,
+                self.tcfg.lr_critic, self.tcfg.beta1_critic,
+                self.tcfg.beta2_critic, "critic_grad_norm", aux)
             del grads
-            aux = dict(aux, critic_grad_norm=gnorm)
-        elif self.tcfg.staged_phases:
-            updates, self.state["critic_opt"] = self.critic_tx.update(
-                cgrads, self.state["critic_opt"], trained_c)
-            ct = optax.apply_updates(trained_c, updates)
-            loss, aux = closs, dict(
-                caux, critic_grad_norm=optax.global_norm(cgrads))
-            del cgrads
         else:
             ct, copt, loss, aux = self._critic_steps[exit_c](*cargs)
             self.state["critic_opt"] = copt

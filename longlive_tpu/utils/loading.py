@@ -89,10 +89,19 @@ def _load_safetensors_dir(model_dir: str) -> Optional[dict]:
 
 
 def load_base_dit(model_dir: str, cfg: DiTConfig, dtype=jnp.bfloat16,
-                  seed: int = 0) -> dict:
+                  seed: int = 0, on_host: bool = False) -> dict:
     """Base Wan DiT weights (teacher / critic / pre-distillation generator)
     from ``wan_models/<name>/``: safetensors (HF release layout) or a
-    ``.pth`` state_dict.  Random init with a warning when absent."""
+    ``.pth`` state_dict.  Random init with a warning when absent.
+
+    ``on_host=True`` builds the tree on the CPU backend (host RAM) — the
+    load path for per-access weight streaming (``--offload_blocks``): a
+    model that never fits in HBM (14B on 16 GB) must not be materialized
+    on device just to be offloaded again."""
+    if on_host:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            return load_base_dit(model_dir, cfg, dtype, seed, on_host=False)
     sd = _load_safetensors_dir(model_dir) if os.path.isdir(model_dir) else None
     if sd is None and os.path.isfile(model_dir):
         sd = _torch_load(model_dir)

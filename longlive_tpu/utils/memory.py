@@ -13,6 +13,30 @@ from typing import Any
 import jax
 
 
+_MEMORY_KINDS: dict = {}
+
+
+def supports_memory_kinds(dev=None) -> bool:
+    """One cached capability probe per device: can this backend place a
+    tiny array with an explicit memory kind?  Keeping the probe separate
+    from the real transfers means a genuine paging failure (e.g.
+    RESOURCE_EXHAUSTED halfway through a multi-GB tree) PROPAGATES instead
+    of being mistaken for a capability gap and silently retried."""
+    import numpy as np
+
+    dev = dev if dev is not None else jax.devices()[0]
+    key = repr(dev)
+    if key not in _MEMORY_KINDS:
+        try:
+            sh = jax.sharding.SingleDeviceSharding(
+                dev, memory_kind="pinned_host")
+            jax.device_put(np.zeros((1,), np.float32), sh).block_until_ready()
+            _MEMORY_KINDS[key] = True
+        except Exception:
+            _MEMORY_KINDS[key] = False
+    return _MEMORY_KINDS[key]
+
+
 def host_sharding():
     """Pinned-host placement for the default device."""
     dev = jax.devices()[0]
@@ -22,14 +46,13 @@ def host_sharding():
 def offload_to_host(tree: Any) -> Any:
     """Moves a param pytree to pinned host memory (keeps it addressable by
     later device_put without a host round-trip)."""
-    try:
+    if supports_memory_kinds():
         sh = host_sharding()
         return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
-    except Exception:
-        # backends without pinned_host: plain host numpy
-        import numpy as np
+    # backends without pinned_host: plain host numpy
+    import numpy as np
 
-        return jax.tree.map(lambda x: np.asarray(x), tree)
+    return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
 def to_device(tree: Any) -> Any:
@@ -43,29 +66,36 @@ def fetch_from_host(tree: Any, device=None) -> Any:
     committed to a pinned-host sharding, so paging host-resident params
     back to HBM needs the device memory kind spelled out."""
     dev = device if device is not None else jax.devices()[0]
-    try:
+    if supports_memory_kinds(dev):
         sh = jax.sharding.SingleDeviceSharding(dev, memory_kind="device")
         return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
-    except Exception:  # backend without memory kinds (offload fell back
-        return jax.tree.map(  # to numpy there too — plain put suffices)
-            lambda x: jax.device_put(x, dev), tree)
+    # backend without memory kinds (offload fell back to numpy there too)
+    return jax.tree.map(lambda x: jax.device_put(x, dev), tree)
 
 
 def hbm_bytes(tree: Any) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
-def blocks_to_host(params: dict, key: str = "blocks") -> dict:
+def blocks_to_host(params: dict, key: str = "blocks", device=None) -> dict:
     """Per-access weight streaming, part 1: move the layer-stacked block
-    params (every leaf [L, ...]) to host memory, leaving the small
+    params (every leaf [L, ...]) to host memory, pinning the small
     embedding/head params on device.  The TPU-native counterpart of the
     reference's ``DynamicSwapInstaller.install_model`` (utils/memory.py:13-58),
     which swaps individual submodule tensors on ``__getattr__``: here the
     unit of streaming is one transformer layer's slice of the stacked tree,
-    fetched one layer ahead of compute by :func:`stream_scan`."""
+    fetched one layer ahead of compute by :func:`stream_scan`.
+
+    Accepts trees loaded host-side (utils.loading.load_base_dit
+    ``on_host=True`` — the only way a never-fits model reaches here): the
+    blocks stay in host RAM, and the explicit device_put below moves ONLY
+    the small parts to HBM (otherwise each eager use would re-transfer
+    them)."""
     import numpy as np
 
-    out = dict(params)
+    dev = device if device is not None else jax.devices()[0]
+    out = {k: (jax.tree.map(lambda x: jax.device_put(x, dev), v)
+               if k != key else v) for k, v in params.items()}
     # numpy (not pinned-host jax arrays): slicing a host jax array is a
     # device computation, which would pull the whole stack back to HBM;
     # a numpy slice is a view and device_put streams just that layer

@@ -49,7 +49,8 @@ def main():
         cfg, geom = tiny_dit_config(), tiny_geometry()
         local, sink = cfg.local_attn_size, cfg.sink_size
         args.frames = min(args.frames, 4)
-        args.skip_vae = True
+        # tiny VAE (z_dim matches tiny_geometry channels) keeps the pixel
+        # rows — incl. the int8-VAE adoption-gate row — CPU-exercisable
         pc = PipelineConfig(num_output_frames=args.frames,
                             num_frame_per_block=cfg.num_frame_per_block,
                             local_attn_size=local, sink_size=sink,
@@ -72,7 +73,8 @@ def main():
         jax.random.PRNGKey(2),
         (1, args.frames, geom.channels, geom.height, geom.width), jnp.float32)
 
-    vcfg = V.VAEConfig()
+    vcfg = (V.tiny_vae_config()
+            if os.environ.get("LONGLIVE_QD_TINY") == "1" else V.VAEConfig())
     vae_params = None
     if not args.skip_vae:
         vae_params = V.init_vae_params(jax.random.PRNGKey(3), vcfg, jnp.bfloat16)
@@ -135,8 +137,9 @@ def main():
     if vae_params is not None and ref_lat is not None:
         # isolate the int8 VAE kernel (LONGLIVE_VAE_INT8): decode the SAME
         # bf16 latents, compare pixels vs the bf16-kernel decode above
+        prev = {k: os.environ.get(k)
+                for k in ("LONGLIVE_VAE_INT8", "LONGLIVE_VAE_FUSED")}
         os.environ["LONGLIVE_VAE_INT8"] = "1"
-        prev_fused = os.environ.get("LONGLIVE_VAE_FUSED")
         if tiny:
             os.environ["LONGLIVE_VAE_FUSED"] = "interpret"
         try:
@@ -144,12 +147,11 @@ def main():
                 lambda vp, z: V.vae_decode_scan(vp, vcfg, z, None, True))(
                 vae_params, jnp.asarray(ref_lat, jnp.bfloat16))
         finally:
-            os.environ.pop("LONGLIVE_VAE_INT8", None)
-            if tiny:
-                if prev_fused is None:
-                    os.environ.pop("LONGLIVE_VAE_FUSED", None)
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
                 else:
-                    os.environ["LONGLIVE_VAE_FUSED"] = prev_fused
+                    os.environ[k] = v
         v01 = np.clip(np.asarray(px.astype(jnp.float32))[0].transpose(
             0, 2, 3, 1) * 0.5 + 0.5, 0, 1)
         print(json.dumps({

@@ -86,6 +86,10 @@ def main():
                          "random layer across the stack (memory/latency "
                          "probe; implies --staged).  lora_step only.")
     args = ap.parse_args()
+    if args.teacher_14b and args.mode != "lora_step":
+        ap.error("--teacher_14b is wired for --mode lora_step only (the "
+                 "streamed teacher/teacher_cfg are not passed to the "
+                 f"{args.mode} trainer construction)")
 
     from longlive_tpu.config import DiTConfig, LatentGeometry
     from longlive_tpu.models import dit as D
