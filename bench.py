@@ -52,9 +52,17 @@ def _wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: int = 90):
             if r.returncode == 0:
                 return
             if b"AssertionError" in r.stderr:
-                # a backend initialized fine but it is not a TPU (dev/CI
-                # host) — waiting will not change that; fail fast downstream
-                return
+                # a backend initialized but it is not a TPU.  Two distinct
+                # cases: a dev/CI host with no TPU plugin at all (waiting
+                # will not change that — fail fast downstream) vs. a TPU
+                # host whose tunnel outage made init FAIL FAST into the
+                # CPU fallback (must keep waiting, or the bench would
+                # silently emit CPU numbers as the TPU artifact)
+                import importlib.util as _ilu
+
+                if _ilu.find_spec("axon") is None:
+                    return  # no TPU plugin on this host
+                # plugin present -> treat as an outage and retry below
         except subprocess.TimeoutExpired:
             pass
         if time.time() > deadline:
@@ -81,6 +89,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def main():
+    if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import importlib.util as _ilu
+
+        if (_ilu.find_spec("axon") is not None
+                and jax.devices()[0].platform != "tpu"):
+            # TPU host whose backend fell back to CPU (tunnel outage that
+            # fails fast): refuse to emit CPU throughput as a TPU artifact
+            print("bench: axon plugin present but backend is "
+                  f"{jax.devices()[0].platform!r} — refusing to run",
+                  file=sys.stderr, flush=True)
+            sys.exit(1)
     from longlive_tpu.config import DiTConfig, LatentGeometry, PipelineConfig
     from longlive_tpu.models import dit as D
     from longlive_tpu.models import vae as V

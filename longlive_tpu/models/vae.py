@@ -77,24 +77,30 @@ def _conv_pads(kh, kw, spatial_pad):
     return spatial_pad
 
 
-def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same"):
+def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same",
+           out_dtype=None):
     """x: [B,T,H,W,C] (channels-last — TPU-preferred feature-minor layout);
     w: [O,I,kt,kh,kw] (torch layout, transposed here; XLA folds the constant
     transpose).  Temporal padding is the caller's job (causal caches);
-    spatial is symmetric SAME or explicit."""
+    spatial is symmetric SAME or explicit.
+
+    ``out_dtype`` overrides the accumulator/output dtype — callers that sum
+    several partial convs (the tap-split path) keep f32 partials so the
+    result rounds ONCE like a single fused conv would."""
     kt, kh, kw = w.shape[2:]
     pads = _conv_pads(kh, kw, spatial_pad)
+    dt = out_dtype or x.dtype
     w_cl = w.astype(x.dtype).transpose(2, 3, 4, 1, 0)  # -> [kt,kh,kw,I,O]
-    # output in the input dtype: f32 conv output buffers cost an extra
-    # materialization pass per conv (~4% of decode time) with no accuracy
-    # benefit (the MXU accumulates bf16 inputs in f32 regardless)
+    # default output in the input dtype: f32 conv output buffers cost an
+    # extra materialization pass per conv (~4% of decode time) with no
+    # accuracy benefit (the MXU accumulates bf16 inputs in f32 regardless)
     y = jax.lax.conv_general_dilated(
         x, w_cl, window_strides=stride, padding=pads,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=x.dtype,
+        preferred_element_type=dt,
     )
     if b is not None:
-        y = y + b.astype(x.dtype)
+        y = y + b.astype(dt)
     return y
 
 
@@ -297,15 +303,22 @@ def causal_conv3d(x, p, thread: _CacheThread, stride=(1, 1, 1)):
     cache = cache.astype(x.dtype)
     if (x.shape[1] == 1 and kt == 3 and stride == (1, 1, 1) and "w" in p
             and os.environ.get("LONGLIVE_VAE_TAPSPLIT", "1") == "1"):
-        # EXACT tap decomposition for the per-frame streaming path: the
-        # kt=3 conv over [c0, c1, x] is the sum of one spatial conv per
+        # Tap decomposition for the per-frame streaming path: the kt=3
+        # conv over [c0, c1, x] is the sum of one spatial conv per
         # temporal tap, so the 3-frame concatenated buffer (a full
         # write+read of 3 frames per conv, ~31 ms/latent-frame across the
-        # round-1 XLA decode) never materializes.
+        # round-1 XLA decode) never materializes.  Partial sums stay f32
+        # so the output rounds ONCE, like the fused conv (this XLA path
+        # only serves the narrow non-kernel convs, where the f32 buffers
+        # are cheap); equal to the concat form up to f32 summation order.
         w = p["w"]
-        y = conv3d(x, w[:, :, 2:3], p.get("b"), stride)
-        y = y + conv3d(cache[:, 1:2], w[:, :, 1:2], None, stride)
-        y = y + conv3d(cache[:, 0:1], w[:, :, 0:1], None, stride)
+        y = conv3d(x, w[:, :, 2:3], p.get("b"), stride,
+                   out_dtype=jnp.float32)
+        y = y + conv3d(cache[:, 1:2], w[:, :, 1:2], None, stride,
+                       out_dtype=jnp.float32)
+        y = y + conv3d(cache[:, 0:1], w[:, :, 0:1], None, stride,
+                       out_dtype=jnp.float32)
+        y = y.astype(x.dtype)
         thread.push(jnp.concatenate([cache[:, 1:], x], axis=1))
         return y
     full = jnp.concatenate([cache, x], axis=1)

@@ -26,7 +26,7 @@ from jax import shard_map
 from ..config import DiTConfig
 from ..models import nn
 from ..models.dit import CrossKV, patchify, unpatchify
-from ..ops.attention import attend, dense_attention
+from ..ops.attention import attend
 from ..ops.embeddings import sinusoidal_embedding_1d
 from ..ops.rope import RopeTables, apply_rotary, rope_multipliers
 
