@@ -64,7 +64,7 @@ def _flows(v: np.ndarray) -> Optional[np.ndarray]:
     ])
 
 
-def temporal_flicker(video) -> float:
+def temporal_flicker(video, flows=None) -> float:
     """VBench 'temporal flickering': 1 - mean absolute difference between
     consecutive frames over STATIC regions (pixels whose optical-flow
     magnitude is below 1px at analysis scale, mirroring VBench's
@@ -74,7 +74,8 @@ def temporal_flicker(video) -> float:
     if len(v) < 2:
         return 1.0
     diff = np.abs(np.diff(v, axis=0)).mean(axis=-1)  # [T-1, H, W]
-    flows = _flows(v)
+    if flows is None:
+        flows = _flows(v)
     if flows is not None:
         mag = np.linalg.norm(flows, axis=-1)  # [T-1, h, w]
         try:
@@ -125,7 +126,8 @@ def motion_smoothness(video) -> float:
     return float(np.clip(1.0 - np.mean(errs) / 255.0, 0.0, 1.0))
 
 
-def dynamic_degree(video, threshold: Optional[float] = None) -> float:
+def dynamic_degree(video, threshold: Optional[float] = None,
+                   flows=None) -> float:
     """VBench 'dynamic degree': fraction of frame pairs that are dynamic.
     With cv2, a pair is dynamic when the mean of its top-5% optical-flow
     magnitudes exceeds a resolution-scaled threshold (VBench's RAFT
@@ -135,7 +137,8 @@ def dynamic_degree(video, threshold: Optional[float] = None) -> float:
     v = _as_video(video)
     if len(v) < 2:
         return 0.0
-    flows = _flows(v)
+    if flows is None:
+        flows = _flows(v)
     if flows is None:
         thr = 0.01 if threshold is None else threshold
         mae = np.abs(np.diff(v, axis=0)).mean(axis=(1, 2, 3))
@@ -219,13 +222,18 @@ def clip_score(video, text_features, clip_params, clip_cfg) -> float:
 def evaluate_video(video, clip_params=None, clip_cfg=None,
                    text_features=None) -> dict:
     """All dimensions for one video.  Returns {metric: score}."""
+    v = _as_video(video)
+    # the consecutive-frame Farneback flows dominate eval cost; compute
+    # once and share (motion_smoothness solves DIFFERENT 2-frame-gap
+    # flows, so it keeps its own)
+    flows = _flows(v) if len(v) >= 2 else None
     out = {
-        "temporal_flicker": temporal_flicker(video),
-        "motion_smoothness": motion_smoothness(video),
-        "dynamic_degree": dynamic_degree(video),
-        "imaging_quality": imaging_quality(video),
-        "subject_consistency": subject_consistency(video, clip_params, clip_cfg),
-        "background_consistency": background_consistency(video, clip_params, clip_cfg),
+        "temporal_flicker": temporal_flicker(v, flows=flows),
+        "motion_smoothness": motion_smoothness(v),
+        "dynamic_degree": dynamic_degree(v, flows=flows),
+        "imaging_quality": imaging_quality(v),
+        "subject_consistency": subject_consistency(v, clip_params, clip_cfg),
+        "background_consistency": background_consistency(v, clip_params, clip_cfg),
     }
     if text_features is not None and clip_params is not None:
         out["clip_score"] = clip_score(video, text_features, clip_params, clip_cfg)

@@ -58,7 +58,8 @@ def prepare_img_cross_kv(params: dict, cfg: DiTConfig,
 
 
 def _bidi_block(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
-                cfg: DiTConfig, attn_impl: str, cki=None, cvi=None):
+                cfg: DiTConfig, attn_impl: str, cki=None, cvi=None,
+                frame_seq=None):
     """One WanAttentionBlock (model.py:315-354) as a pure module-level
     function — shared by the scanned forward and the host-streamed forward
     (whose per-layer jit needs a stable function identity to compile once)."""
@@ -78,7 +79,7 @@ def _bidi_block(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
                      layout=cfg.rope_layout)
     k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin,
                      layout=cfg.rope_layout)
-    y = attend(q, k, v, None, impl=attn_impl)
+    y = attend(q, k, v, None, impl=attn_impl, frame_seq=frame_seq)
     y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
     xcur = xcur + y * e_[2]
 
@@ -91,12 +92,12 @@ def _bidi_block(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
         cq = nn.rms_norm(cq, layer_p["cross_attn"]["norm_q"]["scale"], cfg.eps)
     cq = cq.reshape(b, s, n, hd)
     co = attend(cq, ck.astype(cq.dtype), cv.astype(cq.dtype), None,
-                impl=attn_impl)
+                impl=attn_impl, frame_seq=frame_seq)
     if cki is not None:
         # i2v: image-token attention added to the text attention output
         # before the shared output projection (model.py:255-263).
         co = co + attend(cq, cki.astype(cq.dtype), cvi.astype(cq.dtype),
-                         None, impl=attn_impl)
+                         None, impl=attn_impl, frame_seq=frame_seq)
     xcur = xcur + nn.linear(co.reshape(b, s, n * hd), layer_p["cross_attn"]["o"])
 
     hh = nn.layer_norm(xcur, cfg.eps) * (1 + e_[4]) + e_[3]
@@ -141,7 +142,8 @@ def bidirectional_forward(
 
     def block(xcur, layer_p, ck, cv, cki=None, cvi=None):
         return _bidi_block(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
-                           cfg, attn_impl, cki, cvi), None
+                           cfg, attn_impl, cki, cvi,
+                           frame_seq=hp * wp), None
 
     if cross_kv_img is not None:
         def scan_body(carry, xs):
@@ -173,16 +175,18 @@ def bidirectional_forward(
     return unpatchify(out.astype(jnp.float32), cfg, f, h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl",
+                                              "frame_seq"))
 def _bidi_block_step(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
-                     cfg: DiTConfig, attn_impl: str):
+                     cfg: DiTConfig, attn_impl: str, frame_seq=None):
     return _bidi_block(xcur, layer_p, ck, cv, e0, rope_cos, rope_sin,
-                       cfg, attn_impl)
+                       cfg, attn_impl, frame_seq=frame_seq)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl",
+                                              "frame_seq"))
 def _bidi_block_step_ctx(xcur, layer_p, ctx, e0, rope_cos, rope_sin,
-                         cfg: DiTConfig, attn_impl: str):
+                         cfg: DiTConfig, attn_impl: str, frame_seq=None):
     """Streamed-layer step that derives the layer's cross-attention K/V from
     the embedded text ``ctx`` inline (prepare_cross_kv's per-layer body) —
     so a host-streamed model never materializes [L, ...] cross arrays."""
@@ -194,7 +198,7 @@ def _bidi_block_step_ctx(xcur, layer_p, ctx, e0, rope_cos, rope_sin,
     b, s, _ = ck.shape
     return _bidi_block(xcur, layer_p, ck.reshape(b, s, n, hd),
                        cv.reshape(b, s, n, hd), e0, rope_cos, rope_sin,
-                       cfg, attn_impl)
+                       cfg, attn_impl, frame_seq=frame_seq)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -273,16 +277,21 @@ def bidirectional_forward_streamed(
             ctx = embed_text(params, context, context_dtype or
                              params["patch_embedding"]["kernel"].dtype)
 
+        fs = (h // cfg.patch_size[1]) * (w // cfg.patch_size[2])
+
         def step(carry, layer_p):
             return _bidi_block_step_ctx(carry, layer_p, ctx, e0, rope_cos,
-                                        rope_sin, cfg, attn_impl)
+                                        rope_sin, cfg, attn_impl,
+                                        frame_seq=fs)
 
         tokens = stream_scan(step, tokens, params["blocks"])
     else:
+        fs = (h // cfg.patch_size[1]) * (w // cfg.patch_size[2])
+
         def step(carry, xs):
             layer_p, ck, cv = xs
             return _bidi_block_step(carry, layer_p, ck, cv, e0, rope_cos,
-                                    rope_sin, cfg, attn_impl)
+                                    rope_sin, cfg, attn_impl, frame_seq=fs)
 
         tokens = stream_scan(step, tokens,
                              (params["blocks"], cross_kv.k, cross_kv.v))

@@ -162,6 +162,11 @@ def _t5_block(cfg: T5Config, x, layer_p, buckets, key_bias):
     return x
 
 
+# module-level jit identity for the streamed path: compiles once per
+# (config, shape), not once per encode call
+_t5_block_jit = jax.jit(_t5_block, static_argnums=(0,))
+
+
 def t5_encode_streamed(
     params: dict, cfg: T5Config, ids: jax.Array, mask: jax.Array
 ) -> jax.Array:
@@ -189,13 +194,16 @@ def t5_encode_streamed(
     key_bias = jnp.where(jnp.asarray(mask)[:, None, None, :] > 0, 0.0,
                          -1e30).astype(jnp.float32)
 
-    block_jit = jax.jit(functools.partial(_t5_block, cfg))
+    # module-level jit identity: a per-call jax.jit(partial(...)) would
+    # own a fresh compile cache each encode, re-compiling the umT5 block
+    # for every prompt in low_memory mode
+    block_jit = _t5_block_jit
     blocks = params["blocks"]
     num_layers = len(_host(jax.tree.leaves(blocks)[0]))
     for i in range(num_layers):
         layer_host = jax.tree.map(lambda a: _host(a)[i], blocks)
         layer_dev = jax.tree.map(jnp.asarray, layer_host)  # host -> HBM
-        x = block_jit(x, layer_dev, buckets, key_bias)
+        x = block_jit(cfg, x, layer_dev, buckets, key_bias)
         del layer_dev  # freed before the next layer streams in
     return t5_layer_norm(x, jnp.asarray(_host(params["norm"])), cfg.eps)
 

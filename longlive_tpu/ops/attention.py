@@ -262,10 +262,6 @@ def _skip_tile_arrays(skip_ranges: jax.Array, nkv1: int, nkv2: int,
     return tm, live
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_q", "block_kv", "frame_seq", "qk_int8",
-                              "interpret")
-)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -273,6 +269,42 @@ def flash_attention(
     bias: Optional[jax.Array] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
+    frame_seq: Optional[int] = None,
+    qk_int8: bool = False,
+    k2: Optional[jax.Array] = None,
+    v2: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,
+    skip_ranges: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tile resolution OUTSIDE the jit: reading LONGLIVE_BKV inside the
+    jitted body would capture the first trace's value in the compile
+    cache, silently ignoring in-process knob changes (the A/B trap).
+    See _flash_attention_jit for the full contract."""
+    if block_q is None:
+        block_q = _auto_block_q(q.shape[1], frame_seq)
+    if block_kv is None:
+        # kv tile (lane-dim blocks must be 128-multiples, so frame-exact
+        # tiles are impossible at 1560 tokens/frame); LONGLIVE_BKV sweeps
+        # the dead-tile-elision granularity e2e (smaller tiles elide more
+        # of a skip range at more grid-step overhead)
+        block_kv = int(os.environ.get("LONGLIVE_BKV", "1024"))
+    return _flash_attention_jit(
+        q, k, v, bias, block_q, block_kv, frame_seq, qk_int8,
+        k2, v2, k_scales, skip_ranges, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_kv", "frame_seq", "qk_int8",
+                              "interpret")
+)
+def _flash_attention_jit(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    block_q: int,
+    block_kv: int,
     frame_seq: Optional[int] = None,
     qk_int8: bool = False,
     k2: Optional[jax.Array] = None,
@@ -298,14 +330,6 @@ def flash_attention(
     elision — zero DMA, zero compute).  Returns [B, Sq, N, D].
     """
     b, sq, n, d = q.shape
-    if block_q is None:
-        block_q = _auto_block_q(sq, frame_seq)
-    if block_kv is None:
-        # kv tile (lane-dim blocks must be 128-multiples, so frame-exact
-        # tiles are impossible at 1560 tokens/frame); LONGLIVE_BKV sweeps
-        # the dead-tile-elision granularity e2e (smaller tiles elide more
-        # of a skip range at more grid-step overhead)
-        block_kv = int(os.environ.get("LONGLIVE_BKV", "1024"))
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
     has_bias = bias is not None

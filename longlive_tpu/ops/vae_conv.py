@@ -356,19 +356,23 @@ def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
 
 
 @functools.partial(jax.jit, static_argnames=("true_c", "out_c", "kh", "kw",
-                                              "interpret"))
+                                              "interpret", "th", "bo"))
 def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
                             out_c: Optional[int] = None,
                             kh: int = 3, kw: int = 3,
                             interpret: bool = False,
                             wsc: Optional[jax.Array] = None,
-                            ginv: Optional[jax.Array] = None):
+                            ginv: Optional[jax.Array] = None,
+                            th: int = 2, bo: int = 128):
+    # th/bo are chosen by the CALLER (fused_causal_conv) and passed static:
+    # choosing them here would read LONGLIVE_VAE_VMEM_BUDGET at trace time
+    # only, so an in-process A/B of the knob (vae_probe fused_bigtiles)
+    # would silently re-measure the first compile's tiling
     t, h, wd, src_c = x.shape
     cp = _aligned(src_c)
     op = wp9.shape[0] * wp9.shape[2] // kw
     if out_c is None:
         out_c = op
-    th, bo = _pick_tiles(cp, op, h, wd, x.dtype.itemsize, kh, kw)
     assert wp9.shape == (op // bo, 3 * kh * cp, kw * bo), (wp9.shape, cp, op, bo)
     grid = (h // th, t, op // bo)
 
@@ -536,8 +540,8 @@ def fused_causal_conv(
     assert kt == 3 and kh in (1, 3) and kw in (1, 3), w.shape
     cp = _aligned(max(x.shape[-1], ci))
     op = _aligned(o)
-    _, bo = _pick_tiles(cp, op, x.shape[1], x.shape[2], x.dtype.itemsize,
-                        kh, kw)
+    th, bo = _pick_tiles(cp, op, x.shape[1], x.shape[2], x.dtype.itemsize,
+                         kh, kw)
 
     # LONGLIVE_VAE_INT8=1: the GEMM runs on the int8 MXU pipe (2x the bf16
     # rate) — per-output-channel weight scales, one dynamic activation
@@ -569,7 +573,7 @@ def fused_causal_conv(
     out, nx = _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual,
                                       true_c=ci, out_c=(o if dense else op),
                                       kh=kh, kw=kw, interpret=interpret,
-                                      wsc=wsc, ginv=ginv)
+                                      wsc=wsc, ginv=ginv, th=th, bo=bo)
     if x.shape[0] == 1:
         # only nx[1] was computable from x; frame 0 of the new cache is the
         # old cache's frame 1

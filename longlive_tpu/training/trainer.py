@@ -291,10 +291,11 @@ class ScoreDistillationTrainer:
             critic_lora=critic_lora,
             gen_opt=gen_opt,
             critic_opt=critic_opt,
-            # real copies: astype(f32) of f32 leaves would alias buffers
+            # real copies on BOTH branches: astype/asarray of f32 leaves
+            # would alias (host branch: zero-copy numpy VIEW of) buffers
             # that the jitted steps donate
             ema_params=jax.tree.map(
-                (lambda x: np.asarray(x, np.float32)) if tcfg.ema_on_host
+                (lambda x: np.array(x, np.float32)) if tcfg.ema_on_host
                 else (lambda x: jnp.array(x, jnp.float32, copy=True)),
                 gen_trained),
             step=jnp.zeros([], jnp.int32),
@@ -735,8 +736,11 @@ class ScoreDistillationTrainer:
         trained = self.state["gen_lora" if self.use_lora else "gen_params"]
         on_host = self.tcfg.ema_on_host
         if step < self.tcfg.ema_start_step:
+            # np.array (copy), NOT np.asarray: a zero-copy view of an f32
+            # CPU-backend leaf would alias a buffer the train-step jits
+            # donate on the next step
             self.state["ema_params"] = jax.tree.map(
-                (lambda x: np.asarray(x, np.float32)) if on_host
+                (lambda x: np.array(x, np.float32)) if on_host
                 else (lambda x: jnp.array(x, jnp.float32, copy=True)), trained)
             return
         w = self.tcfg.ema_weight

@@ -113,6 +113,16 @@ class PromptExpander:
         raise NotImplementedError("VL expander requires an image")
 
 
+def _seed_torch(seed: int) -> None:
+    """Reference parity (wan/utils/prompt_extend.py seeds torch before
+    generate): a recorded PromptOutput.seed must actually reproduce the
+    expansion under sampling generation configs."""
+    if seed is not None and seed >= 0:
+        import torch
+
+        torch.manual_seed(seed)
+
+
 class QwenPromptExpander(PromptExpander):
     """Local Qwen chat-LM expander (prompt_extend.py:300-465).
 
@@ -165,6 +175,7 @@ class QwenPromptExpander(PromptExpander):
 
     def extend(self, prompt, system_prompt, seed=-1, *args, **kwargs):
         self._load_lm()
+        _seed_torch(seed)
         messages = [
             {"role": "system", "content": system_prompt},
             {"role": "user", "content": prompt},
@@ -184,6 +195,7 @@ class QwenPromptExpander(PromptExpander):
     def extend_with_img(self, prompt, system_prompt, image=None, seed=-1,
                         *args, **kwargs):
         self._load_vl()
+        _seed_torch(seed)
         if isinstance(image, str):
             from PIL import Image
 
