@@ -224,3 +224,27 @@ def test_masked_flash_teacher_forcing():
         q, k, v, mask_kind="teacher_forcing", frame_seq=fs, nfb=nfb,
         clean_frames=f, block_q=32, block_kv=32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_env_knobs_rebind_in_process(monkeypatch):
+    """LONGLIVE_BKV is resolved OUTSIDE the jit (regression: reading it
+    inside the jitted body captured the first trace's value, so in-process
+    A/B sweeps silently re-measured the first tiling)."""
+    import longlive_tpu.ops.attention as A
+
+    captured = []
+    real = A._flash_attention_jit
+
+    def spy(q, k, v, bias, block_q, block_kv, *a, **kw):
+        captured.append(block_kv)
+        return real(q, k, v, bias, block_q, block_kv, *a, **kw)
+
+    monkeypatch.setattr(A, "_flash_attention_jit", spy)
+    q = jnp.zeros((1, 8, 1, 128), jnp.float32)
+    k = jnp.zeros((1, 128, 1, 128), jnp.float32)
+    v = jnp.zeros((1, 128, 1, 128), jnp.float32)
+    monkeypatch.setenv("LONGLIVE_BKV", "1024")
+    A.flash_attention(q, k, v, interpret=True)
+    monkeypatch.setenv("LONGLIVE_BKV", "256")
+    A.flash_attention(q, k, v, interpret=True)
+    assert captured == [1024, 256], captured
