@@ -258,6 +258,11 @@ def _flat(x: jax.Array) -> jax.Array:
     return x.reshape(b, f * fs, d)
 
 
+def _consecutive(frames: Tuple[int, ...]) -> bool:
+    return len(frames) > 1 and all(
+        b - a == 1 for a, b in zip(frames, frames[1:]))
+
+
 def _attention_layer_cached(
     layer_p: dict,
     cfg: DiTConfig,
@@ -276,6 +281,7 @@ def _attention_layer_cached(
     skip_ranges: Optional[jax.Array] = None,  # [F, 2] dead cache-token ranges
     cache_vsc: Optional[jax.Array] = None,  # [B, S_cache, N] int8-V scales
     kv_only: bool = False,  # compute/write K,V only (no q, no attention)
+    contig_writes: bool = False,  # caller guarantees consecutive ring slots
 ):
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
@@ -335,9 +341,21 @@ def _attention_layer_cached(
         v_w, v_sc = v, None
 
     new_k, new_v, new_sc, new_vsc = cache_k, cache_v, cache_sc, cache_vsc
-    for i in write_frames:
-        kf = jax.lax.dynamic_slice_in_dim(k_w, i * fs, fs, axis=1)
-        vf = jax.lax.dynamic_slice_in_dim(v_w, i * fs, fs, axis=1)
+    if contig_writes and _consecutive(write_frames):
+        # ONE dynamic_update_slice for the whole block: each DUS in the
+        # per-frame chain below costs XLA a copy-sized pass over the cache
+        # buffer (the scan's ys cannot alias its xs), measured ~480 us/layer
+        # at the decode shape vs ~36 us of actual update bytes.  The caller
+        # asserts the static ring invariants (sink % F == ring % F == 0 and
+        # all start/recache frames multiples of F) that make a block's ring
+        # slots consecutive — see CausalInferencePipeline._contig.
+        i0, nf = write_frames[0], len(write_frames)
+        groups = [(i0, nf)]
+    else:
+        groups = [(i, 1) for i in write_frames]
+    for i, nf in groups:
+        kf = jax.lax.dynamic_slice_in_dim(k_w, i * fs, nf * fs, axis=1)
+        vf = jax.lax.dynamic_slice_in_dim(v_w, i * fs, nf * fs, axis=1)
         new_k = jax.lax.dynamic_update_slice_in_dim(
             new_k, kf.astype(new_k.dtype), offsets[i], axis=1
         )
@@ -345,12 +363,12 @@ def _attention_layer_cached(
             new_v, vf.astype(new_v.dtype), offsets[i], axis=1
         )
         if int8_kv:
-            sf = jax.lax.dynamic_slice_in_dim(k_sc, i * fs, fs, axis=1)
+            sf = jax.lax.dynamic_slice_in_dim(k_sc, i * fs, nf * fs, axis=1)
             new_sc = jax.lax.dynamic_update_slice_in_dim(
                 new_sc, sf.astype(new_sc.dtype), offsets[i], axis=1
             )
         if int8_v:
-            sf = jax.lax.dynamic_slice_in_dim(v_sc, i * fs, fs, axis=1)
+            sf = jax.lax.dynamic_slice_in_dim(v_sc, i * fs, nf * fs, axis=1)
             new_vsc = jax.lax.dynamic_update_slice_in_dim(
                 new_vsc, sf.astype(new_vsc.dtype), offsets[i], axis=1
             )
@@ -382,11 +400,20 @@ def _cross_attention_layer(
     if cfg.qk_norm:
         q = nn.rms_norm(q, layer_p["norm_q"]["scale"], cfg.eps)
     q = q.reshape(b, s, n, hd)
-    # flash kernel on TPU: the einsum form materializes [B, N, Sq, text_len]
-    # probs (115 MB/layer at the decode shape) that the online softmax never
-    # touches HBM with.  int8-QK variants apply to SELF-attention only —
-    # cross-attention stays bf16 so int8 A/Bs measure one thing.
-    impl = "pallas" if attn_impl == "pallas_qk8" else attn_impl
+    # Serving default is the XLA einsum: measured 3.25 ms/forward FASTER than
+    # routing cross-attention through the flash kernel at the decode shape
+    # (dit_breakdown on v5e — at Skv=512 the materialized probs fit XLA's
+    # fusion window, and the kernel's grid/scratch overhead dominates its
+    # HBM saving).  LONGLIVE_CROSS_FLASH=1 restores the kernel route.
+    # int8-QK variants apply to SELF-attention only — cross-attention stays
+    # bf16 so int8 A/Bs measure one thing.
+    if attn_impl in ("auto", "pallas", "pallas_qk8"):
+        impl = ("pallas" if os.environ.get("LONGLIVE_CROSS_FLASH", "0") == "1"
+                else "xla")
+    elif attn_impl == "pallas_qk8_interpret":
+        impl = "pallas_interpret"
+    else:
+        impl = attn_impl
     out = attend(q, ck.astype(q.dtype), cv.astype(q.dtype), None,
                  impl=impl)
     return nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
@@ -414,6 +441,7 @@ def _block_body(
     skip_ranges: Optional[jax.Array] = None,
     cache_vsc: Optional[jax.Array] = None,
     kv_only: bool = False,
+    contig_writes: bool = False,
 ):
     """One CausalWanAttentionBlock (causal_model.py:413-477).
 
@@ -432,7 +460,7 @@ def _block_body(
         layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
         cache_k, cache_v, kv_valid, offsets, write_frames, attn_impl,
         two_segment=two_segment, cache_sc=cache_sc, skip_ranges=skip_ranges,
-        cache_vsc=cache_vsc, kv_only=kv_only,
+        cache_vsc=cache_vsc, kv_only=kv_only, contig_writes=contig_writes,
     )
     if kv_only:
         return x, new_k, new_v, new_sc, new_vsc
@@ -685,6 +713,7 @@ def dit_forward_cached(
     remat_layers: bool = False,
     two_segment: Optional[bool] = None,
     kv_only: bool = False,
+    contig_writes: bool = False,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One cached DiT forward over a block of ``F`` frames starting at
     absolute frame ``start_frame`` (ref _forward_inference,
@@ -759,7 +788,7 @@ def dit_forward_cached(
             cfg, cache_cfg, f, xcur, layer_p, ck, cv, xk, xv,
             e0, rope_cos, rope_sin, kv_valid, offsets, write_frames, attn_impl,
             two_segment=two_segment, cache_sc=csc, skip_ranges=skip_ranges,
-            cache_vsc=cvsc,
+            cache_vsc=cvsc, contig_writes=contig_writes,
         )
         return xout, (nk, nv, nsc, nvsc)
 
@@ -780,7 +809,8 @@ def dit_forward_cached(
             cfg, cache_cfg, f, tokens, lp, ck, cv, xk, xv,
             e0, rope_cos, rope_sin, kv_valid, offsets, write_frames,
             attn_impl, two_segment=two_segment, cache_sc=csc,
-            skip_ranges=skip_ranges, cache_vsc=cvsc, kv_only=True)
+            skip_ranges=skip_ranges, cache_vsc=cvsc, kv_only=True,
+            contig_writes=contig_writes)
         cat = lambda hd_, tl: (None if tl is None
                                else jnp.concatenate([hd_, tl[None]], axis=0))
         new_k, new_v = cat(new_k, tk), cat(new_v, tv)
@@ -808,9 +838,13 @@ def dit_forward_cached(
         ck, cv = cache.k, cache.v
         csk, csv = cache.k_scale, cache.v_scale
         zero = jnp.zeros([], jnp.int32)
-        for i in write_frames:
-            kf = jax.lax.dynamic_slice_in_dim(new_k, i * fs, fs, axis=2)
-            vf = jax.lax.dynamic_slice_in_dim(new_v, i * fs, fs, axis=2)
+        if contig_writes and _consecutive(write_frames):
+            groups = [(write_frames[0], len(write_frames))]
+        else:
+            groups = [(i, 1) for i in write_frames]
+        for i, nf in groups:
+            kf = jax.lax.dynamic_slice_in_dim(new_k, i * fs, nf * fs, axis=2)
+            vf = jax.lax.dynamic_slice_in_dim(new_v, i * fs, nf * fs, axis=2)
             start = (zero, zero, offsets[i], zero, zero)
             if int8_kv:
                 kf, ksc = quantize_k_tokens(kf)

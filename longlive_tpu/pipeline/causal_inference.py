@@ -147,6 +147,17 @@ class CausalInferencePipeline:
         # attention budget in frames (= cache size for inference configs;
         # training pipelines retain more cache than they attend)
         self.attn_window_frames = self.cache_cfg.total_frames
+        # Contiguous-ring-write invariant: when the sink and ring sizes are
+        # both multiples of the block size, every block's frames land in
+        # CONSECUTIVE cache slots (all block starts are multiples of
+        # frame_block, and recache keeps ring_base ≡ 0 mod frame_block — see
+        # _recache_fn's guard).  The model then commits each block's K/V with
+        # ONE dynamic_update_slice instead of a per-frame chain, each link of
+        # which costs XLA a copy-sized pass over the cache buffer.
+        self._contig = (
+            self.cache_cfg.sink_frames % self.frame_block == 0
+            and self.cache_cfg.ring_frames % self.frame_block == 0
+        )
         self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
         self._recache_fns = {}
         self._segment_fns = {}
@@ -171,6 +182,7 @@ class CausalInferencePipeline:
                 x, t, cross_kv, cache, start_frame, attn_impl=self.attn_impl,
                 **kw,
             )
+        kw.setdefault("contig_writes", self._contig)
         return D.dit_forward_cached(
             params, self.cfg, self.cache_cfg, self.tables, x, t, cross_kv,
             cache, start_frame, attn_impl=self.attn_impl, **kw,
@@ -290,6 +302,17 @@ class CausalInferencePipeline:
         streaming_switch_training.py:244-318 + causal_model.py:264,302."""
         if overwrite_sink is None:
             overwrite_sink = not global_sink
+        if self._contig and num_frames % self.frame_block:
+            # a recache of n frames sets ring_base = t - n + sink; with t and
+            # sink multiples of frame_block, ring_base stays ≡ 0 mod
+            # frame_block only when n is too.  Shipped configs recache
+            # min(local_attn, t) frames — always a block multiple — but an
+            # odd-sized recache breaks the contiguous-write invariant, so
+            # fall back to per-frame writes (retrace the block fns).
+            self._contig = False
+            self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
+            self._segment_fns = {}
+            self._recache_fns = {}
         key = (num_frames, global_sink, overwrite_sink)
         if key in self._recache_fns:
             return self._recache_fns[key]

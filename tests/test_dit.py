@@ -330,3 +330,63 @@ def test_kv_only_commit_cache_identical(setup, two_segment, k_int8):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k_int8", [False, True])
+def test_contiguous_block_writes_identical(setup, k_int8):
+    """contig_writes=True (one dynamic_update_slice per block) must produce
+    bit-identical flows AND cache contents vs the per-frame write chain,
+    across ring wrap-around and a KV-recache (the two places slot math could
+    break contiguity).  sink % block == ring % block == 0 as the pipeline
+    invariant requires."""
+    from longlive_tpu.pipeline.causal_inference import build_recache_fn
+
+    cfg, geom, params, tables, cross = setup
+    block, sink, ring = 2, 2, 4
+    cache_cfg = CacheConfig(sink_frames=sink, ring_frames=ring,
+                            frame_seq=geom.frame_seq_length)
+
+    def run(contig):
+        cache = kvc.init_cache(cache_cfg, cfg.num_layers, 1, cfg.num_heads,
+                               cfg.head_dim, jnp.float32, k_int8=k_int8)
+        flows = []
+        rng = jax.random.PRNGKey(7)
+        s = 0
+        for step in range(6):
+            if step == 4:
+                # prompt-switch style recache of the last 4 frames
+                def fwd(params_, x, t_val, cross_, state, start, **kw):
+                    b, f = x.shape[:2]
+                    t = jnp.full((b, f), t_val, jnp.float32)
+                    kw.setdefault("contig_writes", contig)
+                    return D.dit_forward_cached(
+                        params_, cfg, cache_cfg, tables, x, t, cross_, state,
+                        start, attn_impl="xla", **kw)
+
+                rec = build_recache_fn(
+                    cfg, cache_cfg, tables, 0.0, 4, False, True,
+                    cache_cfg.total_frames, forward=fwd)
+                rng, sub = jax.random.split(rng)
+                replay = jax.random.normal(
+                    sub, (1, 4, geom.channels, geom.height, geom.width))
+                cache = rec(params, cache, cross, replay, s - 4)
+            rng, sub = jax.random.split(rng)
+            xb = jax.random.normal(
+                sub, (1, block, geom.channels, geom.height, geom.width))
+            t = jnp.full((1, block), 250.0, jnp.float32)
+            flow, cache = D.dit_forward_cached(
+                params, cfg, cache_cfg, tables, xb, t, cross, cache,
+                jnp.asarray(s, jnp.int32), attn_impl="xla",
+                contig_writes=contig)
+            flows.append(flow)
+            s += block
+        return jnp.concatenate(flows, axis=1), cache
+
+    f_a, c_a = run(True)
+    f_b, c_b = run(False)
+    np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+    np.testing.assert_array_equal(np.asarray(c_a.k), np.asarray(c_b.k))
+    np.testing.assert_array_equal(np.asarray(c_a.v), np.asarray(c_b.v))
+    if k_int8:
+        np.testing.assert_array_equal(np.asarray(c_a.k_scale),
+                                      np.asarray(c_b.k_scale))
