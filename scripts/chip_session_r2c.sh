@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-2 continuation A/Bs: contiguous KV writes + dense cross-attention
+# (committed after chip_session_r2b launched) + remaining config decisions.
+# Run:  bash scripts/chip_session_r2c.sh >> /tmp/chip_r2c.log 2>&1
+cd "$(dirname "$0")/.."
+set -x
+
+# 1) component breakdown with the new defaults (expect kv_writes and
+#    cross-attn deltas to shrink vs the r2b run: 14.36 / 3.25 ms)
+timeout 1800 python scripts/dit_breakdown.py 2>/dev/null | tail -9
+
+# 2) new default e2e (contig writes + dense cross; bkv=1024)
+echo "=== default (contig + dense cross) ==="
+timeout 2400 python bench.py 2>/dev/null | tail -1
+
+# 3) kv tile: kernel sweep said bkv=512 wins 0.28 ms/layer — e2e check
+echo "=== default + LONGLIVE_BKV=512 ==="
+LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tail -1
+
+# 4) fast mode on the winning config (write-then-attend + contig commit)
+echo "=== fast mode (reuse_last_denoise_kv) ==="
+BENCH_REUSE_KV=1 LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tail -1
+
+# 5) switch-latency effect of contig recache writes
+timeout 2400 python scripts/recache_breakdown.py 2>/dev/null | tail -8
