@@ -129,10 +129,15 @@ def main():
     # BENCH_REUSE_KV=1: skip the clean-context commit pass, keeping the last
     # denoise forward's K/V (Block-Cascading-style, 5->4 forwards per block)
     reuse_kv = os.environ.get("BENCH_REUSE_KV", "0") == "1"
+    # BENCH_RECACHE_QK8=1: the prompt-switch recache prefill runs int8-QK
+    # (one-shot quantize vs O(S^2) attention — the amortization the decode
+    # path lacks, PERF.md negative result #2)
+    recache_qk8 = os.environ.get("BENCH_RECACHE_QK8", "0") == "1"
     pc = PipelineConfig(num_output_frames=warmup_frames + frames,
                         local_attn_size=local_attn, sink_size=sink,
                         global_sink=False, kv_int8=kv_int8,
-                        reuse_last_denoise_kv=reuse_kv)
+                        reuse_last_denoise_kv=reuse_kv,
+                        recache_attn_impl="pallas_qk8" if recache_qk8 else None)
 
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     attn_impl = "auto"
@@ -283,6 +288,8 @@ def main():
         "int8_kv": kv_int8,
         "reuse_last_denoise_kv": reuse_kv,
         "rope_layout": cfg.rope_layout,
+        "contig_writes": pipe._contig,
+        "recache_qk8": recache_qk8,
         "two_segment": os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1",
         "block_kv": int(os.environ.get("LONGLIVE_BKV", "1024")),
         "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",

@@ -155,6 +155,13 @@ class PipelineConfig:
     # LongLive's context_noise training tolerates; OFF by default (quality
     # delta quantified in scripts/quality_delta.py).
     reuse_last_denoise_kv: bool = False
+    # Attention impl override for the KV-recache (prompt-switch) forward
+    # only.  "pallas_qk8" runs the recache's dense prefill QK^T on the int8
+    # MXU pipe: unlike the decode path (where the per-forward cache-quantize
+    # passes made int8-QK a net loss, PERF.md negative result #2), the
+    # recache quantizes each token ONCE against O(S^2) attention work.
+    # None = the pipeline's attn_impl.
+    recache_attn_impl: Optional[str] = None
     model_name: str = "Wan2.1-T2V-1.3B"
     data_path: Optional[str] = None
     output_folder: Optional[str] = None

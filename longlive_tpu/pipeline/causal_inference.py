@@ -172,6 +172,7 @@ class CausalInferencePipeline:
     def _forward(self, params, x, t_val, cross_kv, cache, start_frame, **kw):
         b, f = x.shape[:2]
         t = jnp.full((b, f), t_val, jnp.float32)
+        attn_impl = kw.pop("attn_impl", self.attn_impl)
         if self.sp > 1:
             from ..parallel.decode_sp import sp_dit_forward_cached
 
@@ -179,13 +180,13 @@ class CausalInferencePipeline:
             kw.pop("kv_only", None)
             return sp_dit_forward_cached(
                 params, self.cfg, self.cache_cfg, self.tables, self.mesh,
-                x, t, cross_kv, cache, start_frame, attn_impl=self.attn_impl,
+                x, t, cross_kv, cache, start_frame, attn_impl=attn_impl,
                 **kw,
             )
         kw.setdefault("contig_writes", self._contig)
         return D.dit_forward_cached(
             params, self.cfg, self.cache_cfg, self.tables, x, t, cross_kv,
-            cache, start_frame, attn_impl=self.attn_impl, **kw,
+            cache, start_frame, attn_impl=attn_impl, **kw,
         )
 
     def _block_step(self, params, cache, cross_kv, noise_block, start_frame, rng):
@@ -317,10 +318,18 @@ class CausalInferencePipeline:
         if key in self._recache_fns:
             return self._recache_fns[key]
 
+        rimpl = self.config.recache_attn_impl
+        if rimpl is None:
+            fwd = self._forward
+        else:
+            def fwd(*a, **k):
+                k["attn_impl"] = rimpl
+                return self._forward(*a, **k)
+
         fn = build_recache_fn(
             self.cfg, self.cache_cfg, self.tables,
             float(self.config.context_noise), num_frames, global_sink,
-            overwrite_sink, self.attn_window_frames, forward=self._forward,
+            overwrite_sink, self.attn_window_frames, forward=fwd,
         )
         jitted = jax.jit(fn, donate_argnums=(1,))
         self._recache_fns[key] = jitted

@@ -23,3 +23,7 @@ BENCH_REUSE_KV=1 LONGLIVE_BKV=512 timeout 2400 python bench.py 2>/dev/null | tai
 
 # 5) switch-latency effect of contig recache writes
 timeout 2400 python scripts/recache_breakdown.py 2>/dev/null | tail -8
+
+# 6) int8-QK recache prefill (one-shot quantize amortized over O(S^2))
+echo "=== recache: int8-QK prefill A/B ==="
+BENCH_FRAMES=6 BENCH_RECACHE_QK8=1 timeout 2400 python bench.py 2>/dev/null | tail -1

@@ -147,3 +147,35 @@ def test_batched_generation_sample_isolation(pipe_setup):
     assert np.isfinite(la).all()
     np.testing.assert_array_equal(la[0], lb[0])
     assert np.abs(la[1] - lb[1]).max() > 1e-6  # prompt actually mattered
+
+
+def test_recache_attn_impl_override(pipe_setup):
+    """recache_attn_impl routes ONLY the prompt-switch recache forward
+    through the requested attention impl (here the int8-QK kernel in
+    interpret mode): results stay close to the default recache
+    (quantization-bounded) and generation before the switch is untouched."""
+    import dataclasses
+
+    cfg, geom, params, pconfig = pipe_setup
+    pipe_ref = _make_pipe(InteractiveCausalInferencePipeline, cfg, geom,
+                          params, pconfig)
+    pipe_q = _make_pipe(
+        InteractiveCausalInferencePipeline, cfg, geom, params,
+        dataclasses.replace(pconfig,
+                            recache_attn_impl="pallas_qk8_interpret"))
+    cross_a = _prompt_kv(pipe_ref, cfg, 1)
+    cross_b = _prompt_kv(pipe_ref, cfg, 7)
+    cross_a2 = _prompt_kv(pipe_q, cfg, 1)
+    cross_b2 = _prompt_kv(pipe_q, cfg, 7)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 8, geom.channels, geom.height, geom.width))
+    lat_r = pipe_ref.generate_latents_interactive(noise, [cross_a, cross_b], [4])
+    lat_q = pipe_q.generate_latents_interactive(noise, [cross_a2, cross_b2], [4])
+    # pre-switch latents identical (override touches the recache only)
+    np.testing.assert_allclose(np.asarray(lat_r[:, :4]),
+                               np.asarray(lat_q[:, :4]), rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.asarray(lat_q)).all()
+    # post-switch: int8-QK recache is quantization-bounded, not exact
+    a, b = np.asarray(lat_r[:, 4:]), np.asarray(lat_q[:, 4:])
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    assert rel < 0.05, rel
