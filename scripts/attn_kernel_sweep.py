@@ -88,6 +88,13 @@ def main():
             return lambda: A.flash_attention(
                 q, kc, vc, biasf, frame_seq=fs, block_kv=bkv,
                 k2=k2, v2=v2, skip_ranges=ranges)
+        if stage.startswith("bq"):
+            # explicit q/kv tile pair, e.g. "bq4680_512": whole-query-resident
+            # q tile (scratch m/l/acc ~9.6 MB f32 at bq=4680 — fits VMEM)
+            bq_s, bkv_s = stage[2:].split("_")
+            return lambda: A.flash_attention(q, kc, vc, frame_seq=fs,
+                                             block_q=int(bq_s),
+                                             block_kv=int(bkv_s))
         if stage.startswith("bf16_"):
             # single-segment baseline at a non-default kv tile
             bkv = int(stage.rsplit("_", 1)[-1])

@@ -27,3 +27,13 @@ timeout 2400 python scripts/recache_breakdown.py 2>/dev/null | tail -8
 # 6) int8-QK recache prefill (one-shot quantize amortized over O(S^2))
 echo "=== recache: int8-QK prefill A/B ==="
 BENCH_FRAMES=6 BENCH_RECACHE_QK8=1 timeout 2400 python bench.py 2>/dev/null | tail -1
+
+# 7) q-tile sweep: whole-query-resident tiles (fewer grid steps, bigger MXU ops)
+for st in bq1560_512 bq2340_512 bq4680_512 bq4680_1024; do
+  timeout 1200 python scripts/attn_kernel_sweep.py --stage "$st" 2>/dev/null | tail -1
+done
+
+# 8) kv_int8 re-A/B: contig writes halve the per-layer copy the earlier
+#    negative result paid in bf16 (int8 K also halves the copied bytes)
+echo "=== kv_int8 e2e (contig era re-measure) ==="
+BENCH_FRAMES=18 BENCH_INT8_KV=1 timeout 2400 python bench.py 2>/dev/null | tail -1
