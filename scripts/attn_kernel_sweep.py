@@ -61,6 +61,14 @@ def main():
     def fn_for(stage):
         if stage == "bf16":
             return lambda: A.flash_attention(q, kc, vc, frame_seq=fs)
+        if stage.startswith("serving"):
+            # the TRUE write-then-attend serving shape at 9/3: the block's 3
+            # frames are written INTO the 9-frame ring, so Skv = 14040 (the
+            # 18720-token stages above model the two-segment layout)
+            bkv = (int(stage.rsplit("_", 1)[-1])
+                   if stage[-1].isdigit() else 1024)
+            return lambda: A.flash_attention(q, k1, v1, frame_seq=fs,
+                                             block_kv=bkv)
         if stage == "qk8":
             return lambda: A.flash_attention(q, kc, vc, frame_seq=fs,
                                              qk_int8=True)

@@ -37,3 +37,11 @@ done
 #    negative result paid in bf16 (int8 K also halves the copied bytes)
 echo "=== kv_int8 e2e (contig era re-measure) ==="
 BENCH_FRAMES=18 BENCH_INT8_KV=1 timeout 2400 python bench.py 2>/dev/null | tail -1
+
+# 9) true serving-shape kernel numbers (Skv=14040 write-then-attend) + q tiles
+for st in serving_1024 serving_512 serving_256 bq4680_512 bq2340_512; do
+  : # bq stages above use the 18720 two-seg shape; re-run at serving shape
+done
+for st in serving_1024 serving_512 serving_256; do
+  timeout 1200 python scripts/attn_kernel_sweep.py --stage "$st" 2>/dev/null | tail -1
+done
