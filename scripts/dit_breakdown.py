@@ -68,8 +68,10 @@ def main():
     t = jnp.full((1, 3), 937.5, jnp.float32)
     start = jnp.asarray(local + sink, jnp.int32)
 
-    def make_fwd(write=True):
-        kw = {} if write else {"write_frames": ()}
+    def make_fwd(write=True, contig=True):
+        # contig=True mirrors the serving pipeline default (sink and ring are
+        # both block multiples at 9/3 and 12/3 — CausalInferencePipeline._contig)
+        kw = {"contig_writes": contig} if write else {"write_frames": ()}
         return jax.jit(lambda p, xx, cc: D.dit_forward_cached(
             p, cfg, cache_cfg, tables, xx, t, cross, cc, start, **kw)[0])
 
@@ -103,28 +105,30 @@ def main():
     def v_no_attn():
         patch(D, "attend", lambda q, k, v, *a, **kw: q)
 
-    def v_cross_dense():
-        # pre-flash-routing form: cross-attn as the XLA einsum (materialized
-        # [B, N, Sq, text_len] probs)
+    def v_cross_flash():
+        # the (reverted) flash-kernel route for cross-attention; the shipped
+        # default is the XLA einsum (measured faster at Skv=512)
         real = D._cross_attention_layer
         patch(D, "_cross_attention_layer",
               lambda lp, cf, x, ck, cv, impl="xla": real(lp, cf, x, ck, cv,
-                                                         "xla"))
+                                                         "pallas"))
 
     variants = [
-        ("no_layernorm", v_no_layernorm, True),
-        ("no_rmsnorm", v_no_rmsnorm, True),
-        ("no_rope", v_no_rope, True),
-        ("no_kv_writes", None, False),
-        ("no_self_attn", v_no_attn, True),
-        ("cross_attn_dense", v_cross_dense, True),
+        ("no_layernorm", v_no_layernorm, True, True),
+        ("no_rmsnorm", v_no_rmsnorm, True, True),
+        ("no_rope", v_no_rope, True, True),
+        ("no_kv_writes", None, False, True),
+        ("per_frame_writes", None, True, False),
+        ("no_self_attn", v_no_attn, True, True),
+        ("cross_attn_flash", v_cross_flash, True, True),
     ]
 
-    for name, setup, write in variants:
+    for name, setup, write, contig in variants:
         if setup:
             setup()
         try:
-            dt = timeit(make_fwd(write=write), params, x, cache, n=8)
+            dt = timeit(make_fwd(write=write, contig=contig), params, x,
+                        cache, n=8)
         finally:
             unpatch()
         rows.append({"variant": name, "ms": round(dt * 1e3, 2),
