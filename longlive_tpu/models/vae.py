@@ -78,7 +78,7 @@ def _conv_pads(kh, kw, spatial_pad):
 
 
 def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same",
-           out_dtype=None):
+           out_dtype=None, out_cf=False):
     """x: [B,T,H,W,C] (channels-last — TPU-preferred feature-minor layout);
     w: [O,I,kt,kh,kw] (torch layout, transposed here; XLA folds the constant
     transpose).  Temporal padding is the caller's job (causal caches);
@@ -86,7 +86,12 @@ def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same",
 
     ``out_dtype`` overrides the accumulator/output dtype — callers that sum
     several partial convs (the tap-split path) keep f32 partials so the
-    result rounds ONCE like a single fused conv would."""
+    result rounds ONCE like a single fused conv would.
+
+    ``out_cf``: channels-FIRST output [B,O,T,H,W].  For narrow outputs
+    (the 96->3 RGB head) a channels-last buffer lane-pads 3->128 (42x),
+    which is ruinous for f32 tap partials; channels-first keeps W on the
+    lane axis (dense)."""
     kt, kh, kw = w.shape[2:]
     pads = _conv_pads(kh, kw, spatial_pad)
     dt = out_dtype or x.dtype
@@ -96,11 +101,12 @@ def conv3d(x, w, b=None, stride=(1, 1, 1), spatial_pad="same",
     # accuracy benefit (the MXU accumulates bf16 inputs in f32 regardless)
     y = jax.lax.conv_general_dilated(
         x, w_cl, window_strides=stride, padding=pads,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        dimension_numbers=("NDHWC", "DHWIO", "NCDHW" if out_cf else "NDHWC"),
         preferred_element_type=dt,
     )
     if b is not None:
-        y = y + b.astype(dt)
+        y = y + (b.astype(dt)[None, :, None, None, None] if out_cf
+                 else b.astype(dt))
     return y
 
 
@@ -312,13 +318,20 @@ def causal_conv3d(x, p, thread: _CacheThread, stride=(1, 1, 1)):
         # only serves the narrow non-kernel convs, where the f32 buffers
         # are cheap); equal to the concat form up to f32 summation order.
         w = p["w"]
+        # narrow-output (RGB head) convs: channels-last f32 partials
+        # lane-pad 3->128 (~818 MB/latent-frame each at full res); compute
+        # them channels-first (dense) and transpose ONCE at the end
+        cf = (w.shape[0] <= 8
+              and os.environ.get("LONGLIVE_VAE_HEAD_CF", "1") == "1")
         y = conv3d(x, w[:, :, 2:3], p.get("b"), stride,
-                   out_dtype=jnp.float32)
+                   out_dtype=jnp.float32, out_cf=cf)
         y = y + conv3d(cache[:, 1:2], w[:, :, 1:2], None, stride,
-                       out_dtype=jnp.float32)
+                       out_dtype=jnp.float32, out_cf=cf)
         y = y + conv3d(cache[:, 0:1], w[:, :, 0:1], None, stride,
-                       out_dtype=jnp.float32)
+                       out_dtype=jnp.float32, out_cf=cf)
         y = y.astype(x.dtype)
+        if cf:
+            y = y.transpose(0, 2, 3, 4, 1)  # [B,O,T,H,W] -> [B,T,H,W,O]
         thread.push(jnp.concatenate([cache[:, 1:], x], axis=1))
         return y
     full = jnp.concatenate([cache, x], axis=1)

@@ -45,3 +45,9 @@ done
 for st in serving_1024 serving_512 serving_256; do
   timeout 1200 python scripts/attn_kernel_sweep.py --stage "$st" 2>/dev/null | tail -1
 done
+
+# 10) channels-first RGB-head tap partials (dense f32 instead of 42x
+#     lane-padded) — expect several ms off the decode
+echo "=== vae decode: head channels-first (default) vs channels-last ==="
+VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
+LONGLIVE_VAE_HEAD_CF=0 VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
