@@ -143,6 +143,10 @@ def main():
     attn_impl = "auto"
     if use_int8:
         params = quantize_dit_params(params)
+    if os.environ.get("BENCH_FUSE_QKV", "1") == "1":
+        from longlive_tpu.ops.quant import fuse_qkv_params
+
+        params = fuse_qkv_params(params)
         # BENCH_INT8_ATTN=1 also runs QK^T on the int8 MXU pipe (per-token
         # Q/K quant, bf16 P/PV — ops/attention.py).  Measured r2: the
         # XLA-side quant passes cost more than the int8 QK saves

@@ -263,6 +263,19 @@ def _consecutive(frames: Tuple[int, ...]) -> bool:
         b - a == 1 for a, b in zip(frames, frames[1:]))
 
 
+def _slice_lin(p: dict, lo: int, hi: int) -> dict:
+    """Column slice [lo, hi) of a (possibly int8-quantized) linear param."""
+    out = {}
+    if "w_int8" in p:
+        out["w_int8"] = p["w_int8"][..., lo:hi]
+        out["w_scale"] = p["w_scale"][..., lo:hi]
+    else:
+        out["kernel"] = p["kernel"][..., lo:hi]
+    if "bias" in p:
+        out["bias"] = p["bias"][..., lo:hi]
+    return out
+
+
 def _attention_layer_cached(
     layer_p: dict,
     cfg: DiTConfig,
@@ -285,8 +298,24 @@ def _attention_layer_cached(
 ):
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
-    k = nn.linear(x, layer_p["k"])
-    v = nn.linear(x, layer_p["v"]).reshape(b, s, n, hd)
+    dout = n * hd
+    if "qkv" in layer_p:
+        # fused serving projection (ops.quant.fuse_qkv_params): one matmul
+        # reads the normed activations once; the int8 path runs ONE dynamic
+        # activation-quantize pass instead of three identical ones
+        if kv_only:
+            kv = nn.linear(x, _slice_lin(layer_p["qkv"], dout, 3 * dout))
+            k, v = kv[..., :dout], kv[..., dout:]
+            q_raw = None
+        else:
+            qkv = nn.linear(x, layer_p["qkv"])
+            q_raw = qkv[..., :dout]
+            k, v = qkv[..., dout:2 * dout], qkv[..., 2 * dout:]
+    else:
+        k = nn.linear(x, layer_p["k"])
+        v = nn.linear(x, layer_p["v"])
+        q_raw = None if kv_only else nn.linear(x, layer_p["q"])
+    v = v.reshape(b, s, n, hd)
     k_pre = None
     if cfg.qk_norm:
         # fuse the RMS scale into RoPE's f32 domain (saves a bf16 round trip
@@ -295,7 +324,7 @@ def _attention_layer_cached(
     k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin, premul=k_pre,
                      layout=cfg.rope_layout)
     if not kv_only:
-        q = nn.linear(x, layer_p["q"])
+        q = q_raw
         q_pre = (nn.rms_scale(q, layer_p["norm_q"]["scale"], cfg.eps)
                  if cfg.qk_norm else None)
         q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,

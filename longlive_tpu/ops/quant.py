@@ -76,3 +76,33 @@ def quantize_dit_params(params: dict) -> dict:
         blocks[key] = grp
     out["blocks"] = blocks
     return out
+
+
+def _cat_lin(parts, axis=-1):
+    out = {}
+    keys = parts[0].keys()
+    for key in keys:
+        out[key] = jnp.concatenate([p[key] for p in parts], axis=axis)
+    return out
+
+
+def fuse_qkv_params(params: dict) -> dict:
+    """SERVING transform: concatenates the self-attention q/k/v linears into
+    one ``qkv`` linear ([.., in, 3*out]) so the decode path reads the normed
+    activations once (instead of 3x) and — on the int8 path — runs ONE
+    dynamic activation-quantize pass instead of three identical ones.
+    Exact: a column-concatenated matmul computes the same columns (int8
+    per-column weight scales are column-local).  Apply AFTER
+    canonicalize_rope_layout / LoRA folding and only for single-device
+    serving (the SP decode path and training read q/k/v separately).
+    Works on bf16 ('kernel') and quantized ('w_int8') params."""
+    blocks = dict(params["blocks"])
+    sa = dict(blocks["self_attn"])
+    if "qkv" in sa or "q" not in sa:
+        return params
+    sa["qkv"] = _cat_lin([sa.pop("q"), sa.pop("k"), sa.pop("v")])
+    blocks = dict(blocks)
+    blocks["self_attn"] = sa
+    out = dict(params)
+    out["blocks"] = blocks
+    return out

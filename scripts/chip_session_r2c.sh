@@ -51,3 +51,9 @@ done
 echo "=== vae decode: head channels-first (default) vs channels-last ==="
 VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
 LONGLIVE_VAE_HEAD_CF=0 VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_probe.py 2>/dev/null | tail -1
+
+# 11) fused qkv projection A/B (one activation read + one int8 quant pass
+#     instead of three)
+echo "=== fused qkv (default) vs separate q/k/v ==="
+BENCH_FRAMES=18 timeout 2400 python bench.py 2>/dev/null | tail -1
+BENCH_FRAMES=18 BENCH_FUSE_QKV=0 timeout 2400 python bench.py 2>/dev/null | tail -1

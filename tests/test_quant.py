@@ -45,3 +45,54 @@ def test_quantized_dit_forward_close():
     denom = np.abs(np.asarray(ref)).max()
     rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / max(denom, 1e-6)
     assert rel < 0.15, rel  # int8 dynamic-quant error bound on random weights
+
+
+def test_fuse_qkv_params_exact():
+    """Fused qkv serving projection must be BIT-identical to separate q/k/v
+    (column-concatenated matmul computes the same columns; int8 per-column
+    scales are column-local) — bf16/f32 and int8, cached forward incl. the
+    kv_only commit path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longlive_tpu.config import CacheConfig, tiny_dit_config, tiny_geometry
+    from longlive_tpu.models import dit as D
+    from longlive_tpu.ops import kv_cache as kvc
+    from longlive_tpu.ops.quant import fuse_qkv_params, quantize_dit_params
+    from longlive_tpu.ops.rope import make_rope_tables
+
+    cfg, geom = tiny_dit_config(), tiny_geometry()
+    params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32,
+                               zero_head=False)
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    prompt = jax.random.normal(jax.random.PRNGKey(1),
+                               (1, cfg.text_len, cfg.text_dim))
+    cross = D.prepare_cross_kv(params, cfg, prompt, jnp.float32)
+    cache_cfg = CacheConfig(sink_frames=1, ring_frames=2,
+                            frame_seq=geom.frame_seq_length)
+    x = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 1, geom.channels, geom.height, geom.width))
+    t = jnp.full((1, 1), 250.0, jnp.float32)
+
+    for quant in (False, True):
+        p0 = quantize_dit_params(params) if quant else params
+        p1 = fuse_qkv_params(p0)
+        assert "qkv" in p1["blocks"]["self_attn"]
+
+        def run(p):
+            cache = kvc.init_cache(cache_cfg, cfg.num_layers, 1,
+                                   cfg.num_heads, cfg.head_dim, jnp.float32)
+            flow, cache = D.dit_forward_cached(
+                p, cfg, cache_cfg, tables, x, t, cross, cache,
+                jnp.asarray(0, jnp.int32), attn_impl="xla")
+            _, cache2 = D.dit_forward_cached(
+                p, cfg, cache_cfg, tables, x, t, cross, cache,
+                jnp.asarray(1, jnp.int32), attn_impl="xla", kv_only=True)
+            return flow, cache2
+
+        f0, c0 = run(p0)
+        f1, c1 = run(p1)
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+        np.testing.assert_array_equal(np.asarray(c0.k), np.asarray(c1.k))
+        np.testing.assert_array_equal(np.asarray(c0.v), np.asarray(c1.v))
