@@ -90,25 +90,34 @@ def main():
             setattr(mod, name, val)
         saved.clear()
 
+    def emit(row):
+        # print incrementally: one OOM'd variant must not eat the others
+        rows.append(row)
+        print(json.dumps({**row, "window": f"{local},{sink}",
+                          "int8": use_int8, "n_frames": n}), flush=True)
+
+    rows = []
     base = timeit(make_fn())
-    rows = [{"variant": "full", "ms": round(base * 1e3, 1)}]
+    emit({"variant": "full", "ms": round(base * 1e3, 1)})
 
     def run(name, setup=None, attn_impl="auto"):
         if setup:
             setup()
         try:
             dt = timeit(make_fn(attn_impl))
+        except Exception as e:  # OOM at full scale (e.g. dense attention)
+            emit({"variant": name, "error": type(e).__name__})
+            return
         finally:
             unpatch()
-        rows.append({"variant": name, "ms": round(dt * 1e3, 1),
-                     "delta_ms": round((base - dt) * 1e3, 1)})
+        emit({"variant": name, "ms": round(dt * 1e3, 1),
+              "delta_ms": round((base - dt) * 1e3, 1)})
 
     run("no_self_attn",
         lambda: patch(D, "attend", lambda q, k, v, *a, **kw: q))
     run("no_rope",
         lambda: patch(D, "apply_rotary",
                       lambda x, c, s, premul=None, layout="interleaved": x))
-    run("xla_attn", attn_impl="xla")
     if jax.default_backend() == "tpu":
         # int8-QK lost at the DECODE shape (per-forward K-requant streams,
         # PERF.md negative result #2) but a prefill quantizes K once and
@@ -123,12 +132,8 @@ def main():
     o2 = fn(params, cache, replay)
     _ = float(jnp.sum(o2.k[0, 0, :4, 0, :2].astype(jnp.float32)))
     chained2 = time.perf_counter() - t0
-    rows.append({"variant": "rtt_estimate",
-                 "ms": round((2 * base - chained2) * 1e3, 1)})
-
-    for r in rows:
-        print(json.dumps({**r, "window": f"{local},{sink}",
-                          "replay_frames": n, "int8": use_int8}), flush=True)
+    emit({"variant": "rtt_estimate",
+          "ms": round((2 * base - chained2) * 1e3, 1)})
 
 
 if __name__ == "__main__":
