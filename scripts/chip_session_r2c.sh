@@ -57,3 +57,7 @@ LONGLIVE_VAE_HEAD_CF=0 VAE_PROBE_ONLY=fused_96 timeout 1800 python scripts/vae_p
 echo "=== fused qkv (default) vs separate q/k/v ==="
 BENCH_FRAMES=18 timeout 2400 python bench.py 2>/dev/null | tail -1
 BENCH_FRAMES=18 BENCH_FUSE_QKV=0 timeout 2400 python bench.py 2>/dev/null | tail -1
+
+# 12) batched serving crashed silently in r2b stage 5c — rerun with stderr
+echo "=== batched serving B=2 (stderr visible) ==="
+BENCH_BATCH=2 BENCH_FRAMES=12 timeout 2400 python bench.py 2>&1 | tail -4
