@@ -61,3 +61,6 @@ BENCH_FRAMES=18 BENCH_FUSE_QKV=0 timeout 2400 python bench.py 2>/dev/null | tail
 # 12) batched serving crashed silently in r2b stage 5c — rerun with stderr
 echo "=== batched serving B=2 (stderr visible) ==="
 BENCH_BATCH=2 BENCH_FRAMES=12 timeout 2400 python bench.py 2>&1 | tail -4
+echo "=== batched serving B=2 DiT-only + int8-KV cache (fits HBM) ==="
+BENCH_BATCH=2 BENCH_FRAMES=12 BENCH_SKIP_VAE=1 timeout 2400 python bench.py 2>&1 | tail -1
+BENCH_BATCH=2 BENCH_FRAMES=12 BENCH_INT8_KV=1 timeout 2400 python bench.py 2>&1 | tail -1
