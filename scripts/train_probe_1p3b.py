@@ -314,13 +314,17 @@ def main():
                                   "oom": True, "stage": _STAGE[0],
                                   "detail": used}), flush=True)
                 frames -= 3 if frames <= 12 else 6
-                # drop buffers still referenced by the exception traceback
-                # before reallocating three 1.3B models
-                e.__traceback__ = None
-                gc.collect()
-                jax.clear_caches()
-                mem("after_retry_gc")
-                continue
+                # RE-EXEC at the smaller size: in-process retry is poisoned
+                # on the axon tunnel (buffers from the failed compile linger
+                # past gc+clear_caches — measured: a fresh 6-frame staged run
+                # fits, the same size OOMs on retry after a 21-frame OOM)
+                argv = [a for a in sys.argv if not a.startswith("--frames")]
+                if "--frames" in sys.argv:
+                    i = sys.argv.index("--frames")
+                    argv = sys.argv[:i] + sys.argv[i + 2:]
+                sys.stdout.flush()
+                os.execv(sys.executable,
+                         [sys.executable] + argv + ["--frames", str(frames)])
             raise
 
     print(json.dumps({
