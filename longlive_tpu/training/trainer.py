@@ -111,6 +111,12 @@ class TrainerConfig:
     # prediction outside the loss jit is exact (dmd.teacher_real_x0).
     # Requires staged_phases.
     teacher_stream: bool = False
+    # Page the GENERATOR (base + adapters) to pinned host during the
+    # loss-grad phase: it is dead weight there (~3.7 GB at 1.3B LoRA —
+    # the rollout forward is done, the rollout VJP hasn't started) while
+    # the teacher + critic peak.  Costs one extra round trip of the
+    # generator tree per generator step.  Requires staged_phases.
+    page_generator: bool = False
     # micro-steps per optimizer update (longlive_train_init.yaml:34)
     gradient_accumulation_steps: int = 1
 
@@ -554,6 +560,21 @@ class ScoreDistillationTrainer:
         rkey = (exit_idx, grad_start)
         latents = self._staged_roll(rkey)(trained, gen_base, noise,
                                           prompt_c, rng_roll)
+        gen_host = None
+        gkey = "gen_lora" if self.use_lora else "gen_params"
+        if self.tcfg.page_generator:
+            # the generator is dead weight during the teacher+critic phase;
+            # drop EVERY device reference (ours and the state's) so its HBM
+            # actually frees, keeping host copies to restore afterwards
+            latents.block_until_ready()
+            gen_host = (mem_mod.offload_to_host(trained),
+                        mem_mod.offload_to_host(gen_base)
+                        if self.use_lora else empty)
+            jax.block_until_ready(gen_host)
+            self.state[gkey] = None
+            if self.use_lora:
+                self.state["gen_params"] = None
+            trained = gen_base = None
         stream = self.tcfg.teacher_stream
         if stream:
             # layer-streamed teacher x0 prediction (14B teacher path): the
@@ -576,9 +597,16 @@ class ScoreDistillationTrainer:
             prompt_c, prompt_u, rng_dmd)
         dlat.block_until_ready()  # the pages must not overlap the vjp peak
         del teacher, critic_base, latents
+        if gen_host is not None:
+            trained = mem_mod.fetch_from_host(gen_host[0])
+            gen_base = (mem_mod.fetch_from_host(gen_host[1])
+                        if self.use_lora else empty)
+            self.state[gkey] = trained
+            if self.use_lora:
+                self.state["gen_params"] = gen_base
         grads = self._staged_vjp(rkey)(trained, gen_base, noise, prompt_c,
                                        rng_roll, dlat)
-        return grads, loss, aux
+        return grads, loss, aux, trained
 
     def _critic_step_staged(self, exit_idx, trained_c, noise, prompt_c, rng):
         from ..utils import memory as mem_mod
@@ -658,12 +686,15 @@ class ScoreDistillationTrainer:
         if train_generator:
             exit_idx, nb, use_mask = self._sample_rollout_geometry(
                 noise, rng_exit, rng_len)
-            trained = self.state[gen_train_key]
             if self.tcfg.staged_phases:
-                grads, loss, aux = self._gen_step_staged(
-                    exit_idx, 0, use_mask, trained, noise[:, : nb * fpb],
-                    prompt_c, prompt_u, rng_g)
+                # no local binding of the generator tree: _gen_step_staged
+                # may page it out mid-step (page_generator), and a caller
+                # reference would pin the HBM it frees
+                grads, loss, aux, trained = self._gen_step_staged(
+                    exit_idx, 0, use_mask, self.state[gen_train_key],
+                    noise[:, : nb * fpb], prompt_c, prompt_u, rng_g)
             else:
+                trained = self.state[gen_train_key]
                 key = (exit_idx, 0, use_mask)
                 if key not in self._gen_steps:
                     self._gen_steps[key] = self._gen_step_fn(*key)

@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--frames", type=int, default=21)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--auto_shrink", action="store_true")
+    ap.add_argument("--page_gen", action="store_true",
+                    help="page the generator to host during the loss-grad "
+                         "phase (TrainerConfig.page_generator; staged only)")
     ap.add_argument("--cache_int8", action="store_true",
                     help="int8 rollout KV cache (k+v, per-token scales) — "
                          "the PERF.md squeeze for the 9/21-frame gap")
@@ -160,7 +163,8 @@ def main():
                 # moments for 2x540M adapter params alone would be ~13 GB
                 opt_on_host=True, cache_int8=args.cache_int8,
                 staged_phases=args.staged or args.teacher_14b,
-                teacher_stream=args.teacher_14b)
+                teacher_stream=args.teacher_14b,
+                page_generator=args.page_gen)
             tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic,
                                           teacher, teacher_cfg=teacher_cfg)
             del gen, critic, teacher  # trainer owns them; free the dup refs
