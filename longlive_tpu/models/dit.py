@@ -824,7 +824,18 @@ def dit_forward_cached(
     blocks_xs = (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v,
                  cache.k_scale, cache.v_scale)
     body = jax.checkpoint(scan_body) if remat_layers else scan_body
-    if kv_only:
+    if kv_only and remat_layers:
+        # TRAINING commit forwards: keep the uniform L-layer scan and just
+        # drop the head.  The serving-path L-1 split below slices the
+        # stacked params (jax.tree.map a[:-1] / a[-1]), which under the
+        # rollout VJP materializes near-full COPIES of every weight stack
+        # (measured: 2x 1.42 GB ys + 761 MB ffn-weight copies in the
+        # 21-frame staged phase-3 compile OOM) — the split is a pure-serving
+        # optimization.
+        tokens, (new_k, new_v, new_sc, new_vsc) = jax.lax.scan(
+            body, tokens, blocks_xs)
+        flow = jnp.zeros((b, f, cfg.out_dim, h, w), jnp.float32)
+    elif kv_only:
         # commit/recache passes discard the flow output, but the uniform
         # layer scan forces XLA to compute the LAST layer's attention +
         # cross-attn + FFN anyway (~1/30 of the pass) and the head.  Run
