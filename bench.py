@@ -143,7 +143,11 @@ def main():
     attn_impl = "auto"
     if use_int8:
         params = quantize_dit_params(params)
-    if os.environ.get("BENCH_FUSE_QKV", "1") == "1":
+    # r2c A/B: the fused single-matmul qkv projection measured ~1% SLOWER
+    # e2e than separate q/k/v (519.6 vs 514.1 ms/latent-frame at 18 frames
+    # — the concat output forces an extra relayout before the per-head
+    # reshape), so separate projections are the default again.
+    if os.environ.get("BENCH_FUSE_QKV", "0") == "1":
         from longlive_tpu.ops.quant import fuse_qkv_params
 
         params = fuse_qkv_params(params)
@@ -295,7 +299,7 @@ def main():
         "contig_writes": pipe._contig,
         "recache_qk8": recache_qk8,
         "two_segment": os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1",
-        "block_kv": int(os.environ.get("LONGLIVE_BKV", "1024")),
+        "block_kv": int(os.environ.get("LONGLIVE_BKV", "512")),
         "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",
         "first_run_s": round(compile_and_run, 1),
         "device": str(jax.devices()[0]),

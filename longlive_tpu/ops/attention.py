@@ -287,8 +287,10 @@ def flash_attention(
         # kv tile (lane-dim blocks must be 128-multiples, so frame-exact
         # tiles are impossible at 1560 tokens/frame); LONGLIVE_BKV sweeps
         # the dead-tile-elision granularity e2e (smaller tiles elide more
-        # of a skip range at more grid-step overhead)
-        block_kv = int(os.environ.get("LONGLIVE_BKV", "1024"))
+        # of a skip range at more grid-step overhead).  512 measured
+        # fastest on the v5e: 5.512 vs 5.796 ms/layer at the decode shape
+        # and 516.8 vs 519.5 ms/latent-frame e2e (chip sessions r2b/r2c).
+        block_kv = int(os.environ.get("LONGLIVE_BKV", "512"))
     return _flash_attention_jit(
         q, k, v, bias, block_q, block_kv, frame_seq, qk_int8,
         k2, v2, k_scales, skip_ranges, interpret)

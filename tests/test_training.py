@@ -123,12 +123,15 @@ def test_trainer_steps(setup):
 
 
 @pytest.mark.slow
-def test_staged_phases_matches_monolithic(setup):
+@pytest.mark.parametrize("page_gen", [False, True])
+def test_staged_phases_matches_monolithic(setup, page_gen):
     """tcfg.staged_phases splits each update into rollout-fwd / DMD-loss-grad
     / rollout-VJP jits with the frozen teacher paged to host between phases.
     Exact by the chain rule (dL/dθ = (∂L/∂latents)ᵀ·∂latents/∂θ), so one
     train_step must match the monolithic step up to compilation-scheduling
-    noise."""
+    noise.  ``page_gen`` additionally pages the generator tree to host
+    during the loss-grad phase (TrainerConfig.page_generator) — pure data
+    movement, so results must be identical."""
     cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
     kw = dict(num_frame_per_block=1, num_training_frames=3,
               slice_last_frames=3, attn_impl="xla", dfake_gen_update_ratio=1)
@@ -143,8 +146,8 @@ def test_staged_phases_matches_monolithic(setup):
                                     copy(gen), copy(critic), copy(teacher))
     m_a = tr_a.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
     tr_b = ScoreDistillationTrainer(
-        TrainerConfig(**kw, staged_phases=True), cfg, geom,
-        copy(gen), copy(critic), copy(teacher))
+        TrainerConfig(**kw, staged_phases=True, page_generator=page_gen),
+        cfg, geom, copy(gen), copy(critic), copy(teacher))
     m_b = tr_b.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
 
     np.testing.assert_allclose(m_b["generator_loss"], m_a["generator_loss"],
