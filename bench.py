@@ -133,10 +133,16 @@ def main():
     # (one-shot quantize vs O(S^2) attention — the amortization the decode
     # path lacks, PERF.md negative result #2)
     recache_qk8 = os.environ.get("BENCH_RECACHE_QK8", "0") == "1"
+    # BENCH_KERNEL_CACHE=1: carry-resident kernel-layout KV cache — the
+    # flash kernel reads the stacked [L*B*N, S_pad, D] buffer directly and
+    # block K/V commit with one in-place DUS per layer, removing the
+    # write-then-attend path's ~16 ms/forward KV-write tax (PERF.md)
+    kernel_cache = os.environ.get("BENCH_KERNEL_CACHE", "0") == "1"
     pc = PipelineConfig(num_output_frames=warmup_frames + frames,
                         local_attn_size=local_attn, sink_size=sink,
                         global_sink=False, kv_int8=kv_int8,
                         reuse_last_denoise_kv=reuse_kv,
+                        kernel_cache=kernel_cache and not kv_int8,
                         recache_attn_impl="pallas_qk8" if recache_qk8 else None)
 
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
@@ -300,6 +306,7 @@ def main():
         "recache_qk8": recache_qk8,
         "two_segment": os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1",
         "block_kv": int(os.environ.get("LONGLIVE_BKV", "512")),
+        "kernel_cache": kernel_cache,
         "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",
         "first_run_s": round(compile_and_run, 1),
         "device": str(jax.devices()[0]),

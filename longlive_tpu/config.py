@@ -155,6 +155,14 @@ class PipelineConfig:
     # LongLive's context_noise training tolerates; OFF by default (quality
     # delta quantified in scripts/quality_delta.py).
     reuse_last_denoise_kv: bool = False
+    # Keep the KV cache in the flash kernel's own operand layout
+    # ([L*B*N, S_pad, D], ops/kv_cache.init_cache_kl) and thread it through
+    # every forward of a block: per-layer decode attention reads the cache
+    # with zero relayout and block K/V commit in place — removes the
+    # write-then-attend path's ~16 ms/forward KV-write tax (PERF.md).
+    # Single-device serving only (sp == 1, bf16 cache, contiguous-ring
+    # configs); no reference analogue.
+    kernel_cache: bool = False
     # Attention impl override for the KV-recache (prompt-switch) forward
     # only.  "pallas_qk8" runs the recache's dense prefill QK^T on the int8
     # MXU pipe: unlike the decode path (where the per-forward cache-quantize

@@ -511,6 +511,124 @@ def _block_body(
     return x, new_k, new_v, new_sc, new_vsc
 
 
+def _attention_layer_cached_kl(
+    layer_p: dict,
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    x: jax.Array,  # [B, S, dim] (already modulated + normed)
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    ck: jax.Array,  # [L*B*N, S_pad, D] full kernel-layout cache (carry)
+    cv: jax.Array,
+    kv_valid_pad: jax.Array,  # [S_pad] bool (pad + warmup slots False)
+    layer_idx: jax.Array,  # [] int32
+    tok_off: jax.Array,  # [] int32 first token slot of the block's frames
+    attn_impl: str,
+    kv_only: bool = False,
+):
+    """Self-attention against the KERNEL-LAYOUT cache: the fresh block's
+    roped K/V are written with ONE in-place dynamic_update_slice into the
+    scan-carried [L*B*N, S_pad, D] buffers (the pipeline's contiguous-ring
+    invariant guarantees consecutive slots), and the flash kernel reads
+    layer ``layer_idx``'s rows directly via a scalar-prefetch offset —
+    no per-layer cache relayout and no written-through scan-ys copy
+    (together the measured ~16 ms/forward KV-write tax, PERF.md)."""
+    b, s, _ = x.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    dout = n * hd
+    if "qkv" in layer_p:
+        if kv_only:
+            kv = nn.linear(x, _slice_lin(layer_p["qkv"], dout, 3 * dout))
+            k, v = kv[..., :dout], kv[..., dout:]
+            q_raw = None
+        else:
+            qkv = nn.linear(x, layer_p["qkv"])
+            q_raw = qkv[..., :dout]
+            k, v = qkv[..., dout:2 * dout], qkv[..., 2 * dout:]
+    else:
+        k = nn.linear(x, layer_p["k"])
+        v = nn.linear(x, layer_p["v"])
+        q_raw = None if kv_only else nn.linear(x, layer_p["q"])
+    v = v.reshape(b, s, n, hd)
+    k_pre = None
+    if cfg.qk_norm:
+        k_pre = nn.rms_scale(k, layer_p["norm_k"]["scale"], cfg.eps)
+    k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin, premul=k_pre,
+                     layout=cfg.rope_layout)
+
+    # fresh block -> kernel layout [B*N, S, D]; ONE in-place DUS on the
+    # carried buffer (XLA aliases the while-loop state, so this is an
+    # update-sized write, not a cache-sized copy)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * n, s, hd)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * n, s, hd)
+    row0 = jnp.asarray(layer_idx, jnp.int32) * (b * n)
+    start = (row0, jnp.asarray(tok_off, jnp.int32), jnp.zeros([], jnp.int32))
+    ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), start)
+    cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), start)
+    if kv_only:
+        return None, ck, cv
+
+    q = q_raw
+    q_pre = (nn.rms_scale(q, layer_p["norm_q"]["scale"], cfg.eps)
+             if cfg.qk_norm else None)
+    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                     premul=q_pre, layout=cfg.rope_layout)
+    out = attend(q, ck, cv, kv_valid_pad, impl=attn_impl,
+                 frame_seq=cache_cfg.frame_seq, kv_layer=layer_idx)
+    out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
+    return out, ck, cv
+
+
+def _block_body_kl(
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    num_frames: int,
+    x: jax.Array,
+    layer_p: dict,
+    ck: jax.Array,
+    cv: jax.Array,
+    cross_k: jax.Array,
+    cross_v: jax.Array,
+    e0: jax.Array,
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    kv_valid_pad: jax.Array,
+    layer_idx: jax.Array,
+    tok_off: jax.Array,
+    attn_impl: str,
+    kv_only: bool = False,
+):
+    """_block_body for the kernel-layout cache path (carry-resident cache,
+    in-place writes).  Cross-attention and FFN are identical."""
+    f = num_frames
+    mod = layer_p["modulation"][None, None]
+    e = mod.astype(e0.dtype) + e0
+    e_ = [e[:, :, i][:, :, None] for i in range(6)]
+
+    h = _per_frame(nn.layer_norm(x, cfg.eps), f)
+    h = _flat(h * (1 + e_[1]) + e_[0])
+    y, ck, cv = _attention_layer_cached_kl(
+        layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
+        ck, cv, kv_valid_pad, layer_idx, tok_off, attn_impl, kv_only=kv_only,
+    )
+    if kv_only:
+        return x, ck, cv
+    x = x + _flat(_per_frame(y, f) * e_[2])
+
+    norm3 = layer_p.get("norm3")
+    h = nn.layer_norm(x, cfg.eps,
+                      scale=None if norm3 is None else norm3["scale"],
+                      bias=None if norm3 is None else norm3["bias"])
+    x = x + _cross_attention_layer(layer_p["cross_attn"], cfg, h, cross_k,
+                                   cross_v, attn_impl)
+
+    h = _per_frame(nn.layer_norm(x, cfg.eps), f)
+    h = _flat(h * (1 + e_[4]) + e_[3])
+    y = nn.linear(nn.gelu_tanh(nn.linear(h, layer_p["ffn"]["fc1"])), layer_p["ffn"]["fc2"])
+    x = x + _flat(_per_frame(y, f) * e_[5])
+    return x, ck, cv
+
+
 def _head(params: dict, cfg: DiTConfig, x: jax.Array, e: jax.Array, f: int) -> jax.Array:
     """CausalHead (causal_model.py:480-508). e: [B, F, dim]."""
     hp = params["head"]
@@ -721,6 +839,90 @@ def dit_forward_teacher_forcing(
     return unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
 
 
+def _dit_forward_cached_kl(
+    params: dict,
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    tables: RopeTables,
+    x: jax.Array,  # [B, F, C, H, W]
+    t: jax.Array,  # [B, F]
+    cross_kv: CrossKV,
+    cache: kvc.KVCache,  # KERNEL-LAYOUT: k/v [L*B*N, S_pad, D]
+    start_frame: jax.Array,
+    *,
+    attn_impl: str = "auto",
+    advance_counters: bool = True,
+    window_frames: Optional[int] = None,
+    kv_only: bool = False,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """Cached DiT forward over a KERNEL-LAYOUT cache (ops.kv_cache
+    .init_cache_kl).  The cache buffers ride the layer scan's CARRY, each
+    layer commits its block K/V with one in-place dynamic_update_slice,
+    and the flash kernel reads the stacked buffer at a scalar-prefetched
+    layer offset — eliminating both the per-layer [B,S,N,D]->[B*N,S,D]
+    relayout and the written-through scan-ys cache copy of the
+    write-then-attend form (~16 ms/forward at the serving shape, PERF.md).
+
+    Semantics match write-then-attend exactly: the block's slots are
+    (over)written before attention each pass, so threading the returned
+    cache through consecutive denoise passes reproduces the discard-and
+    -rewrite behavior bit-for-bit while keeping the buffer chain aliased.
+    Requires the pipeline's contiguous-ring invariant (the block's frames
+    occupy consecutive slots)."""
+    b, f, c, h, w = x.shape
+    dtype = params["patch_embedding"]["kernel"].dtype
+
+    tokens = nn.linear(patchify(x.astype(dtype), cfg), params["patch_embedding"])
+    e, e0 = time_modulation(params, cfg, t, dtype)
+    hp, wp = h // cfg.patch_size[1], w // cfg.patch_size[2]
+    rope_cos, rope_sin = rope_multipliers(tables, f, hp, wp, start_frame)
+
+    offsets = kvc.block_write_offsets(cache_cfg, cache, start_frame, f)
+    tok_off = offsets[0]  # consecutive slots by the contig invariant
+    kv_valid = kvc.validity_mask(cache_cfg, cache, start_frame, f,
+                                 window_frames=window_frames)  # token-level
+    s_pad = cache.k.shape[1]
+    kv_valid = jnp.concatenate(
+        [kv_valid, jnp.zeros((s_pad - kv_valid.shape[0],), bool)])
+
+    L = params["blocks"]["modulation"].shape[0]
+    lidx = jnp.arange(L, dtype=jnp.int32)
+
+    def scan_body(carry, xs):
+        xcur, ck, cv = carry
+        layer_p, xk, xv, li = xs
+        xout, ck, cv = _block_body_kl(
+            cfg, cache_cfg, f, xcur, layer_p, ck, cv, xk, xv,
+            e0, rope_cos, rope_sin, kv_valid, li, tok_off, attn_impl,
+        )
+        return (xout, ck, cv), None
+
+    xs = (params["blocks"], cross_kv.k, cross_kv.v, lidx)
+    if kv_only:
+        # scan L-1 full layers, then a K/V-projection-only tail (the
+        # commit forward's flow output is never read)
+        xs_head = jax.tree.map(lambda a: a[:-1], xs)
+        (tokens, ck, cv), _ = jax.lax.scan(
+            scan_body, (tokens, cache.k, cache.v), xs_head)
+        lp, xk, xv, li = jax.tree.map(lambda a: a[-1], xs)
+        mod = lp["modulation"][None, None]
+        e_ = (mod.astype(e0.dtype) + e0)
+        hh = _per_frame(nn.layer_norm(tokens, cfg.eps), f)
+        hh = _flat(hh * (1 + e_[:, :, 1][:, :, None]) + e_[:, :, 0][:, :, None])
+        _, ck, cv = _attention_layer_cached_kl(
+            lp["self_attn"], cfg, cache_cfg, hh, rope_cos, rope_sin,
+            ck, cv, kv_valid, li, tok_off, attn_impl, kv_only=True)
+        flow = jnp.zeros((b, f, cfg.out_dim, h, w), jnp.float32)
+    else:
+        (tokens, ck, cv), _ = jax.lax.scan(
+            scan_body, (tokens, cache.k, cache.v), xs)
+        out_tokens = _head(params, cfg, tokens, e, f)
+        flow = unpatchify(out_tokens.astype(jnp.float32), cfg, f, h, w)
+
+    base = kvc.advance(cache_cfg, cache, start_frame, f) if advance_counters else cache
+    return flow, dataclasses.replace(base, k=ck, v=cv)
+
+
 def dit_forward_cached(
     params: dict,
     cfg: DiTConfig,
@@ -760,7 +962,22 @@ def dit_forward_cached(
     block's K/V are committed in ONE in-place update on the (donated)
     stacked cache after the layer scan.  Paths that supply explicit cache
     plumbing (KV-recache) keep the write-then-attend form.
+
+    A KERNEL-LAYOUT cache (k.ndim == 3, ops.kv_cache.init_cache_kl)
+    dispatches to _dit_forward_cached_kl — carry-resident cache with
+    in-place writes and zero-copy kernel reads.
     """
+    if cache.k.ndim == 3:
+        if (kv_valid is not None or offsets is not None
+                or write_frames is not None or two_segment or remat_layers):
+            raise ValueError("kernel-layout cache supports the standard "
+                             "decode path only (no explicit plumbing / "
+                             "two-segment / remat)")
+        return _dit_forward_cached_kl(
+            params, cfg, cache_cfg, tables, x, t, cross_kv, cache,
+            start_frame, attn_impl=attn_impl,
+            advance_counters=advance_counters, window_frames=window_frames,
+            kv_only=kv_only)
     b, f, c, h, w = x.shape
     dtype = params["patch_embedding"]["kernel"].dtype
 

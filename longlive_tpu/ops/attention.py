@@ -61,7 +61,7 @@ _LANES = 128
 
 
 def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
-                  nkv1: int = 0, skip: bool = False):
+                  nkv1: int = 0, skip: bool = False, kl: bool = False):
     """One (head, q_block, kv_block) grid step of flash attention.
 
     Refs: [bias [1, bkv] f32 if has_bias],
@@ -108,6 +108,10 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
     if skip:
         lv_ref = refs[1]
         refs = refs[2:]
+    elif kl:
+        # kernel-layout cache mode: the prefetched layer index is consumed
+        # by the k/v BlockSpec index maps only — drop its ref here
+        refs = refs[1:]
     bias_ref = qsc_ref = ksc_ref = None
     if has_bias:
         bias_ref = refs[idx]; idx += 1
@@ -275,6 +279,7 @@ def flash_attention(
     v2: Optional[jax.Array] = None,
     k_scales: Optional[jax.Array] = None,
     skip_ranges: Optional[jax.Array] = None,
+    kv_layer: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Tile resolution OUTSIDE the jit: reading LONGLIVE_BKV inside the
@@ -293,7 +298,7 @@ def flash_attention(
         block_kv = int(os.environ.get("LONGLIVE_BKV", "512"))
     return _flash_attention_jit(
         q, k, v, bias, block_q, block_kv, frame_seq, qk_int8,
-        k2, v2, k_scales, skip_ranges, interpret)
+        k2, v2, k_scales, skip_ranges, kv_layer, interpret)
 
 
 @functools.partial(
@@ -313,6 +318,7 @@ def _flash_attention_jit(
     v2: Optional[jax.Array] = None,
     k_scales: Optional[jax.Array] = None,
     skip_ranges: Optional[jax.Array] = None,
+    kv_layer: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas flash attention.
@@ -329,13 +335,37 @@ def _flash_attention_jit(
     requires ``qk_int8=True``.  ``skip_ranges`` [R, 2] int32 token ranges
     of the FIRST segment that are fully bias-masked: fully-covered kv
     tiles are skipped via scalar-prefetch index redirection (dead-tile
-    elision — zero DMA, zero compute).  Returns [B, Sq, N, D].
+    elision — zero DMA, zero compute).
+
+    ``kv_layer`` (traced int32 scalar) switches k/v to KERNEL-LAYOUT
+    CACHE mode: k, v are the FULL stacked per-layer cache in the
+    kernel's own operand layout ``[L*B*N, S_pad, D]`` (token-padded to a
+    block_kv multiple at cache init), and the kernel reads layer
+    ``kv_layer``'s rows directly via a scalar-prefetch offset in the
+    BlockSpec index maps.  This makes the per-layer decode attention
+    ZERO-COPY on the cache side: no [B,S,N,D]->[B*N,S,D] relayout and no
+    written-through scan-ys cache copy per layer (the measured ~16
+    ms/forward KV-write tax, PERF.md).  Requires ``bias`` (pad + warmup
+    slots must be masked); mutually exclusive with qk_int8/k2/skip_ranges.
+
+    Returns [B, Sq, N, D].
     """
     b, sq, n, d = q.shape
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
     has_bias = bias is not None
     has_seg2 = k2 is not None
+    use_kl = kv_layer is not None
+    if use_kl:
+        if qk_int8 or has_seg2 or skip_ranges is not None or k_scales is not None:
+            raise ValueError("kv_layer mode supports the plain bf16 "
+                             "single-segment kernel only")
+        if not has_bias:
+            raise ValueError("kv_layer mode requires an explicit bias "
+                             "(pad slots must be masked)")
+        if skv % block_kv:
+            raise ValueError(f"kernel-layout cache token dim {skv} must be "
+                             f"a multiple of block_kv {block_kv}")
 
     sq_p = -(-sq // block_q) * block_q
     skv_p = -(-skv // block_kv) * block_kv
@@ -356,8 +386,11 @@ def _flash_attention_jit(
         return _pad_axis(x, 1, sp).transpose(0, 2, 1, 3).reshape(b * n, sp, d)
 
     qt = _t(qs, sq_p)
-    kt = _t(k, skv_p)
-    vt = _t(v, skv_p)
+    if use_kl:
+        kt, vt = k, v  # already [L*B*N, S_pad, D] — zero-copy operands
+    else:
+        kt = _t(k, skv_p)
+        vt = _t(v, skv_p)
     k2t = v2t = None
     if has_seg2:
         k2t = _t(k2, skv2_p)
@@ -398,6 +431,8 @@ def _flash_attention_jit(
         # index map's grid-index arguments
         if use_skip:
             return lambda h, iq, ikv, tm, lv: map3(tm, h, iq, ikv)
+        if use_kl:
+            return lambda h, iq, ikv, li: map3(None, h, iq, ikv)
         return lambda h, iq, ikv: map3(None, h, iq, ikv)
 
     # dead first-segment tiles redirect through tm (live tiles: tm[i] == i)
@@ -453,10 +488,16 @@ def _flash_attention_jit(
         ]
         operands += [kt, vt, k2t, v2t]
     else:
+        if use_kl:
+            # layer kv_layer's rows of the stacked [L*B*N, S_pad, D] cache
+            bn = b * n
+            kv_map = lambda h, iq, ikv, li: (li[0] * bn + h, ikv, 0)
+        else:
+            kv_map = _wrap(kv_idx)
         in_specs += [
-            pl.BlockSpec((1, block_kv, d), _wrap(kv_idx),
+            pl.BlockSpec((1, block_kv, d), kv_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), _wrap(kv_idx),
+            pl.BlockSpec((1, block_kv, d), kv_map,
                          memory_space=pltpu.VMEM),
         ]
         operands += [kt, vt]
@@ -469,7 +510,8 @@ def _flash_attention_jit(
 
     kernel = functools.partial(_flash_kernel, has_bias=has_bias,
                                qk_int8=qk_int8,
-                               nkv1=nkv1 if has_seg2 else 0, skip=use_skip)
+                               nkv1=nkv1 if has_seg2 else 0, skip=use_skip,
+                               kl=use_kl)
     out_spec = pl.BlockSpec(
         (1, block_q, d), _wrap(lambda tm, h, iq, ikv: (h, iq, 0)),
         memory_space=pltpu.VMEM)
@@ -485,6 +527,15 @@ def _flash_attention_jit(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
         )(tm, lv, *operands)
+    elif use_kl:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=scratch_shapes)
+        li = jnp.asarray(kv_layer, jnp.int32).reshape(1)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(li, *operands)
     else:
         # strip the unused leading arg the _wrap shim added
         out = pl.pallas_call(
@@ -741,6 +792,7 @@ def attend(
     v2: Optional[jax.Array] = None,
     k_scales: Optional[jax.Array] = None,
     skip_ranges: Optional[jax.Array] = None,
+    kv_layer: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend; first
     KV segment only).  frame_seq: tokens per latent frame (decode path)
@@ -750,7 +802,11 @@ def attend(
     (int8 KV cache) — pallas impls run int8-QK with the stored scales,
     the xla fallback dequantizes.  skip_ranges [R, 2]: fully-masked token
     ranges of the first segment — pallas serving impls elide those kv
-    tiles entirely (zero DMA/compute); fallbacks rely on the bias mask."""
+    tiles entirely (zero DMA/compute); fallbacks rely on the bias mask.
+    kv_layer (traced int32 scalar): k/v are the full stacked kernel-layout
+    cache [L*B*N, S_pad, D] and attention reads layer ``kv_layer``'s rows
+    (zero-copy on the pallas path; the xla fallback slices the rows back
+    to [B, S_pad, N, D]).  kv_valid must then cover S_pad (pad = False)."""
     b, _, n, d = q.shape
     bias = None
     if kv_valid is not None:
@@ -760,6 +816,26 @@ def attend(
 
     if impl == "auto":
         impl = "pallas" if (jax.default_backend() == "tpu" and d % 128 == 0) else "xla"
+    if kv_layer is not None:
+        if impl == "pallas":
+            return flash_attention(q, k, v, bias, frame_seq=frame_seq,
+                                   kv_layer=kv_layer)
+        if impl == "pallas_interpret":
+            return flash_attention(q, k, v, bias, frame_seq=frame_seq,
+                                   kv_layer=kv_layer, interpret=True)
+        if impl != "xla":
+            raise ValueError(f"kv_layer mode unsupported for impl {impl!r}")
+        # fallback: slice layer rows [B*N, S_pad, D] -> [B, S_pad, N, D]
+        bn = b * n
+        s_pad = k.shape[1]
+        row0 = jnp.asarray(kv_layer, jnp.int32) * bn
+        kr = jax.lax.dynamic_slice_in_dim(k, row0, bn, axis=0)
+        vr = jax.lax.dynamic_slice_in_dim(v, row0, bn, axis=0)
+        kr = kr.reshape(b, n, s_pad, d).transpose(0, 2, 1, 3)
+        vr = vr.reshape(b, n, s_pad, d).transpose(0, 2, 1, 3)
+        dense_bias = None if bias is None else bias[:, None, None, :]
+        return dense_attention(q, kr.astype(q.dtype), vr.astype(q.dtype),
+                               dense_bias)
     if impl == "train_auto":
         # training paths need a DIFFERENTIABLE kernel; the serving kernel
         # has no VJP and dense attention cannot fit training shapes

@@ -93,6 +93,66 @@ def init_cache(
     )
 
 
+def kl_pad_tokens(cfg: CacheConfig, pad_to: int = 1024) -> int:
+    """Token length of the kernel-layout cache buffer: size_tokens rounded
+    up to a ``pad_to`` multiple so every LONGLIVE_BKV candidate (256/512/
+    1024) divides it — the flash kernel consumes the buffer directly with
+    no per-layer pad pass."""
+    return -(-cfg.size_tokens // pad_to) * pad_to
+
+
+def init_cache_kl(
+    cfg: CacheConfig,
+    num_layers: int,
+    batch: int,
+    num_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    """KERNEL-LAYOUT cache: k, v stored ``[L*B*N, S_pad, D]`` — the flash
+    kernel's own operand layout, so decode attention reads the cache with
+    ZERO per-layer relayout and the layer scan carries the buffers with
+    in-place block writes (no written-through scan-ys copies).  See
+    models.dit._dit_forward_cached_kl.  Distinguished from the standard
+    [L, B, S, N, D] cache by ndim == 3."""
+    sp = kl_pad_tokens(cfg)
+    shape = (num_layers * batch * num_heads, sp, head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype) + 0,
+        ring_base=jnp.full([], cfg.sink_frames, jnp.int32),
+        sink_filled=jnp.zeros([], jnp.int32),
+        ring_filled=jnp.zeros([], jnp.int32) + 0,
+    )
+
+
+def to_kernel_layout(cfg: CacheConfig, cache: KVCache) -> KVCache:
+    """[L, B, S, N, D] -> [L*B*N, S_pad, D] (one relayout pass)."""
+    L, b, s, n, d = cache.k.shape
+    sp = kl_pad_tokens(cfg)
+
+    def _conv(x):
+        x = x.transpose(0, 1, 3, 2, 4).reshape(L * b * n, s, d)
+        return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+
+    return dataclasses.replace(cache, k=_conv(cache.k), v=_conv(cache.v))
+
+
+def from_kernel_layout(
+    cfg: CacheConfig, cache: KVCache, num_layers: int, batch: int,
+    num_heads: int,
+) -> KVCache:
+    """[L*B*N, S_pad, D] -> [L, B, S, N, D] (inverse of to_kernel_layout)."""
+    s = cfg.size_tokens
+    d = cache.k.shape[-1]
+
+    def _conv(x):
+        x = x[:, :s].reshape(num_layers, batch, num_heads, s, d)
+        return x.transpose(0, 1, 3, 2, 4)
+
+    return dataclasses.replace(cache, k=_conv(cache.k), v=_conv(cache.v))
+
+
 def frame_slot(cfg: CacheConfig, frame: jax.Array, ring_base: jax.Array) -> jax.Array:
     """Frame-granular cache slot for absolute frame index ``frame``."""
     frame = jnp.asarray(frame, jnp.int32)

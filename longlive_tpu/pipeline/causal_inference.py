@@ -127,6 +127,9 @@ class CausalInferencePipeline:
         if config.kv_int8 and self.sp > 1:
             raise ValueError("kv_int8 is a single-device serving knob; the "
                              "sp decode path keeps the bf16 cache")
+        if config.kernel_cache and (self.sp > 1 or config.kv_int8):
+            raise ValueError("kernel_cache is a single-device bf16 serving "
+                             "mode (sp == 1, no kv_int8)")
 
         # schedule (utils/wan_wrapper.py:141-144 + causal_inference.py:33-37)
         self.sched = S.make_schedule(
@@ -158,6 +161,11 @@ class CausalInferencePipeline:
             self.cache_cfg.sink_frames % self.frame_block == 0
             and self.cache_cfg.ring_frames % self.frame_block == 0
         )
+        if config.kernel_cache and not self._contig:
+            raise ValueError(
+                "kernel_cache requires the contiguous-ring invariant "
+                "(sink_size and local_attn_size - sink_size must be "
+                "multiples of num_frame_per_block)")
         self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
         self._recache_fns = {}
         self._segment_fns = {}
@@ -197,16 +205,25 @@ class CausalInferencePipeline:
         x0 = x
         n_steps = len(self.denoise_timesteps)
         reuse_kv = self.config.reuse_last_denoise_kv
+        kl = self.config.kernel_cache
         for i, t_val in enumerate(self.denoise_timesteps):
             # denoise (recompute) passes discard the cache -> skip
             # materializing their KV writes entirely.  In the
             # reuse_last_denoise_kv fast mode the LAST denoise pass commits
             # its (write-then-attend) K/V instead, replacing the clean-
             # context 5th forward below.
+            #
+            # kernel_cache mode instead THREADS the returned cache through
+            # every pass (each pass overwrites the block's slots before
+            # attending, so results are identical) — this keeps the
+            # in-place-updated buffer chain singly-consumed, letting XLA
+            # alias it end to end; counters advance only on the commit.
             commit = reuse_kv and i == n_steps - 1
+            kw = {"advance_counters": commit} if kl else {}
             flow, new_cache = self._forward(params, x, t_val, cross_kv, cache,
-                                            start_frame, commit_writes=commit)
-            if commit:
+                                            start_frame, commit_writes=commit,
+                                            **kw)
+            if commit or kl:
                 cache = new_cache
             t_flat = jnp.full((b * f,), t_val, jnp.float32)
             x0 = S.convert_flow_to_x0(
@@ -331,6 +348,21 @@ class CausalInferencePipeline:
             float(self.config.context_noise), num_frames, global_sink,
             overwrite_sink, self.attn_window_frames, forward=fwd,
         )
+        if self.config.kernel_cache:
+            # the recache replay keeps the standard-layout write-then-attend
+            # machinery; convert the kernel-layout cache around it (two
+            # relayout passes, ~2.6 GB total — noise against the ~550 ms
+            # recache forward itself)
+            base_fn, ccfg = fn, self.cache_cfg
+            L, N = self.cfg.num_layers, self.cfg.num_heads
+
+            def fn(params, cache, cross_new, replay, recache_start_frame):
+                b = replay.shape[0]
+                std = kvc.from_kernel_layout(ccfg, cache, L, b, N)
+                std = base_fn(params, std, cross_new, replay,
+                              recache_start_frame)
+                return kvc.to_kernel_layout(ccfg, std)
+
         jitted = jax.jit(fn, donate_argnums=(1,))
         self._recache_fns[key] = jitted
         return jitted
@@ -338,6 +370,11 @@ class CausalInferencePipeline:
     # -- host-side loop -------------------------------------------------------
 
     def init_cache(self, batch_size: int, dtype=jnp.bfloat16) -> kvc.KVCache:
+        if self.config.kernel_cache:
+            return kvc.init_cache_kl(
+                self.cache_cfg, self.cfg.num_layers, batch_size,
+                self.cfg.num_heads, self.cfg.head_dim, dtype,
+            )
         cache = kvc.init_cache(
             self.cache_cfg, self.cfg.num_layers, batch_size,
             self.cfg.num_heads, self.cfg.head_dim, dtype,

@@ -248,3 +248,37 @@ def test_env_knobs_rebind_in_process(monkeypatch):
     monkeypatch.setenv("LONGLIVE_BKV", "256")
     A.flash_attention(q, k, v, interpret=True)
     assert captured == [1024, 256], captured
+
+
+def test_kv_layer_kernel_layout_parity():
+    """kv_layer mode: the kernel reads layer rows of a stacked
+    [L*B*N, S_pad, D] kernel-layout cache via a scalar-prefetch offset.
+    Must match dense attention on the same layer's K/V for every layer,
+    including pad-token masking."""
+    import longlive_tpu.ops.attention as A
+
+    rng = np.random.RandomState(7)
+    L, b, n, d = 3, 1, 2, 128
+    s, s_pad, sq = 96, 128, 32
+    kl_k = jnp.asarray(rng.randn(L * b * n, s_pad, d), jnp.float32)
+    kl_v = jnp.asarray(rng.randn(L * b * n, s_pad, d), jnp.float32)
+    q = jnp.asarray(rng.randn(b, sq, n, d), jnp.float32)
+    valid = jnp.arange(s_pad) < s  # pad tokens masked
+    bias = jnp.where(valid, 0.0, -1e30)[None].astype(jnp.float32)
+
+    for layer in range(L):
+        rows = kl_k[layer * b * n : (layer + 1) * b * n]
+        k_std = rows.reshape(b, n, s_pad, d).transpose(0, 2, 1, 3)
+        rows = kl_v[layer * b * n : (layer + 1) * b * n]
+        v_std = rows.reshape(b, n, s_pad, d).transpose(0, 2, 1, 3)
+        ref = A.dense_attention(q, k_std, v_std, bias[:, None, None, :])
+        out = A.flash_attention(
+            q, kl_k, kl_v, bias, block_q=32, block_kv=32,
+            kv_layer=jnp.asarray(layer, jnp.int32), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        # the attend() xla fallback route
+        out2 = A.attend(q, kl_k, kl_v, valid, impl="xla",
+                        kv_layer=jnp.asarray(layer, jnp.int32))
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

@@ -179,3 +179,62 @@ def test_recache_attn_impl_override(pipe_setup):
     a, b = np.asarray(lat_r[:, 4:]), np.asarray(lat_q[:, 4:])
     rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_kernel_cache_generation_parity(pipe_setup):
+    """kernel_cache=True (carry-resident kernel-layout KV cache, in-place
+    block writes, zero-copy kernel reads) is a pure data-movement
+    reformulation: latents must match the default write-then-attend
+    pipeline to f32 roundoff, through ring wrap and a prompt-switch
+    recache."""
+    cfg, geom, params, pcfg = pipe_setup
+    import dataclasses as dc
+
+    ref_pipe = CausalInferencePipeline(pcfg, params, geometry=geom,
+                                       dit_config=cfg, attn_impl="xla")
+    kl_pipe = CausalInferencePipeline(
+        dc.replace(pcfg, kernel_cache=True), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
+    cross_r = _prompt_kv(ref_pipe, cfg, 1)
+    cross_k = _prompt_kv(kl_pipe, cfg, 1)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 12, geom.channels, geom.height, geom.width)
+    )
+    lat_r, cache_r, _ = ref_pipe.generate_latents_scanned(noise, cross_r)
+    lat_k, cache_k, _ = kl_pipe.generate_latents_scanned(noise, cross_k)
+    np.testing.assert_allclose(np.asarray(lat_k), np.asarray(lat_r),
+                               rtol=1e-4, atol=1e-5)
+    # committed caches identical after converting layouts back
+    from longlive_tpu.ops import kv_cache as kvc
+
+    cache_k_std = kvc.from_kernel_layout(
+        kl_pipe.cache_cfg, cache_k, cfg.num_layers, 1, cfg.num_heads)
+    np.testing.assert_allclose(np.asarray(cache_k_std.k),
+                               np.asarray(cache_r.k), rtol=1e-4, atol=1e-5)
+    assert int(cache_k.ring_base) == int(cache_r.ring_base)
+    assert int(cache_k.ring_filled) == int(cache_r.ring_filled)
+
+
+def test_kernel_cache_interactive_switch_parity(pipe_setup):
+    """Prompt-switch recache with kernel_cache: converts the kernel-layout
+    cache to standard layout around the replay and back — post-switch
+    latents must match the default pipeline."""
+    cfg, geom, params, pcfg = pipe_setup
+    import dataclasses as dc
+
+    ref_pipe = _make_pipe(InteractiveCausalInferencePipeline, cfg, geom,
+                          params, pcfg)
+    kl_pipe = InteractiveCausalInferencePipeline(
+        dc.replace(pcfg, kernel_cache=True), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
+    cross_a = _prompt_kv(ref_pipe, cfg, 1)
+    cross_b = _prompt_kv(ref_pipe, cfg, 5)
+    cross_a2 = _prompt_kv(kl_pipe, cfg, 1)
+    cross_b2 = _prompt_kv(kl_pipe, cfg, 5)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(4), (1, 8, geom.channels, geom.height, geom.width)
+    )
+    lat_r = ref_pipe.generate_latents_interactive(noise, [cross_a, cross_b], [4])
+    lat_k = kl_pipe.generate_latents_interactive(noise, [cross_a2, cross_b2], [4])
+    np.testing.assert_allclose(np.asarray(lat_k), np.asarray(lat_r),
+                               rtol=1e-4, atol=1e-5)
