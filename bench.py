@@ -138,11 +138,15 @@ def main():
     # block K/V commit with one in-place DUS per layer, removing the
     # write-then-attend path's ~16 ms/forward KV-write tax (PERF.md)
     kernel_cache = os.environ.get("BENCH_KERNEL_CACHE", "0") == "1"
+    # BENCH_FUSED_ROPE=1: q rotates inside the flash-kernel prologue
+    # (no separate rope pass over q; halfsplit layout only)
+    fused_rope = os.environ.get("BENCH_FUSED_ROPE", "0") == "1"
     pc = PipelineConfig(num_output_frames=warmup_frames + frames,
                         local_attn_size=local_attn, sink_size=sink,
                         global_sink=False, kv_int8=kv_int8,
                         reuse_last_denoise_kv=reuse_kv,
                         kernel_cache=kernel_cache and not kv_int8,
+                        fused_rope=fused_rope and not kv_int8,
                         recache_attn_impl="pallas_qk8" if recache_qk8 else None)
 
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
@@ -307,6 +311,7 @@ def main():
         "two_segment": os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1",
         "block_kv": int(os.environ.get("LONGLIVE_BKV", "512")),
         "kernel_cache": kernel_cache,
+        "fused_rope": fused_rope,
         "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",
         "first_run_s": round(compile_and_run, 1),
         "device": str(jax.devices()[0]),

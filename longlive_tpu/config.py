@@ -163,6 +163,11 @@ class PipelineConfig:
     # Single-device serving only (sp == 1, bf16 cache, contiguous-ring
     # configs); no reference analogue.
     kernel_cache: bool = False
+    # Rotate q inside the flash-kernel prologue instead of a separate
+    # pass over q (halfsplit rope layout only; single-segment bf16-cache
+    # attends).  Pure data-movement change up to one extra bf16 rounding
+    # of q between the rms premul and the rotation.
+    fused_rope: bool = False
     # Attention impl override for the KV-recache (prompt-switch) forward
     # only.  "pallas_qk8" runs the recache's dense prefill QK^T on the int8
     # MXU pipe: unlike the decode path (where the per-forward cache-quantize

@@ -295,6 +295,7 @@ def _attention_layer_cached(
     cache_vsc: Optional[jax.Array] = None,  # [B, S_cache, N] int8-V scales
     kv_only: bool = False,  # compute/write K,V only (no q, no attention)
     contig_writes: bool = False,  # caller guarantees consecutive ring slots
+    fused_rope: bool = False,  # q RoPE in the flash-kernel prologue
 ):
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
@@ -323,12 +324,26 @@ def _attention_layer_cached(
         k_pre = nn.rms_scale(k, layer_p["norm_k"]["scale"], cfg.eps)
     k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin, premul=k_pre,
                      layout=cfg.rope_layout)
+    int8_cache = cache_k.dtype == jnp.int8 or cache_v.dtype == jnp.int8
+    # fused q-rope applies on the plain single-segment serving attend only
+    # (the two-segment and int8 kernels quantize/split q before the
+    # rotation could run in the prologue), and ONLY in the halfsplit param
+    # layout — the kernel prologue computes the halfsplit rotation
+    fused_rope = (fused_rope and not two_segment and not int8_cache
+                  and cfg.rope_layout == "halfsplit")
+    q_rope = None
     if not kv_only:
         q = q_raw
         q_pre = (nn.rms_scale(q, layer_p["norm_q"]["scale"], cfg.eps)
                  if cfg.qk_norm else None)
-        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
-                         premul=q_pre, layout=cfg.rope_layout)
+        if fused_rope:
+            if q_pre is not None:
+                q = (q.astype(jnp.float32) * q_pre).astype(q.dtype)
+            q = q.reshape(b, s, n, hd)
+            q_rope = (rope_cos, rope_sin)
+        else:
+            q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                             premul=q_pre, layout=cfg.rope_layout)
 
     fs = cache_cfg.frame_seq
     if two_segment:
@@ -414,7 +429,8 @@ def _attention_layer_cached(
     else:
         out = attend(q, new_k if int8_kv else new_k.astype(q.dtype),
                      new_v.astype(q.dtype), kv_valid,
-                     impl=attn_impl, frame_seq=fs, k_scales=new_sc)
+                     impl=attn_impl, frame_seq=fs, k_scales=new_sc,
+                     q_rope=q_rope)
     out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
     return out, new_k, new_v, new_sc, new_vsc
 
@@ -471,6 +487,7 @@ def _block_body(
     cache_vsc: Optional[jax.Array] = None,
     kv_only: bool = False,
     contig_writes: bool = False,
+    fused_rope: bool = False,
 ):
     """One CausalWanAttentionBlock (causal_model.py:413-477).
 
@@ -490,6 +507,7 @@ def _block_body(
         cache_k, cache_v, kv_valid, offsets, write_frames, attn_impl,
         two_segment=two_segment, cache_sc=cache_sc, skip_ranges=skip_ranges,
         cache_vsc=cache_vsc, kv_only=kv_only, contig_writes=contig_writes,
+        fused_rope=fused_rope,
     )
     if kv_only:
         return x, new_k, new_v, new_sc, new_vsc
@@ -525,6 +543,7 @@ def _attention_layer_cached_kl(
     tok_off: jax.Array,  # [] int32 first token slot of the block's frames
     attn_impl: str,
     kv_only: bool = False,
+    fused_rope: bool = False,
 ):
     """Self-attention against the KERNEL-LAYOUT cache: the fresh block's
     roped K/V are written with ONE in-place dynamic_update_slice into the
@@ -532,7 +551,12 @@ def _attention_layer_cached_kl(
     invariant guarantees consecutive slots), and the flash kernel reads
     layer ``layer_idx``'s rows directly via a scalar-prefetch offset —
     no per-layer cache relayout and no written-through scan-ys copy
-    (together the measured ~16 ms/forward KV-write tax, PERF.md)."""
+    (together the measured ~16 ms/forward KV-write tax, PERF.md).
+
+    ``fused_rope``: q's rotation runs in the flash-kernel prologue
+    (halfsplit layout only) — q never round-trips HBM between the rms
+    premul and attention.  One extra bf16 rounding of q between the norm
+    and the rotation vs the fused-f32 external form."""
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
     dout = n * hd
@@ -571,10 +595,18 @@ def _attention_layer_cached_kl(
     q = q_raw
     q_pre = (nn.rms_scale(q, layer_p["norm_q"]["scale"], cfg.eps)
              if cfg.qk_norm else None)
-    q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
-                     premul=q_pre, layout=cfg.rope_layout)
-    out = attend(q, ck, cv, kv_valid_pad, impl=attn_impl,
-                 frame_seq=cache_cfg.frame_seq, kv_layer=layer_idx)
+    if fused_rope and cfg.rope_layout == "halfsplit":
+        if q_pre is not None:
+            q = (q.astype(jnp.float32) * q_pre).astype(q.dtype)
+        q = q.reshape(b, s, n, hd)
+        out = attend(q, ck, cv, kv_valid_pad, impl=attn_impl,
+                     frame_seq=cache_cfg.frame_seq, kv_layer=layer_idx,
+                     q_rope=(rope_cos, rope_sin))
+    else:
+        q = apply_rotary(q.reshape(b, s, n, hd), rope_cos, rope_sin,
+                         premul=q_pre, layout=cfg.rope_layout)
+        out = attend(q, ck, cv, kv_valid_pad, impl=attn_impl,
+                     frame_seq=cache_cfg.frame_seq, kv_layer=layer_idx)
     out = nn.linear(out.reshape(b, s, n * hd), layer_p["o"])
     return out, ck, cv
 
@@ -597,6 +629,7 @@ def _block_body_kl(
     tok_off: jax.Array,
     attn_impl: str,
     kv_only: bool = False,
+    fused_rope: bool = False,
 ):
     """_block_body for the kernel-layout cache path (carry-resident cache,
     in-place writes).  Cross-attention and FFN are identical."""
@@ -610,6 +643,7 @@ def _block_body_kl(
     y, ck, cv = _attention_layer_cached_kl(
         layer_p["self_attn"], cfg, cache_cfg, h, rope_cos, rope_sin,
         ck, cv, kv_valid_pad, layer_idx, tok_off, attn_impl, kv_only=kv_only,
+        fused_rope=fused_rope,
     )
     if kv_only:
         return x, ck, cv
@@ -854,6 +888,7 @@ def _dit_forward_cached_kl(
     advance_counters: bool = True,
     window_frames: Optional[int] = None,
     kv_only: bool = False,
+    fused_rope: bool = False,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """Cached DiT forward over a KERNEL-LAYOUT cache (ops.kv_cache
     .init_cache_kl).  The cache buffers ride the layer scan's CARRY, each
@@ -894,6 +929,7 @@ def _dit_forward_cached_kl(
         xout, ck, cv = _block_body_kl(
             cfg, cache_cfg, f, xcur, layer_p, ck, cv, xk, xv,
             e0, rope_cos, rope_sin, kv_valid, li, tok_off, attn_impl,
+            fused_rope=fused_rope,
         )
         return (xout, ck, cv), None
 
@@ -945,6 +981,7 @@ def dit_forward_cached(
     two_segment: Optional[bool] = None,
     kv_only: bool = False,
     contig_writes: bool = False,
+    fused_rope: bool = False,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One cached DiT forward over a block of ``F`` frames starting at
     absolute frame ``start_frame`` (ref _forward_inference,
@@ -977,7 +1014,7 @@ def dit_forward_cached(
             params, cfg, cache_cfg, tables, x, t, cross_kv, cache,
             start_frame, attn_impl=attn_impl,
             advance_counters=advance_counters, window_frames=window_frames,
-            kv_only=kv_only)
+            kv_only=kv_only, fused_rope=fused_rope)
     b, f, c, h, w = x.shape
     dtype = params["patch_embedding"]["kernel"].dtype
 
@@ -1035,6 +1072,7 @@ def dit_forward_cached(
             e0, rope_cos, rope_sin, kv_valid, offsets, write_frames, attn_impl,
             two_segment=two_segment, cache_sc=csc, skip_ranges=skip_ranges,
             cache_vsc=cvsc, contig_writes=contig_writes,
+            fused_rope=fused_rope,
         )
         return xout, (nk, nv, nsc, nvsc)
 

@@ -61,7 +61,8 @@ _LANES = 128
 
 
 def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
-                  nkv1: int = 0, skip: bool = False, kl: bool = False):
+                  nkv1: int = 0, skip: bool = False, kl: bool = False,
+                  rope: bool = False):
     """One (head, q_block, kv_block) grid step of flash attention.
 
     Refs: [bias [1, bkv] f32 if has_bias],
@@ -117,6 +118,11 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
         bias_ref = refs[idx]; idx += 1
     if qk_int8:
         qsc_ref = refs[idx]; ksc_ref = refs[idx + 1]; idx += 2
+    cs_ref = sn_ref = qbuf_ref = None
+    if rope:
+        cs_ref = refs[idx]; sn_ref = refs[idx + 1]; idx += 2
+        qbuf_ref = refs[-1]
+        refs = refs[:-1]
     if nkv1 > 0:
         (q_ref, k_ref, v_ref, k2_ref, v2_ref,
          o_ref, m_ref, l_ref, acc_ref) = refs[idx:]
@@ -131,9 +137,22 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if rope:
+            # q-side RoPE prologue (halfsplit layout, softmax scale folded
+            # into the cs/sn multipliers outside): rotates the raw q tile
+            # once per (iq, h) into a VMEM scratch — the external rope pass
+            # over q and its HBM round trip disappear, and the VPU work
+            # overlaps the first kv tile's MXU step.  swap = [im ++ re]
+            # (two half-lane slices, exactly ops.rope.apply_rotary's
+            # halfsplit form).
+            qf = q_ref[0].astype(jnp.float32)
+            half = qf.shape[-1] // 2
+            qsw = jnp.concatenate([qf[:, half:], qf[:, :half]], axis=-1)
+            qbuf_ref[...] = (qf * cs_ref[...] + qsw * sn_ref[...]).astype(
+                qbuf_ref.dtype)
 
     def _accumulate():
-        q = q_ref[0]  # [bq, D]
+        q = qbuf_ref[...] if rope else q_ref[0]  # [bq, D]
         if nkv1 > 0:
             in_seg1 = ikv < nkv1
             k = jnp.where(in_seg1, k_ref[0], k2_ref[0])
@@ -280,6 +299,7 @@ def flash_attention(
     k_scales: Optional[jax.Array] = None,
     skip_ranges: Optional[jax.Array] = None,
     kv_layer: Optional[jax.Array] = None,
+    q_rope: Optional[Tuple[jax.Array, jax.Array]] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Tile resolution OUTSIDE the jit: reading LONGLIVE_BKV inside the
@@ -298,7 +318,7 @@ def flash_attention(
         block_kv = int(os.environ.get("LONGLIVE_BKV", "512"))
     return _flash_attention_jit(
         q, k, v, bias, block_q, block_kv, frame_seq, qk_int8,
-        k2, v2, k_scales, skip_ranges, kv_layer, interpret)
+        k2, v2, k_scales, skip_ranges, kv_layer, q_rope, interpret)
 
 
 @functools.partial(
@@ -319,6 +339,7 @@ def _flash_attention_jit(
     k_scales: Optional[jax.Array] = None,
     skip_ranges: Optional[jax.Array] = None,
     kv_layer: Optional[jax.Array] = None,
+    q_rope: Optional[Tuple[jax.Array, jax.Array]] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas flash attention.
@@ -356,6 +377,7 @@ def _flash_attention_jit(
     has_bias = bias is not None
     has_seg2 = k2 is not None
     use_kl = kv_layer is not None
+    use_rope = q_rope is not None
     if use_kl:
         if qk_int8 or has_seg2 or skip_ranges is not None or k_scales is not None:
             raise ValueError("kv_layer mode supports the plain bf16 "
@@ -366,6 +388,12 @@ def _flash_attention_jit(
         if skv % block_kv:
             raise ValueError(f"kernel-layout cache token dim {skv} must be "
                              f"a multiple of block_kv {block_kv}")
+    if use_rope:
+        if qk_int8 or has_seg2 or skip_ranges is not None or k_scales is not None:
+            raise ValueError("q_rope (in-kernel q RoPE) supports the plain "
+                             "bf16 single-segment kernel only")
+        if d % 2:
+            raise ValueError("q_rope needs an even head dim")
 
     sq_p = -(-sq // block_q) * block_q
     skv_p = -(-skv // block_kv) * block_kv
@@ -378,8 +406,22 @@ def _flash_attention_jit(
         bias = jnp.zeros((b, skv), jnp.float32)
         has_bias = True
 
-    # fold the softmax scale into q (saves one [bq, bkv] pass per tile)
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    cs = sn = None
+    if use_rope:
+        # q arrives UN-roped and UN-scaled; the halfsplit rotation runs in
+        # the kernel prologue (see _flash_kernel).  Fold the softmax scale
+        # into the [Sq_p, D] multipliers so no elementwise pass ever touches
+        # q outside the kernel: roped_scaled = q*cs + swap(q)*sn with
+        # cs = scale*[cos ++ cos], sn = scale*[-sin ++ sin].
+        rc, rs = q_rope
+        rc = rc.astype(jnp.float32) * scale
+        rs = rs.astype(jnp.float32) * scale
+        cs = _pad_axis(jnp.concatenate([rc, rc], axis=-1), 0, sq_p)
+        sn = _pad_axis(jnp.concatenate([-rs, rs], axis=-1), 0, sq_p)
+        qs = q
+    else:
+        # fold the softmax scale into q (saves one [bq, bkv] pass per tile)
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     # [B, S, N, D] -> [B*N, S, D]
     def _t(x, sp):
@@ -396,7 +438,14 @@ def _flash_attention_jit(
         k2t = _t(k2, skv2_p)
         v2t = _t(v2, skv2_p)
 
-    grid = (b * n, sq_p // block_q, (skv_p + skv2_p) // block_kv)
+    # rope mode swaps the outer grid dims to (iq, h, ikv): the cs/sn
+    # multiplier blocks then only change on iq steps, so their DMA is
+    # elided across the whole head sweep (with h outer they would re-stream
+    # ~57 MB/layer).  q/k/v/out DMA counts are unchanged by the swap.
+    if use_rope:
+        grid = (sq_p // block_q, b * n, (skv_p + skv2_p) // block_kv)
+    else:
+        grid = (b * n, sq_p // block_q, (skv_p + skv2_p) // block_kv)
 
     qsc = ksc = None
     if qk_int8:
@@ -428,9 +477,13 @@ def _flash_attention_jit(
 
     def _wrap(map3):
         # scalar-prefetch grid specs APPEND the prefetched refs to every
-        # index map's grid-index arguments
+        # index map's grid-index arguments; rope mode's grid is (iq, h, ikv)
         if use_skip:
             return lambda h, iq, ikv, tm, lv: map3(tm, h, iq, ikv)
+        if use_rope and use_kl:
+            return lambda iq, h, ikv, li: map3(None, h, iq, ikv)
+        if use_rope:
+            return lambda iq, h, ikv: map3(None, h, iq, ikv)
         if use_kl:
             return lambda h, iq, ikv, li: map3(None, h, iq, ikv)
         return lambda h, iq, ikv: map3(None, h, iq, ikv)
@@ -463,6 +516,13 @@ def _flash_attention_jit(
         in_specs.append(pl.BlockSpec(
             (1, 1, block_kv), _wrap(ksc_idx), memory_space=pltpu.VMEM))
         operands.append(ksc)
+    if use_rope:
+        rope_map = _wrap(lambda tm, h, iq, ikv: (iq, 0))
+        in_specs += [
+            pl.BlockSpec((block_q, d), rope_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, d), rope_map, memory_space=pltpu.VMEM),
+        ]
+        operands += [cs, sn]
     in_specs += [
         pl.BlockSpec(
             (1, block_q, d), _wrap(lambda tm, h, iq, ikv: (h, iq, 0)),
@@ -491,7 +551,10 @@ def _flash_attention_jit(
         if use_kl:
             # layer kv_layer's rows of the stacked [L*B*N, S_pad, D] cache
             bn = b * n
-            kv_map = lambda h, iq, ikv, li: (li[0] * bn + h, ikv, 0)
+            if use_rope:
+                kv_map = lambda iq, h, ikv, li: (li[0] * bn + h, ikv, 0)
+            else:
+                kv_map = lambda h, iq, ikv, li: (li[0] * bn + h, ikv, 0)
         else:
             kv_map = _wrap(kv_idx)
         in_specs += [
@@ -507,11 +570,14 @@ def _flash_attention_jit(
         pltpu.VMEM((block_q, _LANES), jnp.float32),
         pltpu.VMEM((block_q, d), jnp.float32),
     ]
+    if use_rope:
+        # the roped+scaled q tile, written once per (iq, h) in the prologue
+        scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))
 
     kernel = functools.partial(_flash_kernel, has_bias=has_bias,
                                qk_int8=qk_int8,
                                nkv1=nkv1 if has_seg2 else 0, skip=use_skip,
-                               kl=use_kl)
+                               kl=use_kl, rope=use_rope)
     out_spec = pl.BlockSpec(
         (1, block_q, d), _wrap(lambda tm, h, iq, ikv: (h, iq, 0)),
         memory_space=pltpu.VMEM)
@@ -793,6 +859,7 @@ def attend(
     k_scales: Optional[jax.Array] = None,
     skip_ranges: Optional[jax.Array] = None,
     kv_layer: Optional[jax.Array] = None,
+    q_rope: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Dispatcher.  kv_valid: bool [Skv] or [B, Skv] (True = attend; first
     KV segment only).  frame_seq: tokens per latent frame (decode path)
@@ -806,7 +873,11 @@ def attend(
     kv_layer (traced int32 scalar): k/v are the full stacked kernel-layout
     cache [L*B*N, S_pad, D] and attention reads layer ``kv_layer``'s rows
     (zero-copy on the pallas path; the xla fallback slices the rows back
-    to [B, S_pad, N, D]).  kv_valid must then cover S_pad (pad = False)."""
+    to [B, S_pad, N, D]).  kv_valid must then cover S_pad (pad = False).
+    q_rope (cos, sin) [Sq, D//2] f32: q arrives UN-roped (halfsplit param
+    layout, rms premul already applied) — pallas serving impls rotate the
+    q tile in the kernel prologue (the external rope pass over q and its
+    HBM round trip disappear); fallbacks apply ops.rope.apply_rotary."""
     b, _, n, d = q.shape
     bias = None
     if kv_valid is not None:
@@ -816,13 +887,23 @@ def attend(
 
     if impl == "auto":
         impl = "pallas" if (jax.default_backend() == "tpu" and d % 128 == 0) else "xla"
+    if q_rope is not None and impl not in ("pallas", "pallas_interpret"):
+        # fallbacks (and non-serving impls) rope q outside the kernel —
+        # numerically identical to the in-kernel prologue (same f32 algebra
+        # on the same bf16-rounded q)
+        if impl not in ("xla",):
+            raise ValueError(f"q_rope mode unsupported for impl {impl!r}")
+        from .rope import apply_rotary as _rot
+        q = _rot(q, q_rope[0], q_rope[1], layout="halfsplit")
+        q_rope = None
     if kv_layer is not None:
         if impl == "pallas":
             return flash_attention(q, k, v, bias, frame_seq=frame_seq,
-                                   kv_layer=kv_layer)
+                                   kv_layer=kv_layer, q_rope=q_rope)
         if impl == "pallas_interpret":
             return flash_attention(q, k, v, bias, frame_seq=frame_seq,
-                                   kv_layer=kv_layer, interpret=True)
+                                   kv_layer=kv_layer, q_rope=q_rope,
+                                   interpret=True)
         if impl != "xla":
             raise ValueError(f"kv_layer mode unsupported for impl {impl!r}")
         # fallback: slice layer rows [B*N, S_pad, D] -> [B, S_pad, N, D]
@@ -865,14 +946,15 @@ def attend(
 
     if impl == "pallas":
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, k2=k2, v2=v2,
-                               skip_ranges=skip_ranges)
+                               skip_ranges=skip_ranges, q_rope=q_rope)
     if impl == "pallas_qk8":
         # int8-QK serving mode (per-tile Q/K quant on the int8 MXU pipe)
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True,
                                k2=k2, v2=v2, skip_ranges=skip_ranges)
     if impl == "pallas_interpret":
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, k2=k2, v2=v2,
-                               skip_ranges=skip_ranges, interpret=True)
+                               skip_ranges=skip_ranges, q_rope=q_rope,
+                               interpret=True)
     if impl == "pallas_qk8_interpret":
         return flash_attention(q, k, v, bias, frame_seq=frame_seq, qk_int8=True,
                                k2=k2, v2=v2, skip_ranges=skip_ranges,

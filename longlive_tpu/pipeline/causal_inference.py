@@ -192,6 +192,7 @@ class CausalInferencePipeline:
                 **kw,
             )
         kw.setdefault("contig_writes", self._contig)
+        kw.setdefault("fused_rope", self.config.fused_rope)
         return D.dit_forward_cached(
             params, self.cfg, self.cache_cfg, self.tables, x, t, cross_kv,
             cache, start_frame, attn_impl=attn_impl, **kw,

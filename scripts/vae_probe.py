@@ -56,6 +56,10 @@ def main():
         ("fused_96_int8_dense", {"LONGLIVE_VAE_FUSED_96": "1",
                                  "LONGLIVE_VAE_INT8": "1",
                                  "LONGLIVE_VAE_DENSE": "1"}),
+        # dense HBM streaming without int8: isolates the (128/96)^2
+        # stream-tax removal from the quantization change
+        ("fused_96_dense", {"LONGLIVE_VAE_FUSED_96": "1",
+                            "LONGLIVE_VAE_DENSE": "1"}),
     ]
     variants = [(n, {**base, **env}) for n, env in variants]
     only = os.environ.get("VAE_PROBE_ONLY")

@@ -282,3 +282,54 @@ def test_kv_layer_kernel_layout_parity():
                         kv_layer=jnp.asarray(layer, jnp.int32))
         np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_q_rope_kernel_prologue_parity():
+    """q_rope mode: the kernel rotates the raw (pre-normed, un-scaled) q
+    tile in its prologue (halfsplit layout, softmax scale folded into the
+    cs/sn multipliers).  Must match dense attention on the externally
+    roped q — plain mode AND kv_layer (kernel-layout cache) mode."""
+    import longlive_tpu.ops.attention as A
+    from longlive_tpu.ops.rope import apply_rotary
+
+    rng = np.random.RandomState(3)
+    b, n, d, sq, s = 1, 2, 128, 64, 96
+    q = jnp.asarray(rng.randn(b, sq, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, n, d), jnp.float32)
+    cos = jnp.asarray(rng.rand(sq, d // 2) * 2 - 1, jnp.float32)
+    sin = jnp.asarray(rng.rand(sq, d // 2) * 2 - 1, jnp.float32)
+    valid = jnp.arange(s) < 80
+    bias = jnp.where(valid, 0.0, -1e30)[None].astype(jnp.float32)
+
+    q_roped = apply_rotary(q, cos, sin, layout="halfsplit")
+    ref = A.dense_attention(q_roped, k, v, bias[:, None, None, :])
+    out = A.flash_attention(q, k, v, bias, block_q=32, block_kv=32,
+                            q_rope=(cos, sin), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # combined with the kernel-layout cache (the serving target combo)
+    L, s_pad = 2, 128
+    kl_k = jnp.asarray(rng.randn(L * b * n, s_pad, d), jnp.float32)
+    kl_v = jnp.asarray(rng.randn(L * b * n, s_pad, d), jnp.float32)
+    validp = jnp.arange(s_pad) < 96
+    for layer in range(L):
+        rows = kl_k[layer * b * n:(layer + 1) * b * n]
+        k_std = rows.reshape(b, n, s_pad, d).transpose(0, 2, 1, 3)
+        rows = kl_v[layer * b * n:(layer + 1) * b * n]
+        v_std = rows.reshape(b, n, s_pad, d).transpose(0, 2, 1, 3)
+        biasp = jnp.where(validp, 0.0, -1e30)[None].astype(jnp.float32)
+        ref2 = A.dense_attention(q_roped, k_std, v_std,
+                                 biasp[:, None, None, :])
+        out2 = A.flash_attention(q, kl_k, kl_v, biasp, block_q=32,
+                                 block_kv=32, q_rope=(cos, sin),
+                                 kv_layer=jnp.asarray(layer, jnp.int32),
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                                   rtol=2e-4, atol=2e-4)
+        out3 = A.attend(q, kl_k, kl_v, validp, impl="xla",
+                        kv_layer=jnp.asarray(layer, jnp.int32),
+                        q_rope=(cos, sin))
+        np.testing.assert_allclose(np.asarray(out3), np.asarray(ref2),
+                                   rtol=2e-4, atol=2e-4)

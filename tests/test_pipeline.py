@@ -238,3 +238,31 @@ def test_kernel_cache_interactive_switch_parity(pipe_setup):
     lat_k = kl_pipe.generate_latents_interactive(noise, [cross_a2, cross_b2], [4])
     np.testing.assert_allclose(np.asarray(lat_k), np.asarray(lat_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_rope_generation_parity(pipe_setup):
+    """fused_rope=True (q rotated in the flash-kernel prologue) matches the
+    default pipeline exactly at f32 tiny config — the fallback applies the
+    identical halfsplit algebra on the same (un-rounded at f32) q — both
+    on the standard cache and the kernel-layout cache."""
+    cfg, geom, params, pcfg = pipe_setup
+    import dataclasses as dc
+
+    ref_pipe = CausalInferencePipeline(pcfg, params, geometry=geom,
+                                       dit_config=cfg, attn_impl="xla")
+    fr_pipe = CausalInferencePipeline(
+        dc.replace(pcfg, fused_rope=True), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
+    frkl_pipe = CausalInferencePipeline(
+        dc.replace(pcfg, fused_rope=True, kernel_cache=True), params,
+        geometry=geom, dit_config=cfg, attn_impl="xla")
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 8, geom.channels, geom.height, geom.width)
+    )
+    lat_r, _, _ = ref_pipe.generate_latents_scanned(
+        noise, _prompt_kv(ref_pipe, cfg, 1))
+    for pipe in (fr_pipe, frkl_pipe):
+        lat_f, _, _ = pipe.generate_latents_scanned(
+            noise, _prompt_kv(pipe, cfg, 1))
+        np.testing.assert_allclose(np.asarray(lat_f), np.asarray(lat_r),
+                                   rtol=1e-5, atol=1e-6)
