@@ -103,6 +103,7 @@ def _fused_kernel(
     has_bias: bool,
     has_residual: bool,
     int8: bool = False,
+    ablate: str = "",
 ):
     idx = 0
     gamma_ref = None
@@ -140,6 +141,8 @@ def _fused_kernel(
     chunks = [(0, cp)] if src_c == cp else _lane_chunks(src_c)
 
     def _copy_rows(src_ref, src_idx, src_row0, stage_ref, dst_row0, nrows):
+        if ablate == "no_dma":  # ablation timing: stage keeps stale data
+            return
         for ci, (c0, ext) in enumerate(chunks):
             cp_ = pltpu.make_async_copy(
                 src_ref.at[src_idx, pl.ds(src_row0, nrows), slice(None),
@@ -189,7 +192,7 @@ def _fused_kernel(
             stage_ref[:, width + 8 : width + 16]
         )
 
-        if normalize:
+        if normalize and ablate != "no_norm":
             tile = stage_ref[...].astype(jnp.float32)
             stage_ref[...] = _norm_silu_tile(
                 tile, gamma_ref[0].astype(jnp.float32), stage_ref.dtype, true_c
@@ -197,7 +200,7 @@ def _fused_kernel(
 
         # next-call cache frames: virtual frame u = src_idx + 2 (x frames),
         # needed when u >= T  <=>  src_idx >= T - 2
-        if nx_idx is not None:
+        if nx_idx is not None and ablate != "no_dma":
             @pl.when(nx_idx >= 0)
             def _emit():
                 for ci, (c0, ext) in enumerate(chunks):
@@ -215,6 +218,8 @@ def _fused_kernel(
         """3*kh row-shifted VMEM copies staging -> K-packed GEMM operand.
         kh==3: dy in {0,1,2} (one-row shifts against the halo'd staging);
         kh==1: only the center band (dy=1) — the (3,1,1) time-conv case."""
+        if ablate == "no_pack":  # ablation timing: kbuf keeps stale data
+            return
         dys = range(3) if kh == 3 else (1,)
         copies = []
         for tau in range(3):
@@ -295,6 +300,9 @@ def _fused_kernel(
         out9 = s32.astype(jnp.float32) * (
             ascale_ref[0, 0] * wsc_ref[0, 0][None, :]
         )
+    elif ablate == "no_gemm":
+        # ablation timing: skip the MXU contraction, keep everything else
+        out9 = jnp.zeros((th * wp, kw * bo), jnp.float32)
     else:
         lhs = kbuf_ref[...].reshape(th * wp, 3 * kh * cp)
         out9 = jax.lax.dot_general(
@@ -309,10 +317,13 @@ def _fused_kernel(
     # sublane roll.  (kw==1: the single variant just shifts data from
     # staging columns [8, 8+W) back to [0, W).)
     n = th * wp
-    acc = sum(
-        pltpu.roll(out9[:, dx * bo : (dx + 1) * bo], n - (8 - kw // 2 + dx), 0)
-        for dx in range(kw)
-    )
+    if ablate == "no_roll":
+        acc = out9[:, 0:bo]
+    else:
+        acc = sum(
+            pltpu.roll(out9[:, dx * bo : (dx + 1) * bo], n - (8 - kw // 2 + dx), 0)
+            for dx in range(kw)
+        )
     acc = acc.reshape(th, wp, bo)[:, 0:width, :]
 
     if has_bias:
@@ -356,14 +367,16 @@ def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
 
 
 @functools.partial(jax.jit, static_argnames=("true_c", "out_c", "kh", "kw",
-                                              "interpret", "th", "bo"))
+                                              "interpret", "th", "bo",
+                                              "ablate"))
 def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
                             out_c: Optional[int] = None,
                             kh: int = 3, kw: int = 3,
                             interpret: bool = False,
                             wsc: Optional[jax.Array] = None,
                             ginv: Optional[jax.Array] = None,
-                            th: int = 2, bo: int = 128):
+                            th: int = 2, bo: int = 128,
+                            ablate: str = ""):
     # th/bo are chosen by the CALLER (fused_causal_conv) and passed static:
     # choosing them here would read LONGLIVE_VAE_VMEM_BUDGET at trace time
     # only, so an in-process A/B of the knob (vae_probe fused_bigtiles)
@@ -421,6 +434,7 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             n_rows=h // th, true_c=true_c, src_c=src_c, cp=cp, kh=kh, kw=kw,
             apply_norm=apply_norm,
             has_bias=has_bias, has_residual=has_residual, int8=int8,
+            ablate=ablate,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -570,10 +584,15 @@ def fused_causal_conv(
     gamma = _lane_pad(gamma, cp)
     b = _lane_pad(b, op)
 
+    # LONGLIVE_VAE_ABLATE in {no_dma, no_pack, no_norm, no_gemm, no_roll}:
+    # TIMING-ONLY ablations (wrong outputs) that remove one kernel
+    # component each, to attribute the fused-conv step time on chip
+    ablate = os.environ.get("LONGLIVE_VAE_ABLATE", "")
     out, nx = _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual,
                                       true_c=ci, out_c=(o if dense else op),
                                       kh=kh, kw=kw, interpret=interpret,
-                                      wsc=wsc, ginv=ginv, th=th, bo=bo)
+                                      wsc=wsc, ginv=ginv, th=th, bo=bo,
+                                      ablate=ablate)
     if x.shape[0] == 1:
         # only nx[1] was computable from x; frame 0 of the new cache is the
         # old cache's frame 1
