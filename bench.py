@@ -133,19 +133,23 @@ def main():
     # (one-shot quantize vs O(S^2) attention — the amortization the decode
     # path lacks, PERF.md negative result #2)
     recache_qk8 = os.environ.get("BENCH_RECACHE_QK8", "0") == "1"
-    # BENCH_KERNEL_CACHE=1: carry-resident kernel-layout KV cache — the
+    # BENCH_KERNEL_CACHE: carry-resident kernel-layout KV cache — the
     # flash kernel reads the stacked [L*B*N, S_pad, D] buffer directly and
     # block K/V commit with one in-place DUS per layer, removing the
-    # write-then-attend path's ~16 ms/forward KV-write tax (PERF.md)
-    kernel_cache = os.environ.get("BENCH_KERNEL_CACHE", "0") == "1"
-    # BENCH_FUSED_ROPE=1: q rotates inside the flash-kernel prologue
-    # (no separate rope pass over q; halfsplit layout only)
-    fused_rope = os.environ.get("BENCH_FUSED_ROPE", "0") == "1"
+    # write-then-attend path's ~16 ms/forward KV-write tax.  Measured
+    # −5.9% e2e int8 / −4.8% bf16 (chip session r2e), so the default is
+    # the pipeline's AUTO rule (on whenever supported); =0/=1 forces.
+    _kc = os.environ.get("BENCH_KERNEL_CACHE", "")
+    kernel_cache = None if _kc == "" else _kc == "1"
+    # BENCH_FUSED_ROPE: q rotates inside the flash-kernel prologue
+    # (no separate rope pass over q; halfsplit layout only).  Measured
+    # −1.7 ms e2e on top of kernel_cache (r2e) — default on.
+    fused_rope = os.environ.get("BENCH_FUSED_ROPE", "1") == "1"
     pc = PipelineConfig(num_output_frames=warmup_frames + frames,
                         local_attn_size=local_attn, sink_size=sink,
                         global_sink=False, kv_int8=kv_int8,
                         reuse_last_denoise_kv=reuse_kv,
-                        kernel_cache=kernel_cache and not kv_int8,
+                        kernel_cache=(False if kv_int8 else kernel_cache),
                         fused_rope=fused_rope and not kv_int8,
                         recache_attn_impl="pallas_qk8" if recache_qk8 else None)
 
@@ -310,7 +314,7 @@ def main():
         "recache_qk8": recache_qk8,
         "two_segment": os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1",
         "block_kv": int(os.environ.get("LONGLIVE_BKV", "512")),
-        "kernel_cache": kernel_cache,
+        "kernel_cache": pipe.kernel_cache,
         "fused_rope": fused_rope,
         "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",
         "first_run_s": round(compile_and_run, 1),

@@ -159,10 +159,13 @@ class PipelineConfig:
     # ([L*B*N, S_pad, D], ops/kv_cache.init_cache_kl) and thread it through
     # every forward of a block: per-layer decode attention reads the cache
     # with zero relayout and block K/V commit in place — removes the
-    # write-then-attend path's ~16 ms/forward KV-write tax (PERF.md).
-    # Single-device serving only (sp == 1, bf16 cache, contiguous-ring
-    # configs); no reference analogue.
-    kernel_cache: bool = False
+    # write-then-attend path's ~16 ms/forward KV-write tax (PERF.md; measured
+    # −5.9% e2e int8, −4.8% bf16, chip session r2e).  Exact reformulation.
+    # None = AUTO (the default): ON whenever supported — single-device
+    # serving (sp == 1), bf16 cache (no kv_int8), contiguous-ring config —
+    # else OFF.  Explicit True raises if unsupported; False forces the
+    # write-then-attend form.  No reference analogue.
+    kernel_cache: Optional[bool] = None
     # Rotate q inside the flash-kernel prologue instead of a separate
     # pass over q (halfsplit rope layout only; single-segment bf16-cache
     # attends).  Pure data-movement change up to one extra bf16 rounding
@@ -229,6 +232,13 @@ def pipeline_config_from_dict(raw: dict) -> PipelineConfig:
         generator_ckpt=raw.get("generator_ckpt"),
         lora_ckpt=raw.get("lora_ckpt"),
         profile=bool(raw.get("profile", False)),
+        # TPU serving extension keys (no reference analogue; absent from
+        # reference YAMLs, so the defaults rule)
+        kv_int8=bool(raw.get("kv_int8", False)),
+        reuse_last_denoise_kv=bool(raw.get("reuse_last_denoise_kv", False)),
+        kernel_cache=raw.get("kernel_cache"),  # None = auto
+        fused_rope=bool(raw.get("fused_rope", False)),
+        recache_attn_impl=raw.get("recache_attn_impl"),
     )
     extras = {k: v for k, v in raw.items() if k not in known and k != "model_kwargs"}
     return PipelineConfig(extras=extras, **known)

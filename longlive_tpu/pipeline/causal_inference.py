@@ -127,9 +127,6 @@ class CausalInferencePipeline:
         if config.kv_int8 and self.sp > 1:
             raise ValueError("kv_int8 is a single-device serving knob; the "
                              "sp decode path keeps the bf16 cache")
-        if config.kernel_cache and (self.sp > 1 or config.kv_int8):
-            raise ValueError("kernel_cache is a single-device bf16 serving "
-                             "mode (sp == 1, no kv_int8)")
 
         # schedule (utils/wan_wrapper.py:141-144 + causal_inference.py:33-37)
         self.sched = S.make_schedule(
@@ -161,11 +158,22 @@ class CausalInferencePipeline:
             self.cache_cfg.sink_frames % self.frame_block == 0
             and self.cache_cfg.ring_frames % self.frame_block == 0
         )
-        if config.kernel_cache and not self._contig:
-            raise ValueError(
-                "kernel_cache requires the contiguous-ring invariant "
-                "(sink_size and local_attn_size - sink_size must be "
-                "multiples of num_frame_per_block)")
+        # kernel_cache resolution: None = AUTO (on whenever supported —
+        # measured −5.9% e2e int8 / −4.8% bf16, PERF.md chip session r2e);
+        # explicit True validates hard, False forces write-then-attend.
+        kc = config.kernel_cache
+        if kc is None:
+            kc = self.sp == 1 and not config.kv_int8 and self._contig
+        elif kc:
+            if self.sp > 1 or config.kv_int8:
+                raise ValueError("kernel_cache is a single-device bf16 "
+                                 "serving mode (sp == 1, no kv_int8)")
+            if not self._contig:
+                raise ValueError(
+                    "kernel_cache requires the contiguous-ring invariant "
+                    "(sink_size and local_attn_size - sink_size must be "
+                    "multiples of num_frame_per_block)")
+        self.kernel_cache = bool(kc)
         self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
         self._recache_fns = {}
         self._segment_fns = {}
@@ -206,7 +214,7 @@ class CausalInferencePipeline:
         x0 = x
         n_steps = len(self.denoise_timesteps)
         reuse_kv = self.config.reuse_last_denoise_kv
-        kl = self.config.kernel_cache
+        kl = self.kernel_cache
         for i, t_val in enumerate(self.denoise_timesteps):
             # denoise (recompute) passes discard the cache -> skip
             # materializing their KV writes entirely.  In the
@@ -321,6 +329,14 @@ class CausalInferencePipeline:
         streaming_switch_training.py:244-318 + causal_model.py:264,302."""
         if overwrite_sink is None:
             overwrite_sink = not global_sink
+        if self.kernel_cache and num_frames % self.frame_block:
+            # the kl cache's in-place block commits assume ring_base stays
+            # ≡ 0 mod frame_block; an odd recache breaks that and the cache
+            # object cannot switch layouts mid-run (shipped configs always
+            # recache min(local_attn, t) — a block multiple)
+            raise ValueError(
+                "kernel_cache requires block-aligned recache sizes; set "
+                "kernel_cache: false to allow odd recache lengths")
         if self._contig and num_frames % self.frame_block:
             # a recache of n frames sets ring_base = t - n + sink; with t and
             # sink multiples of frame_block, ring_base stays ≡ 0 mod
@@ -349,7 +365,7 @@ class CausalInferencePipeline:
             float(self.config.context_noise), num_frames, global_sink,
             overwrite_sink, self.attn_window_frames, forward=fwd,
         )
-        if self.config.kernel_cache:
+        if self.kernel_cache:
             # the recache replay keeps the standard-layout write-then-attend
             # machinery; convert the kernel-layout cache around it (two
             # relayout passes, ~2.6 GB total — noise against the ~550 ms
@@ -371,7 +387,7 @@ class CausalInferencePipeline:
     # -- host-side loop -------------------------------------------------------
 
     def init_cache(self, batch_size: int, dtype=jnp.bfloat16) -> kvc.KVCache:
-        if self.config.kernel_cache:
+        if self.kernel_cache:
             return kvc.init_cache_kl(
                 self.cache_cfg, self.cfg.num_layers, batch_size,
                 self.cfg.num_heads, self.cfg.head_dim, dtype,

@@ -39,8 +39,14 @@ def setup():
 
 
 def _pipes(cfg, geom, params, pconfig, mesh):
-    single = CausalInferencePipeline(pconfig, params, geometry=geom,
-                                     dit_config=cfg, attn_impl="xla")
+    import dataclasses as dc
+
+    # pin the single-device leg to the standard cache layout: kernel_cache
+    # AUTO-resolves on at sp=1, but this test shards and compares the
+    # standard [L,B,S,N,D] cache against the sp path
+    single = CausalInferencePipeline(
+        dc.replace(pconfig, kernel_cache=False), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
     sp = CausalInferencePipeline(pconfig, params, geometry=geom,
                                  dit_config=cfg, attn_impl="xla", mesh=mesh)
     return single, sp

@@ -190,8 +190,12 @@ def test_kernel_cache_generation_parity(pipe_setup):
     cfg, geom, params, pcfg = pipe_setup
     import dataclasses as dc
 
-    ref_pipe = CausalInferencePipeline(pcfg, params, geometry=geom,
-                                       dit_config=cfg, attn_impl="xla")
+    # pin the reference leg to write-then-attend: kernel_cache=None now
+    # AUTO-resolves to on whenever supported, so both legs would otherwise
+    # silently run the kernel layout
+    ref_pipe = CausalInferencePipeline(
+        dc.replace(pcfg, kernel_cache=False), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
     kl_pipe = CausalInferencePipeline(
         dc.replace(pcfg, kernel_cache=True), params, geometry=geom,
         dit_config=cfg, attn_impl="xla")
@@ -222,8 +226,9 @@ def test_kernel_cache_interactive_switch_parity(pipe_setup):
     cfg, geom, params, pcfg = pipe_setup
     import dataclasses as dc
 
-    ref_pipe = _make_pipe(InteractiveCausalInferencePipeline, cfg, geom,
-                          params, pcfg)
+    ref_pipe = InteractiveCausalInferencePipeline(
+        dc.replace(pcfg, kernel_cache=False), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
     kl_pipe = InteractiveCausalInferencePipeline(
         dc.replace(pcfg, kernel_cache=True), params, geometry=geom,
         dit_config=cfg, attn_impl="xla")
@@ -248,11 +253,12 @@ def test_fused_rope_generation_parity(pipe_setup):
     cfg, geom, params, pcfg = pipe_setup
     import dataclasses as dc
 
-    ref_pipe = CausalInferencePipeline(pcfg, params, geometry=geom,
-                                       dit_config=cfg, attn_impl="xla")
-    fr_pipe = CausalInferencePipeline(
-        dc.replace(pcfg, fused_rope=True), params, geometry=geom,
+    ref_pipe = CausalInferencePipeline(
+        dc.replace(pcfg, kernel_cache=False), params, geometry=geom,
         dit_config=cfg, attn_impl="xla")
+    fr_pipe = CausalInferencePipeline(
+        dc.replace(pcfg, fused_rope=True, kernel_cache=False), params,
+        geometry=geom, dit_config=cfg, attn_impl="xla")
     frkl_pipe = CausalInferencePipeline(
         dc.replace(pcfg, fused_rope=True, kernel_cache=True), params,
         geometry=geom, dit_config=cfg, attn_impl="xla")
