@@ -573,13 +573,27 @@ def fused_causal_conv(
     # LONGLIVE_VAE_DENSE=1: stream x/cache/residual/out at their TRUE
     # channel widths — the zero lanes exist only in VMEM (staging buffers /
     # GEMM operand), never in HBM.  Kills the (cp/C)^2 HBM-stream tax of
-    # the lane padding on the 96/192-channel stages (the round-1 "one
+    # the lane padding on the 96-channel stages (the round-1 "one
     # double-buffered pack away" item, PERF.md).  The GEMM and weight
     # layout are unchanged (masked lanes cost nothing on the MXU).
+    #
+    # Per-width legality gate: Mosaic can only slice the lane dim at
+    # 128-aligned offsets, so a dense width is streamable iff it is
+    # <= 128 (single offset-0 chunk) or a 128-multiple.  192-channel
+    # stages would need an interior 64-lane slice at offset 128
+    # (measured: "Slice shape along dimension 3 must be aligned to
+    # tiling (128), but is 64") — they keep padded streams.
     dense = os.environ.get("LONGLIVE_VAE_DENSE", "0") == "1"
-    if not dense:
+
+    def _dense_ok(n: int) -> bool:
+        return n <= 128 or n % 128 == 0
+
+    dense_in = dense and _dense_ok(ci) and _dense_ok(x.shape[-1])
+    dense_out = dense and _dense_ok(o)
+    if not dense_in:
         x = _lane_pad(x, cp)
         cache = _lane_pad(cache, cp)
+    if not dense_out:
         residual = _lane_pad(residual, op)
     gamma = _lane_pad(gamma, cp)
     b = _lane_pad(b, op)
@@ -589,7 +603,7 @@ def fused_causal_conv(
     # component each, to attribute the fused-conv step time on chip
     ablate = os.environ.get("LONGLIVE_VAE_ABLATE", "")
     out, nx = _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual,
-                                      true_c=ci, out_c=(o if dense else op),
+                                      true_c=ci, out_c=(o if dense_out else op),
                                       kh=kh, kw=kw, interpret=interpret,
                                       wsc=wsc, ginv=ginv, th=th, bo=bo,
                                       ablate=ablate)

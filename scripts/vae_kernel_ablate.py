@@ -57,13 +57,19 @@ def main():
     def make_chain(n):
         # n chained kernel calls inside ONE jit (each link consumes the
         # previous output, so none can be elided); differential hi-lo
-        # timing removes dispatch/fetch overhead
-        def f(x0):
-            xx, out = x0, None
-            for _ in range(n):
+        # timing removes dispatch/fetch overhead.  The operands MUST be
+        # jit arguments and the chain a lax.scan: closure-captured
+        # [T,H,W,C] constants get embedded in the StableHLO (~1.1 GB of
+        # text for this shape), which the axon tunnel's remote compiler
+        # rejects with HTTP 413.
+        import jax.lax as lax
+
+        def f(x0, cache, w, b, gamma, res):
+            def body(xx, _):
                 out, _ = VC.fused_causal_conv(xx, cache, w, b, gamma, res)
-                xx = out[..., :C].astype(jnp.bfloat16)
-            return jnp.sum(out[-1, ::64, ::64, 0])
+                return out[..., :C].astype(jnp.bfloat16), ()
+            xx, _ = lax.scan(body, x0, None, length=n)
+            return jnp.sum(xx[-1, ::64, ::64, 0])
         return jax.jit(f)
 
     lo = max(1, reps // 10)
@@ -71,9 +77,10 @@ def main():
                    "no_roll"):
         os.environ["LONGLIVE_VAE_ABLATE"] = "" if ablate == "full" else ablate
         f_hi, f_lo = make_chain(reps), make_chain(lo)
-        float(f_hi(x)); float(f_lo(x))  # compile both
-        t0 = time.perf_counter(); float(f_hi(x)); t_hi = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(f_lo(x)); t_lo = time.perf_counter() - t0
+        args = (cache, w, b, gamma, res)
+        float(f_hi(x, *args)); float(f_lo(x, *args))  # compile both
+        t0 = time.perf_counter(); float(f_hi(x, *args)); t_hi = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(f_lo(x, *args)); t_lo = time.perf_counter() - t0
         dt = (t_hi - t_lo) / (reps - lo)
         print(json.dumps({
             "ablate": ablate, "ms": round(dt * 1e3, 3),

@@ -59,14 +59,17 @@ def test_kernel_matches_concat_conv(t, h, w, c, o, norm, res, khw):
     "t,c,o,norm,res,khw",
     [
         (1, 96, 96, True, True, 3),    # the full-res decoder stage shape
-        (2, 96, 192, True, False, 3),  # dense in, partial O tiles
-        (1, 136, 96, True, False, 3),  # 2-chunk dense DMA (128 + 8)
-        (1, 96, 192, False, False, 1), # (3,1,1) time conv, dense
+        (2, 96, 192, True, False, 3),  # dense in, 192-out falls back padded
+        (1, 136, 96, True, False, 3),  # 136-in falls back padded, 96-out dense
+        (1, 128, 96, True, False, 3),  # full-tile dense in, dense out
+        (1, 96, 192, False, False, 1), # (3,1,1) time conv, dense in
     ],
 )
 def test_kernel_dense_stream_matches_concat_conv(t, c, o, norm, res, khw):
     """LONGLIVE_VAE_DENSE=1: x/cache/residual/out stream at TRUE channel
-    width (no HBM lane padding); parity vs the XLA concat path."""
+    width where Mosaic can slice it (width <= 128 or a 128-multiple —
+    interior partial-tile lane slices are illegal on TPU, measured on the
+    192-channel stages); other widths keep padded streams."""
     rng = np.random.default_rng(1)
     h, w = 8, 16
     x = jnp.asarray(rng.standard_normal((t, h, w, c)), jnp.float32)
@@ -98,10 +101,19 @@ def test_kernel_dense_stream_matches_concat_conv(t, c, o, norm, res, khw):
         else:
             os.environ["LONGLIVE_VAE_DENSE"] = prev
 
-    assert out.shape == (t, h, w, o)  # dense: no lane padding in HBM
-    assert nc.shape == (2, h, w, c)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
-    np.testing.assert_allclose(np.asarray(nc), np.asarray(ref_cache), atol=1e-5)
+    from longlive_tpu.ops.vae_conv import _aligned
+
+    def _dense_ok(n):
+        return n <= 128 or n % 128 == 0
+
+    exp_o = o if _dense_ok(o) else _aligned(o)
+    exp_c = c if _dense_ok(c) else _aligned(c)
+    assert out.shape == (t, h, w, exp_o)
+    assert nc.shape == (2, h, w, exp_c)
+    np.testing.assert_allclose(np.asarray(out)[..., :o], np.asarray(ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nc)[..., :c], np.asarray(ref_cache),
+                               atol=1e-5)
 
 
 @pytest.mark.slow
@@ -137,8 +149,15 @@ def test_streaming_decode_parity_dense_real_channels():
     np.testing.assert_allclose(np.asarray(f0), np.asarray(r0), atol=2e-4)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(r1), atol=2e-4)
     for a, b_ in zip(cf, cr):
-        assert a.shape == b_.shape  # dense: carry matches init shapes
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+        # dense carries match init widths where the lane rule allows
+        # (width <= 128 or 128-multiple); 192-wide stages stay padded
+        tw = b_.shape[-1]
+        if tw <= 128 or tw % 128 == 0:
+            assert a.shape == b_.shape
+        else:
+            assert a.shape[-1] % 128 == 0 and a.shape[-1] >= tw
+        np.testing.assert_allclose(np.asarray(a)[..., :tw], np.asarray(b_),
+                                   atol=1e-4)
 
 
 @pytest.mark.slow
