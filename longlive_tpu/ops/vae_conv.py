@@ -75,16 +75,6 @@ def _norm_silu_tile(tile_f32: jax.Array, gamma: jax.Array, out_dtype,
     return yb * sig
 
 
-def _lane_chunks(n: int):
-    """Split a lane extent into DMA-legal chunks (<=128 or 128-multiples,
-    offsets 128-aligned): full 128s plus one remainder."""
-    full, rem = divmod(n, 128)
-    out = [(i * 128, 128) for i in range(full)]
-    if rem:
-        out.append((full * 128, rem))
-    return out
-
-
 def _fused_kernel(
     # refs (order: gamma?, bias?, residual?, [wsc], w, cache, x, out, nx,
     #        stage0, stage1, stage2, kbuf, [kbuf8, ascale], sems)
@@ -95,7 +85,6 @@ def _fused_kernel(
     width: int,
     n_rows: int,
     true_c: int,
-    src_c: int,
     cp: int,
     kh: int,
     kw: int,
@@ -135,24 +124,16 @@ def _fused_kernel(
     o = pl.program_id(2)
     num_r = pl.num_programs(0)
 
-    # lane chunking: src frames may be DENSE (src_c == true_c < cp, the
-    # LONGLIVE_VAE_DENSE mode — HBM streams only real channels) or padded
-    # (src_c == cp, one full-width copy)
-    chunks = [(0, cp)] if src_c == cp else _lane_chunks(src_c)
-
     def _copy_rows(src_ref, src_idx, src_row0, stage_ref, dst_row0, nrows):
         if ablate == "no_dma":  # ablation timing: stage keeps stale data
             return
-        for ci, (c0, ext) in enumerate(chunks):
-            cp_ = pltpu.make_async_copy(
-                src_ref.at[src_idx, pl.ds(src_row0, nrows), slice(None),
-                           pl.ds(c0, ext)],
-                stage_ref.at[pl.ds(dst_row0, nrows), pl.ds(8, width),
-                             pl.ds(c0, ext)],
-                sems_ref.at[ci],
-            )
-            cp_.start()
-            cp_.wait()
+        cp_ = pltpu.make_async_copy(
+            src_ref.at[src_idx, pl.ds(src_row0, nrows)],
+            stage_ref.at[pl.ds(dst_row0, nrows), pl.ds(8, width)],
+            sems_ref.at[0],
+        )
+        cp_.start()
+        cp_.wait()
 
     def _load_stage(src_ref, src_idx, stage_ref, normalize, nx_idx):
         """DMA rows [r*th-1, r*th+th] of frame ``src_idx`` into a staging
@@ -203,16 +184,13 @@ def _fused_kernel(
         if nx_idx is not None and ablate != "no_dma":
             @pl.when(nx_idx >= 0)
             def _emit():
-                for ci, (c0, ext) in enumerate(chunks):
-                    cp_ = pltpu.make_async_copy(
-                        stage_ref.at[pl.ds(1, th), pl.ds(8, width),
-                                     pl.ds(c0, ext)],
-                        nx_ref.at[nx_idx, pl.ds(r * th, th), slice(None),
-                                  pl.ds(c0, ext)],
-                        sems_ref.at[ci],
-                    )
-                    cp_.start()
-                    cp_.wait()
+                cp_ = pltpu.make_async_copy(
+                    stage_ref.at[pl.ds(1, th), pl.ds(8, width)],
+                    nx_ref.at[nx_idx, pl.ds(r * th, th)],
+                    sems_ref.at[0],
+                )
+                cp_.start()
+                cp_.wait()
 
     def _pack_kbuf():
         """3*kh row-shifted VMEM copies staging -> K-packed GEMM operand.
@@ -249,15 +227,6 @@ def _fused_kernel(
         s = amax / 127.0
         kbuf8_ref[...] = jnp.round(a / s).astype(jnp.int8)
         ascale_ref[0, 0] = s
-
-    # dense-stream mode: DMAs only fill lanes [0, src_c); zero the staging
-    # buffers once so the pad lanes [src_c, cp) stay exactly zero (norm and
-    # the VMEM shift-copies preserve zeros thereafter)
-    if src_c < cp:
-        @pl.when((r == 0) & (t == 0) & (o == 0))
-        def _zero_stages():
-            for sref in stage_refs:
-                sref[...] = jnp.zeros_like(sref)
 
     # ---- tap loading (only on the first O tile of each (r, t)) ----
     # stagings hold virtual frames [t, t+1, t+2] of [cache0, cache1, x...];
@@ -366,11 +335,10 @@ def _pick_tiles(cp: int, op: int, h: int, w: int, dtype_bytes: int,
     return 2, min(bo_cands[-1], 128)
 
 
-@functools.partial(jax.jit, static_argnames=("true_c", "out_c", "kh", "kw",
+@functools.partial(jax.jit, static_argnames=("true_c", "kh", "kw",
                                               "interpret", "th", "bo",
                                               "ablate"))
 def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
-                            out_c: Optional[int] = None,
                             kh: int = 3, kw: int = 3,
                             interpret: bool = False,
                             wsc: Optional[jax.Array] = None,
@@ -384,8 +352,6 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
     t, h, wd, src_c = x.shape
     cp = _aligned(src_c)
     op = wp9.shape[0] * wp9.shape[2] // kw
-    if out_c is None:
-        out_c = op
     assert wp9.shape == (op // bo, 3 * kh * cp, kw * bo), (wp9.shape, cp, op, bo)
     grid = (h // th, t, op // bo)
 
@@ -431,7 +397,7 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
     out, nx = pl.pallas_call(
         functools.partial(
             _fused_kernel, th=th, bo=bo, t_frames=t, width=wd,
-            n_rows=h // th, true_c=true_c, src_c=src_c, cp=cp, kh=kh, kw=kw,
+            n_rows=h // th, true_c=true_c, cp=cp, kh=kh, kw=kw,
             apply_norm=apply_norm,
             has_bias=has_bias, has_residual=has_residual, int8=int8,
             ablate=ablate,
@@ -444,7 +410,7 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, h, wd, out_c), x.dtype),
+            jax.ShapeDtypeStruct((t, h, wd, op), x.dtype),
             jax.ShapeDtypeStruct((2, h, wd, src_c), x.dtype),
         ],
         scratch_shapes=[
@@ -570,31 +536,20 @@ def fused_causal_conv(
         wp9, wsc, ginv = pack_weights_int8(w, cp, op, bo, kh, g)
     else:
         wp9, wsc, ginv = pack_weights(w, cp, op, bo, x.dtype), None, None
-    # LONGLIVE_VAE_DENSE=1: stream x/cache/residual/out at their TRUE
-    # channel widths — the zero lanes exist only in VMEM (staging buffers /
-    # GEMM operand), never in HBM.  Kills the (cp/C)^2 HBM-stream tax of
-    # the lane padding on the 96-channel stages (the round-1 "one
-    # double-buffered pack away" item, PERF.md).  The GEMM and weight
-    # layout are unchanged (masked lanes cost nothing on the MXU).
-    #
-    # Per-width legality gate: Mosaic can only slice the lane dim at
-    # 128-aligned offsets, so a dense width is streamable iff it is
-    # <= 128 (single offset-0 chunk) or a 128-multiple.  192-channel
-    # stages would need an interior 64-lane slice at offset 128
-    # (measured: "Slice shape along dimension 3 must be aligned to
-    # tiling (128), but is 64") — they keep padded streams.
-    dense = os.environ.get("LONGLIVE_VAE_DENSE", "0") == "1"
-
-    def _dense_ok(n: int) -> bool:
-        return n <= 128 or n % 128 == 0
-
-    dense_in = dense and _dense_ok(ci) and _dense_ok(x.shape[-1])
-    dense_out = dense and _dense_ok(o)
-    if not dense_in:
-        x = _lane_pad(x, cp)
-        cache = _lane_pad(cache, cp)
-    if not dense_out:
-        residual = _lane_pad(residual, op)
+    # Lane padding is mandatory, not an optimization choice.  "Dense"
+    # true-width HBM streaming (the round-1 hypothesis of a (cp/C)^2
+    # stream tax) is structurally impossible on TPU — measured negative
+    # result, PERF.md round 2:
+    #   (a) XLA lane-pads HBM *storage* to (8,128) tiles regardless of the
+    #       logical width (a [..,96] array occupies and streams 128 lanes;
+    #       scan-rate ground truth 0.989), so there are no bytes to save;
+    #   (b) Mosaic rejects every sub-tile lane slice of an HBM memref —
+    #       even [0:96] of a 96-wide array ("Slice shape along dimension 3
+    #       must be aligned to tiling (128)") — so such a kernel cannot
+    #       even compile at the real stage widths.
+    x = _lane_pad(x, cp)
+    cache = _lane_pad(cache, cp)
+    residual = _lane_pad(residual, op)
     gamma = _lane_pad(gamma, cp)
     b = _lane_pad(b, op)
 
@@ -603,7 +558,7 @@ def fused_causal_conv(
     # component each, to attribute the fused-conv step time on chip
     ablate = os.environ.get("LONGLIVE_VAE_ABLATE", "")
     out, nx = _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual,
-                                      true_c=ci, out_c=(o if dense_out else op),
+                                      true_c=ci,
                                       kh=kh, kw=kw, interpret=interpret,
                                       wsc=wsc, ginv=ginv, th=th, bo=bo,
                                       ablate=ablate)

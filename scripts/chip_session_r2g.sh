@@ -27,6 +27,12 @@ if [ "$(left)" -gt 1200 ]; then
   LONGLIVE_VAE_DENSE=1 timeout 1200 python scripts/vae_kernel_ablate.py 8 2>&1 | tail -10
 fi
 
+echo "=== 2b) dense-stream full-decode A/B (gated widths) ==="
+if [ "$(left)" -gt 1800 ]; then
+  VAE_PROBE_ONLY=fused_96,fused_96_dense,fused_96_int8_dense \
+    timeout 1800 python scripts/vae_probe.py 2>&1 | tail -6
+fi
+
 echo "=== 3) bench default confirm (auto kernel_cache + fused_rope) ==="
 if [ "$(left)" -gt 2400 ]; then
   BENCH_FRAMES=18 timeout 2400 python bench.py 2>/dev/null | tail -1

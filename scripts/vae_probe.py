@@ -40,7 +40,7 @@ def main():
 
     base = {"LONGLIVE_VAE_FUSED": "1", "LONGLIVE_VAE_FUSED_TIMECONV": "1",
             "LONGLIVE_VAE_FUSED_96": "0", "LONGLIVE_VAE_VMEM_BUDGET": "20e6",
-            "LONGLIVE_VAE_INT8": "0", "LONGLIVE_VAE_DENSE": "0"}
+            "LONGLIVE_VAE_INT8": "0"}
     variants = [
         ("fused", {}),
         ("fused_bigtiles", {"LONGLIVE_VAE_VMEM_BUDGET": "45e6"}),
@@ -53,13 +53,6 @@ def main():
         # quality row in scripts/quality_delta.py)
         ("fused_96_int8", {"LONGLIVE_VAE_FUSED_96": "1",
                            "LONGLIVE_VAE_INT8": "1"}),
-        ("fused_96_int8_dense", {"LONGLIVE_VAE_FUSED_96": "1",
-                                 "LONGLIVE_VAE_INT8": "1",
-                                 "LONGLIVE_VAE_DENSE": "1"}),
-        # dense HBM streaming without int8: isolates the (128/96)^2
-        # stream-tax removal from the quantization change
-        ("fused_96_dense", {"LONGLIVE_VAE_FUSED_96": "1",
-                            "LONGLIVE_VAE_DENSE": "1"}),
     ]
     variants = [(n, {**base, **env}) for n, env in variants]
     only = os.environ.get("VAE_PROBE_ONLY")

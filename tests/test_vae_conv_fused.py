@@ -55,111 +55,6 @@ def test_kernel_matches_concat_conv(t, h, w, c, o, norm, res, khw):
     )
 
 
-@pytest.mark.parametrize(
-    "t,c,o,norm,res,khw",
-    [
-        (1, 96, 96, True, True, 3),    # the full-res decoder stage shape
-        (2, 96, 192, True, False, 3),  # dense in, 192-out falls back padded
-        (1, 136, 96, True, False, 3),  # 136-in falls back padded, 96-out dense
-        (1, 128, 96, True, False, 3),  # full-tile dense in, dense out
-        (1, 96, 192, False, False, 1), # (3,1,1) time conv, dense in
-    ],
-)
-def test_kernel_dense_stream_matches_concat_conv(t, c, o, norm, res, khw):
-    """LONGLIVE_VAE_DENSE=1: x/cache/residual/out stream at TRUE channel
-    width where Mosaic can slice it (width <= 128 or a 128-multiple —
-    interior partial-tile lane slices are illegal on TPU, measured on the
-    192-channel stages); other widths keep padded streams."""
-    rng = np.random.default_rng(1)
-    h, w = 8, 16
-    x = jnp.asarray(rng.standard_normal((t, h, w, c)), jnp.float32)
-    cache = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
-    wt = jnp.asarray(rng.standard_normal((o, c, 3, khw, khw)) * 0.1, jnp.float32)
-    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
-    gamma = jnp.asarray(rng.standard_normal((c,)), jnp.float32) if norm else None
-    residual = (
-        jnp.asarray(rng.standard_normal((t, h, w, o)), jnp.float32) if res else None
-    )
-
-    xin = x
-    if norm:
-        xin = lnn.silu(V.rms_norm_channel(x[None], gamma)[0])
-    full = jnp.concatenate([cache, xin], axis=0)
-    ref = V.conv3d(full[None], wt, b)[0]
-    if res:
-        ref = ref + residual
-    ref_cache = full[-2:]
-
-    prev = os.environ.get("LONGLIVE_VAE_DENSE")
-    try:
-        os.environ["LONGLIVE_VAE_DENSE"] = "1"
-        out, nc = fused_causal_conv(x, cache, wt, b, gamma, residual,
-                                    interpret=True)
-    finally:
-        if prev is None:
-            os.environ.pop("LONGLIVE_VAE_DENSE", None)
-        else:
-            os.environ["LONGLIVE_VAE_DENSE"] = prev
-
-    from longlive_tpu.ops.vae_conv import _aligned
-
-    def _dense_ok(n):
-        return n <= 128 or n % 128 == 0
-
-    exp_o = o if _dense_ok(o) else _aligned(o)
-    exp_c = c if _dense_ok(c) else _aligned(c)
-    assert out.shape == (t, h, w, exp_o)
-    assert nc.shape == (2, h, w, exp_c)
-    np.testing.assert_allclose(np.asarray(out)[..., :o], np.asarray(ref),
-                               atol=2e-4)
-    np.testing.assert_allclose(np.asarray(nc)[..., :c], np.asarray(ref_cache),
-                               atol=1e-5)
-
-
-@pytest.mark.slow
-def test_streaming_decode_parity_dense_real_channels():
-    """Dense-stream mode through the REAL decoder channel widths
-    (96/192/384 — incl. the 2-chunk 192-lane DMA) at tiny spatial dims:
-    two streaming chunks, fused+dense interpret vs the XLA path."""
-    cfg = V.VAEConfig()  # real channels: dim 96, mult (1,2,4,4)
-    params = V.init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
-    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, cfg.z_dim, 4, 4),
-                          jnp.float32)
-
-    prev = {k: os.environ.get(k)
-            for k in ("LONGLIVE_VAE_FUSED", "LONGLIVE_VAE_DENSE")}
-    try:
-        os.environ["LONGLIVE_VAE_FUSED"] = "0"
-        caches = V.init_decoder_caches(params, cfg, 1, 4, 4, jnp.float32)
-        r0, cr = V.vae_decode_chunk(params, cfg, z[:, :1], caches, True)
-        r1, cr = V.vae_decode_chunk(params, cfg, z[:, 1:2], cr, False)
-
-        os.environ["LONGLIVE_VAE_FUSED"] = "interpret"
-        os.environ["LONGLIVE_VAE_DENSE"] = "1"
-        caches = V.init_decoder_caches(params, cfg, 1, 4, 4, jnp.float32)
-        f0, cf = V.vae_decode_chunk(params, cfg, z[:, :1], caches, True)
-        f1, cf = V.vae_decode_chunk(params, cfg, z[:, 1:2], cf, False)
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-
-    np.testing.assert_allclose(np.asarray(f0), np.asarray(r0), atol=2e-4)
-    np.testing.assert_allclose(np.asarray(f1), np.asarray(r1), atol=2e-4)
-    for a, b_ in zip(cf, cr):
-        # dense carries match init widths where the lane rule allows
-        # (width <= 128 or 128-multiple); 192-wide stages stay padded
-        tw = b_.shape[-1]
-        if tw <= 128 or tw % 128 == 0:
-            assert a.shape == b_.shape
-        else:
-            assert a.shape[-1] % 128 == 0 and a.shape[-1] >= tw
-        np.testing.assert_allclose(np.asarray(a)[..., :tw], np.asarray(b_),
-                                   atol=1e-4)
-
-
 @pytest.mark.slow
 def test_streaming_decode_parity_fused_vs_xla():
     """Two streaming chunks through the tiny decoder, fused vs legacy."""
