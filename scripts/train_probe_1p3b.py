@@ -67,7 +67,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="lora_step",
                     choices=["lora_step", "stream_chunk", "grad_gen",
-                             "grad_critic"])
+                             "grad_critic", "mem_analysis"])
     ap.add_argument("--frames", type=int, default=21)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--auto_shrink", action="store_true")
@@ -151,6 +151,100 @@ def main():
                                  (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
         pe_u = pe_c * 0.1
         extra = {}
+
+        if args.mode == "mem_analysis":
+            # AOT allocation dump for the staged LoRA step: compile each
+            # staged phase (rollout fwd, DMD loss-grad, rollout VJP, critic
+            # rollout, critic grad) at the requested --frames and print its
+            # XLA memory_analysis — exact HBM temp/arg/output bytes WITHOUT
+            # executing anything.  This is the diagnostic the 21-frame chip
+            # run could not produce (the runtime OOM surfaces as a bare
+            # 'TPU backend error (ResourceExhausted)' over the axon tunnel,
+            # with the failing phase hidden by async dispatch).
+            tcfg = TrainerConfig(
+                num_frame_per_block=cfg.num_frame_per_block,
+                num_training_frames=frames, min_num_training_frames=frames,
+                slice_last_frames=-1, lora_rank=256, lora_alpha=256.0,
+                dfake_gen_update_ratio=1, opt_on_host=True,
+                cache_int8=args.cache_int8, staged_phases=True,
+                teacher_stream=args.teacher_14b,
+                page_generator=args.page_gen)
+            tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic,
+                                          teacher, teacher_cfg=teacher_cfg)
+            del gen, critic, teacher
+            mem("trainer_ready")
+
+            def abst(t):
+                return jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                                   jnp.result_type(x)), t)
+
+            def report(tag, jfn, *a):
+                t0 = time.perf_counter()
+                ca = jfn.lower(*a).compile()
+                ma = ca.memory_analysis()
+                if ma is None:  # backend doesn't expose it
+                    print(json.dumps({"phase": tag, "memory_analysis": None,
+                                      "compile_s": round(
+                                          time.perf_counter() - t0, 1)}),
+                          flush=True)
+                    return
+                gib = lambda n: round(n / 2**30, 3)
+                print(json.dumps({
+                    "phase": tag,
+                    "args_gib": gib(ma.argument_size_in_bytes),
+                    "out_gib": gib(ma.output_size_in_bytes),
+                    "temp_gib": gib(ma.temp_size_in_bytes),
+                    "alias_gib": gib(ma.alias_size_in_bytes),
+                    "peak_est_gib": gib(ma.argument_size_in_bytes
+                                        + ma.output_size_in_bytes
+                                        + ma.temp_size_in_bytes
+                                        - ma.alias_size_in_bytes),
+                    "compile_s": round(time.perf_counter() - t0, 1),
+                }), flush=True)
+
+            # replicate train_step's host-side sampling at step 0 / key 5
+            rng = jax.random.fold_in(jax.random.PRNGKey(5), 0)
+            (rng_exit, rng_len, rng_g, rng_exit2, rng_len2,
+             rng_c) = jax.random.split(rng, 6)
+            exit_idx, nb, use_mask = tr._sample_rollout_geometry(
+                noise, rng_exit, rng_len)
+            exit_c, nb_c, _ = tr._sample_rollout_geometry(
+                noise, rng_exit2, rng_len2)
+            rng_roll, rng_dmd = jax.random.split(rng_g)
+            print(json.dumps({"exit_idx": int(exit_idx),
+                              "exit_c": int(exit_c), "frames": frames}),
+                  flush=True)
+
+            gt = abst(tr.state["gen_lora"])
+            gb = abst(tr.state["gen_params"])
+            an = abst(noise[:, : nb * cfg.num_frame_per_block])
+            pc, pu = abst(pe_c), abst(pe_u)
+            rkey = (exit_idx, 0)
+            lat_s = jax.eval_shape(tr._latents_fn(*rkey), gt, gb, an, pc,
+                                   rng_roll)
+            report("rollout_fwd", tr._staged_roll(rkey), gt, gb, an, pc,
+                   rng_roll)
+            ct = abst(tr.state[
+                "critic_lora" if tr.critic_lora_on else "critic_params"])
+            cb = (abst(tr.state["critic_params"]) if tr.critic_lora_on
+                  else {})
+            stream = tcfg.teacher_stream
+            tch = (lat_s if stream else abst(tr.teacher_params))
+            report("dmd_loss_grad",
+                   tr._staged_dmd_grad(exit_idx, use_mask, stream),
+                   lat_s, ct, cb, tch, pc, pu, rng_dmd)
+            report("rollout_vjp", tr._staged_vjp(rkey), gt, gb, an, pc,
+                   rng_roll, lat_s)
+            rkey_c = (exit_c, nb_c * cfg.num_frame_per_block + 1)
+            an_c = abst(noise[:, : nb_c * cfg.num_frame_per_block])
+            lat_c = jax.eval_shape(tr._latents_fn(*rkey_c), gt, gb, an_c,
+                                   pc, rng_c)
+            report("critic_rollout", tr._staged_roll(rkey_c), gt, gb, an_c,
+                   pc, rng_c)
+            report("critic_grad", tr._staged_critic_grad(exit_c), ct, cb,
+                   lat_c, pc, rng_c)
+            return 0.0, {"frames": frames}
 
         if args.mode == "lora_step":
             tcfg = TrainerConfig(
