@@ -123,27 +123,54 @@ def _fused_kernel(
     t = pl.program_id(1)
     o = pl.program_id(2)
     num_r = pl.num_programs(0)
+    dma_on = ablate != "no_dma"
 
-    def _copy_rows(src_ref, src_idx, src_row0, stage_ref, dst_row0, nrows):
-        if ablate == "no_dma":  # ablation timing: stage keeps stale data
+    # ---- staging-window bookkeeping ----------------------------------
+    # Virtual frame v (v0 = cache frame 0, v1 = cache frame 1, v(j+2) =
+    # x frame j) lives in stage_refs[v % 3].  At output frame t the
+    # window is {v_t, v_{t+1}, v_{t+2}} — all three stages — and after
+    # the K-pack copies the OLDEST stage (index t % 3) is dead, so the
+    # next frame's HBM DMA targets it and overlaps this step's GEMM
+    # (waited at the start of the next (r, t) step).  This replaces the
+    # round-1 shift-copy window (stage0 <- stage1 <- stage2 per frame:
+    # two full-tile VMEM passes) AND hides the measured ~3.7 ms/conv of
+    # exposed stage DMA (r2g ablation) with zero extra VMEM.
+
+    def _stage_dma(src_ref, src_idx, stage_ref, rr, sem, op):
+        """Start or wait the halo'd row DMA of frame ``src_idx`` into a
+        staging buffer for row-tile ``rr``.  Start and wait run in
+        DIFFERENT grid steps; the descriptor is rebuilt identically on
+        both sides (same predicates, same slices, same semaphore)."""
+        if not dma_on:  # ablation timing: stage keeps stale data
             return
-        cp_ = pltpu.make_async_copy(
-            src_ref.at[src_idx, pl.ds(src_row0, nrows)],
-            stage_ref.at[pl.ds(dst_row0, nrows), pl.ds(8, width)],
-            sems_ref.at[0],
-        )
-        cp_.start()
-        cp_.wait()
 
-    def _load_stage(src_ref, src_idx, stage_ref, normalize, nx_idx):
-        """DMA rows [r*th-1, r*th+th] of frame ``src_idx`` into a staging
-        buffer (halo rows included), zero the borders, optionally
-        norm+silu, optionally emit the tile to nx[nx_idx] (the next cache
-        frames)."""
-        row0 = r * th - 1
+        def _cp(src_row0, dst_row0, nrows):
+            return pltpu.make_async_copy(
+                src_ref.at[src_idx, pl.ds(src_row0, nrows)],
+                stage_ref.at[pl.ds(dst_row0, nrows), pl.ds(8, width)],
+                sem,
+            )
 
-        if n_rows == 1:  # single row tile: th == H, zero both halo rows
-            _copy_rows(src_ref, src_idx, 0, stage_ref, 1, th)
+        if n_rows == 1:  # single row tile: th == H
+            getattr(_cp(0, 1, th), op)()
+        else:
+            @pl.when(rr == 0)
+            def _top():
+                getattr(_cp(0, 1, th + 1), op)()
+
+            @pl.when((rr > 0) & (rr < num_r - 1))
+            def _mid():
+                getattr(_cp(rr * th - 1, 0, th + 2), op)()
+
+            @pl.when((rr == num_r - 1) & (rr > 0))
+            def _bot():
+                getattr(_cp(rr * th - 1, 0, th + 1), op)()
+
+    def _finish_stage(stage_ref, normalize, nx_idx):
+        """Post-arrival tile work: zero the halo/pad borders (SAME
+        padding), optionally norm+silu, optionally emit the tile to
+        nx[nx_idx] (the next call's cache frames)."""
+        if n_rows == 1:
             stage_ref[0:1] = jnp.zeros_like(stage_ref[0:1])
             stage_ref[th + 1 : th + 2] = jnp.zeros_like(
                 stage_ref[th + 1 : th + 2]
@@ -151,23 +178,17 @@ def _fused_kernel(
         else:
             @pl.when(r == 0)
             def _top():
-                _copy_rows(src_ref, src_idx, 0, stage_ref, 1, th + 1)
                 stage_ref[0:1] = jnp.zeros_like(stage_ref[0:1])
 
-            @pl.when((r > 0) & (r < num_r - 1))
-            def _mid():
-                _copy_rows(src_ref, src_idx, row0, stage_ref, 0, th + 2)
-
-            @pl.when((r == num_r - 1) & (r > 0))
+            @pl.when(r == num_r - 1)
             def _bot():
-                _copy_rows(src_ref, src_idx, row0, stage_ref, 0, th + 1)
                 stage_ref[th + 1 : th + 2] = jnp.zeros_like(
                     stage_ref[th + 1 : th + 2]
                 )
 
-        # zero the border columns (SAME padding): data occupies columns
-        # [8, 8+W); cols [0,8) and [W+8, W+16) are the pad, all offsets
-        # 8-aligned for Mosaic's sublane tiling
+        # zero the border columns: data occupies columns [8, 8+W); cols
+        # [0,8) and [W+8, W+16) are the pad, all offsets 8-aligned for
+        # Mosaic's sublane tiling
         stage_ref[:, 0:8] = jnp.zeros_like(stage_ref[:, 0:8])
         stage_ref[:, width + 8 : width + 16] = jnp.zeros_like(
             stage_ref[:, width + 8 : width + 16]
@@ -181,7 +202,7 @@ def _fused_kernel(
 
         # next-call cache frames: virtual frame u = src_idx + 2 (x frames),
         # needed when u >= T  <=>  src_idx >= T - 2
-        if nx_idx is not None and ablate != "no_dma":
+        if nx_idx is not None and dma_on:
             @pl.when(nx_idx >= 0)
             def _emit():
                 cp_ = pltpu.make_async_copy(
@@ -192,10 +213,12 @@ def _fused_kernel(
                 cp_.start()
                 cp_.wait()
 
-    def _pack_kbuf():
+    def _pack_kbuf(perm):
         """3*kh row-shifted VMEM copies staging -> K-packed GEMM operand.
-        kh==3: dy in {0,1,2} (one-row shifts against the halo'd staging);
-        kh==1: only the center band (dy=1) — the (3,1,1) time-conv case."""
+        ``perm[tau]`` maps window position tau (oldest..newest) to its
+        stage index ((t + tau) % 3).  kh==3: dy in {0,1,2} (one-row
+        shifts against the halo'd staging); kh==1: only the center band
+        (dy=1) — the (3,1,1) time-conv case."""
         if ablate == "no_pack":  # ablation timing: kbuf keeps stale data
             return
         dys = range(3) if kh == 3 else (1,)
@@ -204,7 +227,7 @@ def _fused_kernel(
             for j, dy in enumerate(dys):
                 kblk = (kh * tau + j) * cp
                 copies.append(pltpu.make_async_copy(
-                    stage_refs[tau].at[pl.ds(dy, th)],
+                    stage_refs[perm[tau]].at[pl.ds(dy, th)],
                     kbuf_ref.at[:, :, pl.ds(kblk, cp)],
                     sems_ref.at[kh * tau + j],
                 ))
@@ -229,31 +252,68 @@ def _fused_kernel(
         ascale_ref[0, 0] = s
 
     # ---- tap loading (only on the first O tile of each (r, t)) ----
-    # stagings hold virtual frames [t, t+1, t+2] of [cache0, cache1, x...];
-    # at each new t the window advances one frame via two VMEM shift-copies
-    @pl.when((o == 0) & (t == 0))
-    def _load_initial():
-        zero = jnp.zeros((), jnp.int32)
-        one = jnp.ones((), jnp.int32)
-        _load_stage(cache_ref, zero, stage_refs[0], normalize=False,
-                    nx_idx=None)
-        _load_stage(cache_ref, one, stage_refs[1], normalize=False,
-                    nx_idx=None)
-        # x frame 0 -> virtual frame 2; cache-emit when 0 >= T - 2
-        nx0 = jnp.asarray(2 - t_frames, jnp.int32)
-        _load_stage(x_ref, zero, stage_refs[2], normalize=apply_norm,
-                    nx_idx=nx0)
-        _pack_kbuf()
-        if int8:
-            _quant_kbuf()
+    zero = jnp.zeros((), jnp.int32)
+    one = jnp.ones((), jnp.int32)
 
-    @pl.when((o == 0) & (t > 0))
-    def _load_next():
-        stage_refs[0][...] = stage_refs[1][...]
-        stage_refs[1][...] = stage_refs[2][...]
-        _load_stage(x_ref, t, stage_refs[2], normalize=apply_norm,
-                    nx_idx=t - jnp.asarray(t_frames - 2, jnp.int32))
-        _pack_kbuf()
+    @pl.when((o == 0) & (t == 0) & (r == 0))
+    def _cold_start():
+        # very first (r, t): nothing prefetched — blocking parallel loads
+        _stage_dma(cache_ref, zero, stage_refs[0], r, sems_ref.at[9], "start")
+        _stage_dma(cache_ref, one, stage_refs[1], r, sems_ref.at[10], "start")
+        _stage_dma(x_ref, zero, stage_refs[2], r, sems_ref.at[11], "start")
+        _stage_dma(cache_ref, zero, stage_refs[0], r, sems_ref.at[9], "wait")
+        _stage_dma(cache_ref, one, stage_refs[1], r, sems_ref.at[10], "wait")
+        _stage_dma(x_ref, zero, stage_refs[2], r, sems_ref.at[11], "wait")
+
+    @pl.when((o == 0) & (t == 0) & (r > 0))
+    def _warm_start():
+        # the previous row-tile's last step started these three DMAs
+        _stage_dma(cache_ref, zero, stage_refs[0], r, sems_ref.at[9], "wait")
+        _stage_dma(cache_ref, one, stage_refs[1], r, sems_ref.at[10], "wait")
+        _stage_dma(x_ref, zero, stage_refs[2], r, sems_ref.at[11], "wait")
+
+    @pl.when((o == 0) & (t == 0))
+    def _first_finish():
+        _finish_stage(stage_refs[0], normalize=False, nx_idx=None)
+        _finish_stage(stage_refs[1], normalize=False, nx_idx=None)
+        # x frame 0 -> virtual frame 2; cache-emit when 0 >= T - 2
+        _finish_stage(stage_refs[2], normalize=apply_norm,
+                      nx_idx=jnp.asarray(2 - t_frames, jnp.int32))
+
+    @pl.when(o == 0)
+    def _window_step():
+        for k in range(3):  # t % 3 == k: window stages (k, k+1, k+2) % 3
+            @pl.when(t % 3 == k)
+            def _step(k=k):
+                @pl.when(t > 0)
+                def _arrive():
+                    # x frame t (virtual t+2), started at step t-1 into
+                    # the stage freed by that step's pack
+                    arr = stage_refs[(k + 2) % 3]
+                    _stage_dma(x_ref, t, arr, r, sems_ref.at[12], "wait")
+                    _finish_stage(
+                        arr, normalize=apply_norm,
+                        nx_idx=t - jnp.asarray(t_frames - 2, jnp.int32))
+
+                _pack_kbuf((k, (k + 1) % 3, (k + 2) % 3))
+
+                @pl.when(t + 1 < t_frames)
+                def _prefetch_x():
+                    # stage k (virtual frame t) is dead after the pack
+                    _stage_dma(x_ref, t + 1, stage_refs[k], r,
+                               sems_ref.at[12], "start")
+
+        @pl.when((t + 1 == t_frames) & (r + 1 < num_r))
+        def _prefetch_next_row():
+            # all stages are dead after the last pack of this row-tile;
+            # start the next row-tile's three loads (waited by _warm_start)
+            _stage_dma(cache_ref, zero, stage_refs[0], r + 1,
+                       sems_ref.at[9], "start")
+            _stage_dma(cache_ref, one, stage_refs[1], r + 1,
+                       sems_ref.at[10], "start")
+            _stage_dma(x_ref, zero, stage_refs[2], r + 1,
+                       sems_ref.at[11], "start")
+
         if int8:
             _quant_kbuf()
 
@@ -424,7 +484,10 @@ def _fused_causal_conv_impl(x, cache, wp9, b, gamma, residual, true_c: int,
             pltpu.VMEM((th, wp_, 3 * kh * cp), jnp.int8),
             pltpu.SMEM((1, 1), jnp.float32),
         ] if int8 else []) + [
-            pltpu.SemaphoreType.DMA((9,)),
+            # 0: nx emit; 1..8: K-pack copies; 9/10/11: the three t==0
+            # stage loads (prefetched across row-tiles); 12: the
+            # within-row x-frame prefetch
+            pltpu.SemaphoreType.DMA((13,)),
         ],
         compiler_params=pltpu.CompilerParams(
             # Mosaic's scoped accounting charges the GEMM-operand and roll

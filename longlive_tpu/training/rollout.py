@@ -135,33 +135,6 @@ def rollout_trajectory(
             return rcfg.window_schedule[i]
         return rcfg.window_frames
 
-    def _fwd(p, xx, tt, ck, sf, window, commit, kv_only):
-        return D.dit_forward_cached(
-            p, cfg, cache_cfg, tables, xx, tt, cross_kv, ck, sf,
-            attn_impl=rcfg.attn_impl, window_frames=window,
-            remat_layers=rcfg.remat_layers,
-            two_segment=True if rcfg.two_segment else None,
-            commit_writes=commit, kv_only=kv_only,
-        )
-
-    fwd_fn = (jax.checkpoint(_fwd, static_argnums=(5, 6, 7))
-              if rcfg.remat else _fwd)
-
-    def forward(x, t_val, cache_in, start_frame, step_idx=None, commit=False,
-                kv_only=False):
-        t = jnp.full((b, fpb), t_val, jnp.float32)
-        flow, cache_out = fwd_fn(gen_params, x, t, cache_in, start_frame,
-                                 _window_for(step_idx), commit, kv_only)
-        if kv_only:  # commit-style call: only the cache is meaningful
-            return flow, cache_out
-        bf = b * fpb
-        x0 = S.convert_flow_to_x0(
-            sched, flow.reshape(bf, *flow.shape[2:]),
-            x.reshape(bf, *x.shape[2:]).astype(jnp.float32),
-            jnp.full((bf,), t_val, jnp.float32),
-        ).reshape(flow.shape)
-        return x0, cache_out
-
     if initial_latent is not None:
         # commit conditioning frames at t=0 (grad-free); generation starts
         # after them (self_forcing_training.py:352-366)
@@ -180,45 +153,111 @@ def rollout_trajectory(
 
     outputs = []
     for s in range(0, f_total, fpb):
-        abs_start = current_start_frame + s
-        x = noise[:, s : s + fpb]
-        # denoise steps before the exit: no gradient
-        for i in range(exit_idx):
-            x0, _ = forward(jax.lax.stop_gradient(x),
-                            rcfg.denoise_timesteps[i], cache, abs_start, i)
-            x0 = jax.lax.stop_gradient(x0)
-            rng, sub = jax.random.split(rng)
-            t_next = jnp.full((b * fpb,), rcfg.denoise_timesteps[i + 1], jnp.float32)
-            x = S.add_noise(
-                sched, x0.reshape(b * fpb, *x0.shape[2:]),
-                jax.random.normal(sub, x0.shape, jnp.float32).reshape(
-                    b * fpb, *x0.shape[2:]),
-                t_next,
-            ).reshape(x0.shape)
-        # exit step: gradient iff this block is in the supervised tail
-        grad_on = s >= start_gradient_frame
-        x0, _ = forward(jax.lax.stop_gradient(x),
-                        rcfg.denoise_timesteps[exit_idx], cache, abs_start,
-                        exit_idx)
-        if not grad_on:
-            x0 = jax.lax.stop_gradient(x0)
+        x0, cache, rng = rollout_block(
+            gen_params, cfg, cache_cfg, tables, sched, rcfg, cross_kv,
+            noise[:, s : s + fpb], cache, rng, current_start_frame + s,
+            exit_idx, grad_on=s >= start_gradient_frame,
+        )
         outputs.append(x0)
 
-        # clean-context commit (stop-grad; context noise added like the
-        # reference, self_forcing_training.py:451-459)
+    return jnp.concatenate(outputs, axis=1), cache, rng
+
+
+def rollout_block(
+    gen_params: dict,
+    cfg: DiTConfig,
+    cache_cfg: CacheConfig,
+    tables: RopeTables,
+    sched: S.FlowMatchSchedule,
+    rcfg: RolloutConfig,
+    cross_kv: D.CrossKV,
+    x: jax.Array,  # [B, frame_block, C, H, W]
+    cache: kvc.KVCache,
+    rng: jax.Array,
+    abs_start,
+    exit_idx: int,
+    grad_on: bool,
+) -> Tuple[jax.Array, kvc.KVCache, jax.Array]:
+    """ONE block of the self-forcing rollout: pre-exit denoise steps
+    (stop-grad), the exit-step forward (gradient iff ``grad_on``), and the
+    clean-context KV commit (stop-grad).  Returns (x0, cache', rng').
+
+    ``rollout_trajectory`` is exactly this in a loop — and because every
+    inter-block dependency (the cache chain and the re-noising RNG) is
+    stop-gradded, dL/dθ over a whole rollout is the SUM of per-block VJPs
+    of this function.  The trainer's ``block_vjp`` mode exploits that to
+    run the generator backward one block at a time (peak HBM one block's
+    residuals instead of all blocks': 25.6 -> ~9 GiB at the 21-frame 1.3B
+    geometry, scripts/train_probe_1p3b.py --mode mem_analysis)."""
+    b, fpb = x.shape[:2]
+
+    def _window_for(step_idx: Optional[int]) -> Optional[int]:
+        if rcfg.window_schedule is not None:
+            i = step_idx if step_idx is not None else len(rcfg.window_schedule) - 1
+            return rcfg.window_schedule[i]
+        return rcfg.window_frames
+
+    def _fwd(p, xx, tt, ck, sf, window, commit, kv_only):
+        return D.dit_forward_cached(
+            p, cfg, cache_cfg, tables, xx, tt, cross_kv, ck, sf,
+            attn_impl=rcfg.attn_impl, window_frames=window,
+            remat_layers=rcfg.remat_layers,
+            two_segment=True if rcfg.two_segment else None,
+            commit_writes=commit, kv_only=kv_only,
+        )
+
+    fwd_fn = (jax.checkpoint(_fwd, static_argnums=(5, 6, 7))
+              if rcfg.remat else _fwd)
+
+    def forward(xx, t_val, cache_in, start_frame, step_idx=None, commit=False,
+                kv_only=False):
+        t = jnp.full((b, fpb), t_val, jnp.float32)
+        flow, cache_out = fwd_fn(gen_params, xx, t, cache_in, start_frame,
+                                 _window_for(step_idx), commit, kv_only)
+        if kv_only:  # commit-style call: only the cache is meaningful
+            return flow, cache_out
+        bf = b * fpb
+        x0 = S.convert_flow_to_x0(
+            sched, flow.reshape(bf, *flow.shape[2:]),
+            xx.reshape(bf, *xx.shape[2:]).astype(jnp.float32),
+            jnp.full((bf,), t_val, jnp.float32),
+        ).reshape(flow.shape)
+        return x0, cache_out
+
+    # denoise steps before the exit: no gradient
+    for i in range(exit_idx):
+        x0, _ = forward(jax.lax.stop_gradient(x),
+                        rcfg.denoise_timesteps[i], cache, abs_start, i)
+        x0 = jax.lax.stop_gradient(x0)
         rng, sub = jax.random.split(rng)
-        ctx = S.add_noise(
-            sched,
-            jax.lax.stop_gradient(x0).reshape(b * fpb, *x0.shape[2:]),
+        t_next = jnp.full((b * fpb,), rcfg.denoise_timesteps[i + 1], jnp.float32)
+        x = S.add_noise(
+            sched, x0.reshape(b * fpb, *x0.shape[2:]),
             jax.random.normal(sub, x0.shape, jnp.float32).reshape(
                 b * fpb, *x0.shape[2:]),
-            jnp.full((b * fpb,), rcfg.context_noise, jnp.float32),
+            t_next,
         ).reshape(x0.shape)
-        _, cache = forward(ctx, rcfg.context_noise, cache, abs_start,
-                           commit=True, kv_only=True)
-        cache = jax.lax.stop_gradient(cache)
+    # exit step: gradient iff this block is in the supervised tail
+    x0, _ = forward(jax.lax.stop_gradient(x),
+                    rcfg.denoise_timesteps[exit_idx], cache, abs_start,
+                    exit_idx)
+    if not grad_on:
+        x0 = jax.lax.stop_gradient(x0)
 
-    return jnp.concatenate(outputs, axis=1), cache, rng
+    # clean-context commit (stop-grad; context noise added like the
+    # reference, self_forcing_training.py:451-459)
+    rng, sub = jax.random.split(rng)
+    ctx = S.add_noise(
+        sched,
+        jax.lax.stop_gradient(x0).reshape(b * fpb, *x0.shape[2:]),
+        jax.random.normal(sub, x0.shape, jnp.float32).reshape(
+            b * fpb, *x0.shape[2:]),
+        jnp.full((b * fpb,), rcfg.context_noise, jnp.float32),
+    ).reshape(x0.shape)
+    _, cache = forward(ctx, rcfg.context_noise, cache, abs_start,
+                       commit=True, kv_only=True)
+    cache = jax.lax.stop_gradient(cache)
+    return x0, cache, rng
 
 
 def sample_exit_idx(rng: jax.Array, num_steps: int, last_step_only: bool) -> int:

@@ -117,6 +117,17 @@ class TrainerConfig:
     # the teacher + critic peak.  Costs one extra round trip of the
     # generator tree per generator step.  Requires staged_phases.
     page_generator: bool = False
+    # Run the generator rollout VJP as an EAGER per-block loop instead of
+    # one jit over the whole rollout.  Exact: the cache chain and the
+    # re-noising RNG — every inter-block dependency — are stop-gradded, so
+    # dL/dθ is the SUM of per-block exit-forward VJPs (rollout.rollout_block).
+    # The monolithic VJP's backward saves each differentiated block's KV
+    # cache input (~1.6 GB int8 × n_blocks): 21.6 GiB of temps at the
+    # 21-frame 1.3B geometry (--mode mem_analysis) — the measured runtime
+    # OOM.  Blockwise, peak = ONE block's residuals + the f32 grad
+    # accumulator (~9 GiB).  Costs n_blocks dispatches per generator step.
+    # Requires staged_phases.
+    block_vjp: bool = False
     # micro-steps per optimizer update (longlive_train_init.yaml:34)
     gradient_accumulation_steps: int = 1
 
@@ -308,6 +319,8 @@ class ScoreDistillationTrainer:
         )
         if tcfg.teacher_stream and not tcfg.staged_phases:
             raise ValueError("teacher_stream requires staged_phases")
+        if tcfg.block_vjp and not tcfg.staged_phases:
+            raise ValueError("block_vjp requires staged_phases")
         if tcfg.staged_phases:
             # the frozen trees leave HBM: teacher always, critic base when
             # only its adapters train.  train_step pages device copies in
@@ -329,6 +342,7 @@ class ScoreDistillationTrainer:
         self._staged_dmd = {}
         self._staged_vjps = {}
         self._staged_closs = {}
+        self._block_vjps = {}
 
     # -- trainable-tree materialization ------------------------------------
 
@@ -530,6 +544,73 @@ class ScoreDistillationTrainer:
         self._staged_vjps[key] = jax.jit(f)
         return self._staged_vjps[key]
 
+    def _block_vjp_step(self, exit_idx: int, grad_on: bool):
+        """One block of the generator backward (tcfg.block_vjp): VJP of
+        ``rollout_block``'s x0 against the block's dlat slice, grads
+        accumulated f32 into a donated buffer, the (stop-grad) cache/rng
+        carry advanced on device.  grad_on=False blocks only advance."""
+        key = (exit_idx, grad_on)
+        if key in self._block_vjps:
+            return self._block_vjps[key]
+
+        def f(gen_train, gen_base, x_blk, prompt_c, cache, rng, abs_start,
+              dlat_blk, gacc):
+            def scalar(gt):
+                gp = self._gen_full(gt, gen_base)
+                dtype = gp["patch_embedding"]["kernel"].dtype
+                cross = D.prepare_cross_kv(gp, self.cfg, prompt_c, dtype)
+                x0, c2, r2 = ro.rollout_block(
+                    gp, self.cfg, self.cache_cfg, self.tables, self.sched,
+                    self.rcfg, cross, x_blk, cache, rng, abs_start, exit_idx,
+                    grad_on)
+                return jnp.sum(x0.astype(jnp.float32) * dlat_blk), (c2, r2)
+
+            if grad_on:
+                (_, (c2, r2)), g = jax.value_and_grad(
+                    scalar, has_aux=True)(gen_train)
+                gacc = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), gacc, g)
+            else:
+                _, (c2, r2) = scalar(gen_train)
+            return gacc, c2, r2
+
+        self._block_vjps[key] = jax.jit(f, donate_argnums=(4, 8))
+        return self._block_vjps[key]
+
+    def _block_vjp_loop(self, exit_idx: int, grad_start: int, trained,
+                        gen_base, noise, prompt_c, rng_roll, dlat):
+        """Eager per-block generator VJP (exact: see rollout.rollout_block
+        — the cache chain and re-noising RNG are stop-gradded, so block
+        gradient contributions are additive)."""
+        from ..ops import kv_cache as kvc
+
+        f_total = noise.shape[1]
+        fpb = self.rcfg.frame_block
+        s_cfg = self.tcfg.slice_last_frames
+        if s_cfg != -1 and f_total > s_cfg and self.vae_params is not None:
+            # undo _slice_reencode on the cotangent: its frame 0 is the
+            # stop-grad re-encoded latent (zero cotangent for the rollout);
+            # frames 1..s-1 are the rollout's last s-1 frames verbatim
+            z = jnp.zeros(
+                (dlat.shape[0], f_total - (s_cfg - 1)) + dlat.shape[2:],
+                dlat.dtype)
+            dlat = jnp.concatenate([z, dlat[:, 1:]], axis=1)
+        dtype = (gen_base if self.use_lora else
+                 trained)["patch_embedding"]["kernel"].dtype
+        cache = kvc.init_cache(
+            self.cache_cfg, self.cfg.num_layers, noise.shape[0],
+            self.cfg.num_heads, self.cfg.head_dim, dtype,
+            k_int8=self.rcfg.cache_int8, v_int8=self.rcfg.cache_int8)
+        gacc = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32),
+                            trained)
+        rng = rng_roll
+        for s in range(0, f_total, fpb):
+            fn = self._block_vjp_step(exit_idx, s >= grad_start)
+            gacc, cache, rng = fn(
+                trained, gen_base, noise[:, s : s + fpb], prompt_c, cache,
+                rng, jnp.asarray(s, jnp.int32), dlat[:, s : s + fpb], gacc)
+        return gacc
+
     def _staged_critic_grad(self, exit_idx: int):
         if exit_idx in self._staged_closs:
             return self._staged_closs[exit_idx]
@@ -604,8 +685,13 @@ class ScoreDistillationTrainer:
             self.state[gkey] = trained
             if self.use_lora:
                 self.state["gen_params"] = gen_base
-        grads = self._staged_vjp(rkey)(trained, gen_base, noise, prompt_c,
-                                       rng_roll, dlat)
+        if self.tcfg.block_vjp:
+            grads = self._block_vjp_loop(exit_idx, grad_start, trained,
+                                         gen_base, noise, prompt_c,
+                                         rng_roll, dlat)
+        else:
+            grads = self._staged_vjp(rkey)(trained, gen_base, noise,
+                                           prompt_c, rng_roll, dlat)
         return grads, loss, aux, trained
 
     def _critic_step_staged(self, exit_idx, trained_c, noise, prompt_c, rng):

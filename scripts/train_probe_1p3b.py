@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--cache_int8", action="store_true",
                     help="int8 rollout KV cache (k+v, per-token scales) — "
                          "the PERF.md squeeze for the 9/21-frame gap")
+    ap.add_argument("--block_vjp", action="store_true",
+                    help="eager per-block generator VJP (exact; peak HBM "
+                         "one block's residuals instead of all blocks' — "
+                         "the 21-frame OOM fix; implies --staged)")
     ap.add_argument("--staged", action="store_true",
                     help="staged_phases: 3-jit DMD split with the teacher + "
                          "frozen critic base paged to host between phases "
@@ -256,7 +260,9 @@ def main():
                 # ZeRO-Offload-style host AdamW — on-device f32 master+
                 # moments for 2x540M adapter params alone would be ~13 GB
                 opt_on_host=True, cache_int8=args.cache_int8,
-                staged_phases=args.staged or args.teacher_14b,
+                staged_phases=(args.staged or args.teacher_14b
+                               or args.block_vjp),
+                block_vjp=args.block_vjp,
                 teacher_stream=args.teacher_14b,
                 page_generator=args.page_gen)
             tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic,

@@ -162,6 +162,45 @@ def test_staged_phases_matches_monolithic(setup, page_gen):
 
 
 @pytest.mark.slow
+def test_block_vjp_matches_monolithic(setup):
+    """tcfg.block_vjp runs the generator rollout VJP as an eager per-block
+    loop (rollout.rollout_block) with f32 grad accumulation.  Exact: the
+    cache chain and the re-noising RNG are stop-gradded, so per-block VJP
+    contributions are additive — one train_step must match the monolithic
+    step up to compilation-scheduling noise.  (This is the 21-frame
+    full-geometry OOM fix: the monolithic VJP's backward saves every
+    differentiated block's KV cache input — 21.6 GiB of temps at 1.3B,
+    scripts/train_probe_1p3b.py --mode mem_analysis.)"""
+    cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
+    kw = dict(num_frame_per_block=1, num_training_frames=3,
+              slice_last_frames=3, attn_impl="xla", dfake_gen_update_ratio=1)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    noise = jax.random.normal(jax.random.PRNGKey(11),
+                              (1, 3, geom.channels, geom.height, geom.width))
+    pe_c = jax.random.normal(jax.random.PRNGKey(31),
+                             (1, cfg.text_len, cfg.text_dim))
+    pe_u = pe_c * 0.1
+
+    tr_a = ScoreDistillationTrainer(TrainerConfig(**kw), cfg, geom,
+                                    copy(gen), copy(critic), copy(teacher))
+    m_a = tr_a.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
+    tr_b = ScoreDistillationTrainer(
+        TrainerConfig(**kw, staged_phases=True, block_vjp=True),
+        cfg, geom, copy(gen), copy(critic), copy(teacher))
+    m_b = tr_b.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
+
+    np.testing.assert_allclose(m_b["generator_loss"], m_a["generator_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(m_b["critic_loss"], m_a["critic_loss"],
+                               rtol=1e-5)
+    for key in ("gen_params", "critic_params"):
+        for a, b in zip(jax.tree.leaves(tr_a.state[key]),
+                        jax.tree.leaves(tr_b.state[key])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_gradient_accumulation(setup):
     """With gradient_accumulation_steps=2 (optax.MultiSteps), params change
     only on every 2nd micro-step — the reference's scaled-loss accumulation
