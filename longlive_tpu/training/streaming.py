@@ -381,9 +381,19 @@ class StreamingTrainer(ScoreDistillationTrainer):
             rng_dmd)
         dch.block_until_ready()  # the pages must not overlap the vjp peak
         del teacher, critic_base, chunk
-        grads = self._staged_chunk_vjp(key)(
-            gen_train, gen_base, cache, prev_overlap, noise, prompt,
-            cur_start, rng_roll, dch)
+        if self.tcfg.block_vjp:
+            # the chunk's leading `overlap` frames are stop-grad context
+            # (prev_overlap prepended / first-frame re-encode); the rollout
+            # cotangent is the tail.  Per-block VJP continues the INPUT
+            # cache from cur_start — exact (rollout.rollout_block).
+            dch_roll = dch[:, key[2]:] if key[2] > 0 else dch
+            grads = self._block_vjp_loop(
+                key[0], 0, gen_train, gen_base, noise, prompt, rng_roll,
+                dch_roll, cache=cache, cur_start=cur_start, map_slice=False)
+        else:
+            grads = self._staged_chunk_vjp(key)(
+                gen_train, gen_base, cache, prev_overlap, noise, prompt,
+                cur_start, rng_roll, dch)
         return grads, new_cache, new_prev, loss, aux
 
     def _critic_chunk_staged(self, key, trained_c, cache, prev_overlap, noise,

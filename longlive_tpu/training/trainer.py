@@ -578,16 +578,22 @@ class ScoreDistillationTrainer:
         return self._block_vjps[key]
 
     def _block_vjp_loop(self, exit_idx: int, grad_start: int, trained,
-                        gen_base, noise, prompt_c, rng_roll, dlat):
+                        gen_base, noise, prompt_c, rng_roll, dlat,
+                        cache=None, cur_start=0, map_slice=True):
         """Eager per-block generator VJP (exact: see rollout.rollout_block
         — the cache chain and re-noising RNG are stop-gradded, so block
-        gradient contributions are additive)."""
+        gradient contributions are additive).  ``cache``/``cur_start``
+        continue an ongoing sequence (the streaming chunk step);
+        ``map_slice=False`` when the caller already mapped the cotangent
+        back to rollout frames.  ``dlat`` must cover exactly the rollout's
+        ``noise.shape[1]`` frames after mapping."""
         from ..ops import kv_cache as kvc
 
         f_total = noise.shape[1]
         fpb = self.rcfg.frame_block
         s_cfg = self.tcfg.slice_last_frames
-        if s_cfg != -1 and f_total > s_cfg and self.vae_params is not None:
+        if (map_slice and s_cfg != -1 and f_total > s_cfg
+                and self.vae_params is not None):
             # undo _slice_reencode on the cotangent: its frame 0 is the
             # stop-grad re-encoded latent (zero cotangent for the rollout);
             # frames 1..s-1 are the rollout's last s-1 frames verbatim
@@ -597,10 +603,11 @@ class ScoreDistillationTrainer:
             dlat = jnp.concatenate([z, dlat[:, 1:]], axis=1)
         dtype = (gen_base if self.use_lora else
                  trained)["patch_embedding"]["kernel"].dtype
-        cache = kvc.init_cache(
-            self.cache_cfg, self.cfg.num_layers, noise.shape[0],
-            self.cfg.num_heads, self.cfg.head_dim, dtype,
-            k_int8=self.rcfg.cache_int8, v_int8=self.rcfg.cache_int8)
+        if cache is None:
+            cache = kvc.init_cache(
+                self.cache_cfg, self.cfg.num_layers, noise.shape[0],
+                self.cfg.num_heads, self.cfg.head_dim, dtype,
+                k_int8=self.rcfg.cache_int8, v_int8=self.rcfg.cache_int8)
         gacc = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32),
                             trained)
         rng = rng_roll
@@ -608,7 +615,8 @@ class ScoreDistillationTrainer:
             fn = self._block_vjp_step(exit_idx, s >= grad_start)
             gacc, cache, rng = fn(
                 trained, gen_base, noise[:, s : s + fpb], prompt_c, cache,
-                rng, jnp.asarray(s, jnp.int32), dlat[:, s : s + fpb], gacc)
+                rng, jnp.asarray(s, jnp.int32) + cur_start,
+                dlat[:, s : s + fpb], gacc)
         return gacc
 
     def _staged_critic_grad(self, exit_idx: int):

@@ -86,10 +86,14 @@ def test_streaming_skip_first_chunk(streaming_setup):
 
 
 @pytest.mark.slow
-def test_streaming_staged_matches_monolithic():
+@pytest.mark.parametrize("block_vjp", [False, True])
+def test_streaming_staged_matches_monolithic(block_vjp):
     """staged_phases on the streaming chunk step (3-jit split, host-paged
     teacher) must reproduce the monolithic step: same losses and updated
-    params after two streaming steps (gen+critic then critic-only)."""
+    params after two streaming steps (gen+critic then critic-only).
+    ``block_vjp`` additionally runs the generator backward per block,
+    continuing the persistent cache from cur_start with the chunk
+    cotangent's overlap frames dropped (stop-grad context) — still exact."""
     cfg = tiny_dit_config()
     geom = tiny_geometry()
     mk = lambda s: D.init_dit_params(jax.random.PRNGKey(s), cfg, jnp.float32,
@@ -99,7 +103,8 @@ def test_streaming_staged_matches_monolithic():
               slice_last_frames=3, attn_impl="xla", dfake_gen_update_ratio=2)
 
     def run(staged):
-        tcfg = TrainerConfig(**kw, staged_phases=staged)
+        tcfg = TrainerConfig(**kw, staged_phases=staged,
+                             block_vjp=staged and block_vjp)
         tr = StreamingTrainer(tcfg, cfg, geom, mk(0), mk(1), mk(2),
                               streaming_cfg=scfg)
         pe_c = jax.random.normal(jax.random.PRNGKey(3),
