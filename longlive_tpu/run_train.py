@@ -71,7 +71,10 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
         opt_on_host=bool(raw.get("opt_on_host", False)),
         ema_on_host=bool(raw.get("ema_on_host", True)),
         cache_int8=bool(raw.get("cache_int8", False)),
-        staged_phases=bool(raw.get("staged_phases", False)),
+        staged_phases=bool(raw.get("staged_phases", False))
+        or bool(raw.get("block_vjp", False)),
+        block_vjp=bool(raw.get("block_vjp", False)),
+        page_generator=bool(raw.get("page_generator", False)),
         teacher_stream=bool(raw.get("teacher_stream", False)),
     )
 
