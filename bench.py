@@ -188,6 +188,15 @@ def main():
     vae_params = None
     if not skip_vae:
         vae_params = V.init_vae_params(jax.random.PRNGKey(3), vcfg, jnp.bfloat16)
+        if use_int8 and os.environ.get("BENCH_INT8_VAE", "0") != "1":
+            # int8 MXU pipe INSIDE the fused VAE conv kernel (per-oc weight
+            # scales, gamma fold, per-tile activation scale): decode 189.3
+            # -> 179.6 ms/latent-frame, e2e 466.2 -> 456.0 (chip session i);
+            # quality bound measured at <= 0.53% latent rel-RMS
+            # (scripts/quality_delta.py).  Part of the int8 serving mode —
+            # the reference's own headline quotes its quantized mode.
+            # LONGLIVE_VAE_INT8=0 forces bf16 VAE under BENCH_INT8=1.
+            os.environ.setdefault("LONGLIVE_VAE_INT8", "1")
         if use_int8 and os.environ.get("BENCH_INT8_VAE", "0") == "1":
             # legacy mode: int8 wide-stage convs (-7 ms vs the bf16 XLA
             # path) — superseded by the fused bf16 conv kernel (-14 ms),
@@ -317,6 +326,8 @@ def main():
         "kernel_cache": pipe.kernel_cache,
         "fused_rope": fused_rope,
         "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",
+        "vae_int8": (not skip_vae
+                     and os.environ.get("LONGLIVE_VAE_INT8", "0") == "1"),
         "first_run_s": round(compile_and_run, 1),
         "device": str(jax.devices()[0]),
     }

@@ -297,7 +297,9 @@ def main():
                 num_training_frames=frames, min_num_training_frames=frames,
                 slice_last_frames=-1, lora_rank=256, lora_alpha=256.0,
                 dfake_gen_update_ratio=1, opt_on_host=True,
-                cache_int8=args.cache_int8, staged_phases=args.staged)
+                cache_int8=args.cache_int8,
+                staged_phases=args.staged or args.block_vjp,
+                block_vjp=args.block_vjp)
             scfg = StreamingConfig(chunk_size=frames, max_length=frames * 4,
                                    min_new_frame=max(frames - 3, 3))
             tr = StreamingTrainer(tcfg, cfg, geom, gen, critic, teacher,
