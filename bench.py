@@ -298,7 +298,15 @@ def main():
         force(c)
         return (time.perf_counter() - t0) / reps * 1e3
 
-    switch_ms = measure_switch()
+    try:
+        switch_ms = round(measure_switch(), 1)
+    except Exception as e:  # B>1 HBM-edge configs: the serving numbers
+        # above are already measured — report the switch as absent
+        # rather than losing the run (the recache replay at batch 2
+        # plus the resident caches is the one allocation that can OOM)
+        print(f"bench: switch measurement failed: {str(e)[:100]}",
+              file=sys.stderr, flush=True)
+        switch_ms = None
 
     pixel_frames = 4 * frames * batch  # measured segment only (post-warmup)
     fps = pixel_frames / elapsed
@@ -312,7 +320,7 @@ def main():
         "latent_frames_measured": frames,
         "batch": batch,
         "prompt_switches": 1 if use_switches else 0,
-        "switch_recache_ms": round(switch_ms, 1),
+        "switch_recache_ms": switch_ms,
         "attn_window": f"{local_attn},{sink}",
         "include_vae": not skip_vae,
         "int8": use_int8,
