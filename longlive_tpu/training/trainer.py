@@ -162,7 +162,13 @@ def host_adamw_step(st: dict, grads_dev, *, lr, b1, b2, eps=1e-8,
     """In-place numpy AdamW over the host state; returns (new device
     params in ``out_dtypes`` per leaf — or ``out_dtype`` for all —,
     grad global-norm)."""
-    g = [np.asarray(x, np.float32) for x in jax.tree.leaves(grads_dev)]
+    leaves = jax.tree.leaves(grads_dev)
+    for x in leaves:  # start ALL D2H copies before blocking on the first
+        try:
+            x.copy_to_host_async()
+        except AttributeError:  # non-jax leaf (np array under tests)
+            pass
+    g = [np.asarray(x, np.float32) for x in leaves]
     gn = float(np.sqrt(sum(float((x.astype(np.float64) ** 2).sum()) for x in g)))
     scale = 1.0 if (clip <= 0.0 or gn <= clip) else clip / gn
     st["t"] += 1
