@@ -27,7 +27,8 @@ from .parallel import mesh as M
 from .training.streaming import StreamingConfig, StreamingTrainer
 from .training.trainer import ScoreDistillationTrainer, TrainerConfig
 from .utils import loading, orbax_io
-from .utils.dataset import TextDataset, TwoTextDataset, cycle, shard
+from .utils.dataset import (PrefetchIterator, TextDataset, TwoTextDataset,
+                            cycle, epoch_shard)
 from .utils.metrics import MetricsLogger
 
 
@@ -184,7 +185,18 @@ def main():
             ds = TwoTextDataset(data_path, switch_path)
         else:
             ds = TextDataset(data_path)
-        prompt_iter = cycle(shard(ds, jax.process_index(), jax.process_count()))
+        # per-epoch shuffled shard (DistributedSampler shuffle+set_epoch)
+        # behind a bounded background prefetch (DataLoader-worker analogue:
+        # host-side IO overlaps device steps)
+        def _epochs(seed=int(raw.get("seed", 0))):
+            epoch = 0
+            while True:
+                for row in epoch_shard(ds, jax.process_index(),
+                                       jax.process_count(), seed, epoch):
+                    yield row
+                epoch += 1
+
+        prompt_iter = PrefetchIterator(_epochs(), depth=4)
     else:
         prompt_iter = cycle([{"prompts": "(random)", "idx": 0}])
     neg_prompt = raw.get("negative_prompt", "")

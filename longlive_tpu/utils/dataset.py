@@ -77,7 +77,80 @@ def shard(dataset, host_index: int, host_count: int) -> List:
     return [dataset[i] for i in range(host_index, len(dataset), host_count)]
 
 
+def shuffled_indices(n: int, seed: int, epoch: int) -> List[int]:
+    """Deterministic per-epoch permutation — DistributedSampler's
+    ``shuffle=True`` + ``set_epoch`` semantics (every host computes the
+    same order from (seed, epoch); no broadcast needed)."""
+    import random as _random
+
+    idx = list(range(n))
+    _random.Random((seed << 20) ^ epoch).shuffle(idx)
+    return idx
+
+
+def epoch_shard(dataset, host_index: int, host_count: int, seed: int,
+                epoch: int) -> List:
+    """Shuffled-then-sharded epoch view: the multi-host training loader
+    (reference: DataLoader(sampler=DistributedSampler(shuffle=True)) with
+    set_epoch per epoch, trainer/distillation.py train loop)."""
+    order = shuffled_indices(len(dataset), seed, epoch)
+    return [dataset[i] for i in order[host_index::host_count]]
+
+
 def cycle(iterable: Sequence) -> Iterator:
     while True:
         for item in iterable:
             yield item
+
+
+class PrefetchIterator:
+    """Bounded background-thread prefetch over any iterator — the
+    DataLoader ``num_workers``/``prefetch_factor`` analogue.  On TPU hosts
+    this overlaps host-side work (file IO, tokenization, prompt encoding
+    feed prep) with device steps; the device dispatch itself is already
+    async so depth 2-4 suffices.
+
+    Exceptions raised by the source iterator re-raise at the consuming
+    ``next()``; iteration ends cleanly on StopIteration.  Call ``close()``
+    (or exhaust it) to join the thread."""
+
+    _END = object()
+
+    def __init__(self, iterable, depth: int = 4):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+
+        def _worker():
+            try:
+                for item in iterable:
+                    if self._stop.is_set():
+                        return
+                    self._q.put(item)
+                self._q.put(self._END)
+            except BaseException as e:  # noqa: BLE001 — re-raised at next()
+                self._q.put(e)
+
+        self._t = threading.Thread(target=_worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            self._t.join()
+            raise StopIteration
+        if isinstance(item, BaseException):
+            self._t.join()
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        while not self._q.empty():  # unblock a worker stuck on put()
+            self._q.get_nowait()
+        self._t.join(timeout=5)

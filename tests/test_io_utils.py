@@ -125,3 +125,47 @@ def test_load_base_dit_safetensors(tmp_path):
     want = dit_params_from_torch(sd, cfg, jnp.float32)
     for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_epoch_shard_and_prefetch(tmp_path):
+    """epoch_shard: deterministic per-(seed, epoch) shuffle, disjoint+complete
+    across hosts (DistributedSampler shuffle+set_epoch semantics);
+    PrefetchIterator: order-preserving, exception-propagating background
+    prefetch (DataLoader worker analogue)."""
+    from longlive_tpu.utils.dataset import (PrefetchIterator, TextDataset,
+                                            epoch_shard, shuffled_indices)
+
+    p = tmp_path / "p.txt"
+    p.write_text("\n".join(f"prompt {i}" for i in range(10)) + "\n")
+    ds = TextDataset(str(p))
+
+    assert shuffled_indices(10, seed=3, epoch=1) == shuffled_indices(
+        10, seed=3, epoch=1)
+    assert shuffled_indices(10, seed=3, epoch=1) != shuffled_indices(
+        10, seed=3, epoch=2)
+
+    a = epoch_shard(ds, 0, 2, seed=3, epoch=5)
+    b = epoch_shard(ds, 1, 2, seed=3, epoch=5)
+    got = sorted(r["idx"] for r in a + b)
+    assert got == list(range(10))  # disjoint and complete
+    assert [r["idx"] for r in epoch_shard(ds, 0, 2, seed=3, epoch=5)] == [
+        r["idx"] for r in a]  # deterministic
+
+    it = PrefetchIterator(iter(range(100)), depth=3)
+    assert list(it) == list(range(100))  # order preserved
+
+    def boom():
+        yield 1
+        raise ValueError("source failed")
+
+    it = PrefetchIterator(boom())
+    assert next(it) == 1
+    try:
+        next(it)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    it = PrefetchIterator(iter(range(10**6)), depth=2)
+    assert next(it) == 0
+    it.close()  # joins without hanging on the full queue
