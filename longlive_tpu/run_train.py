@@ -70,6 +70,7 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
         # single-chip HBM levers (no reference analogue — it trains on
         # 80 GB H100s): host-resident AdamW state and EMA shadow
         opt_on_host=bool(raw.get("opt_on_host", False)),
+        opt_async=bool(raw.get("opt_async", False)),
         ema_on_host=bool(raw.get("ema_on_host", True)),
         cache_int8=bool(raw.get("cache_int8", False)),
         staged_phases=bool(raw.get("staged_phases", False))
@@ -279,12 +280,14 @@ def main():
             print(metrics)
         logger.log(metrics, step=step)
         if step > 0 and step % log_iters == 0:
+            trainer.finish_pending()  # quiesce the async critic update
             orbax_io.save_train_state(args.logdir, step, trainer.state, max_ckpts)
         if vis_interval and step > 0 and step % vis_interval == 0:
             try:
                 visualize(step)
             except Exception as e:  # non-fatal like the reference
                 print(f"[vis] failed at step {step}: {e}")
+    trainer.finish_pending()
     orbax_io.save_train_state(args.logdir, int(trainer.state["step"]),
                               trainer.state, max_ckpts)
     logger.event("on_app_end", {"final_step": int(trainer.state["step"])})

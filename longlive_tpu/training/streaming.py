@@ -372,6 +372,10 @@ class StreamingTrainer(ScoreDistillationTrainer):
                 attn_impl=self.rcfg.attn_impl, streamed=True)
         else:
             teacher = mem_mod.fetch_from_host(self.teacher_params)
+        # land the pending async critic update (opt_async) before the
+        # critic participates in the DMD loss grad — it has been hiding
+        # behind the chunk-rollout dispatch above
+        self._join_pending()
         critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
                        if self.critic_lora_on else empty)
         critic_train = self.state[
@@ -396,8 +400,8 @@ class StreamingTrainer(ScoreDistillationTrainer):
                 cur_start, rng_roll, dch)
         return grads, new_cache, new_prev, loss, aux
 
-    def _critic_chunk_staged(self, key, trained_c, cache, prev_overlap, noise,
-                             prompt, cur_start, rng):
+    def _critic_chunk_staged(self, key, critic_train_key, cache,
+                             prev_overlap, noise, prompt, cur_start, rng):
         from ..utils import memory as mem_mod
 
         empty = {}
@@ -407,6 +411,10 @@ class StreamingTrainer(ScoreDistillationTrainer):
         chunk, new_cache, new_prev = self._staged_chunk_croll(key)(
             gen_train, gen_base, cache, prev_overlap, noise, prompt,
             cur_start, rng_roll)
+        # land the previous step's async critic update AFTER the chunk
+        # rollout dispatch (which only needs the generator)
+        self._join_pending()
+        trained_c = self.state[critic_train_key]
         critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
                        if self.critic_lora_on else empty)
         grads, loss, aux = self._staged_chunk_cgrad(key[0])(
@@ -575,6 +583,7 @@ class StreamingTrainer(ScoreDistillationTrainer):
                     skey, trained, s["cache"], prev_overlap, noise, prompt,
                     s["prompt_u"], cur_start, rng_step)
             else:
+                self._join_pending()  # the monolithic gen jit reads the critic
                 fn = self._gen_chunk_step(*skey)
                 out = fn(
                     trained,
@@ -598,13 +607,15 @@ class StreamingTrainer(ScoreDistillationTrainer):
             self.state[gen_train_key] = gt
             metrics = {"generator_loss": float(loss)}
         else:
-            trained_c = self.state[critic_train_key]
             if self.tcfg.staged_phases:
                 grads, cache, new_prev, loss, aux = self._critic_chunk_staged(
-                    skey, trained_c, s["cache"], prev_overlap, noise, prompt,
-                    cur_start, rng_step)
+                    skey, critic_train_key, s["cache"], prev_overlap, noise,
+                    prompt, cur_start, rng_step)
             else:
+                self._join_pending()
                 fn = self._critic_chunk_step(*skey)
+            trained_c = self.state[critic_train_key]  # post-join value
+            if not self.tcfg.staged_phases:
                 out = fn(
                     trained_c,
                     empty if self.tcfg.opt_on_host else self.state["critic_opt"],
@@ -619,7 +630,8 @@ class StreamingTrainer(ScoreDistillationTrainer):
                 ct, aux = self._apply_update_eager(
                     "critic_opt", self.critic_tx, grads, trained_c,
                     self.tcfg.lr_critic, self.tcfg.beta1_critic,
-                    self.tcfg.beta2_critic, "critic_grad_norm", aux)
+                    self.tcfg.beta2_critic, "critic_grad_norm", aux,
+                    state_key=critic_train_key)
                 del grads
             else:
                 ct, copt, cache, new_prev, loss, aux = out

@@ -85,6 +85,17 @@ class TrainerConfig:
     # 16 GB — m+v+master f32 for gen+critic adapters alone is ~13 GB on
     # device.  Costs one grads D2H + params H2D per update.
     opt_on_host: bool = False
+    # overlap the CRITIC's host AdamW with the next step's rollout: the
+    # grad D2H + numpy math + new-param H2D run on a background thread and
+    # the result lands (join) right before the next read of the critic
+    # params — which is after the next step's rollout dispatch on the
+    # staged paths, so the whole host update hides behind device compute.
+    # Exact (same ops, deferred); the generator update stays synchronous
+    # because the SAME step's critic rollout needs the updated generator
+    # (reference order, trainer/distillation.py:1258-1298).  The reported
+    # ``critic_grad_norm`` lags one step (it is produced inside the
+    # deferred update).  Requires opt_on_host.
+    opt_async: bool = False
     # store the rollout KV cache int8 (k and v, per-token scales): pure
     # memory lever for full-geometry single-chip steps — the cache is
     # stop-gradded context, so only forward values shift (≈0.03% latent
@@ -193,6 +204,44 @@ def host_adamw_step(st: dict, grads_dev, *, lr, b1, b2, eps=1e-8,
     new_dev = jax.tree.unflatten(
         treedef, [jnp.asarray(p, dt) for p, dt in zip(ps, out_dtypes)])
     return new_dev, gn
+
+
+class _AsyncHostUpdate:
+    """One in-flight ``host_adamw_step`` on a worker thread (opt_async).
+
+    The D2H copies are STARTED on the calling thread (so they enqueue on
+    the transfer stream before the caller dispatches the next step's
+    device work); the norm/AdamW numpy math and the new-param H2D run on
+    the worker.  ``join()`` returns ``(new_trained, grad_norm)`` and
+    re-raises any worker exception.  At most one of these exists per
+    optimizer (the trainer joins before starting the next update), so the
+    in-place mutation of ``opt_state`` is race-free."""
+
+    def __init__(self, opt_state: dict, grads_dev, kwargs: dict):
+        import threading
+
+        for x in jax.tree.leaves(grads_dev):
+            try:
+                x.copy_to_host_async()
+            except AttributeError:  # non-jax leaf (np array under tests)
+                pass
+        self._box: dict = {}
+
+        def _run():
+            try:
+                self._box["out"] = host_adamw_step(opt_state, grads_dev,
+                                                   **kwargs)
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                self._box["err"] = e
+
+        self._t = threading.Thread(target=_run, daemon=True)
+        self._t.start()
+
+    def join(self):
+        self._t.join()
+        if "err" in self._box:
+            raise self._box["err"]
+        return self._box["out"]
 
 
 class ScoreDistillationTrainer:
@@ -323,6 +372,10 @@ class ScoreDistillationTrainer:
                 gen_trained),
             step=jnp.zeros([], jnp.int32),
         )
+        self._pending = None  # (state_key, norm_key, _AsyncHostUpdate)
+        self._last_async_norms: Dict[str, float] = {}
+        if tcfg.opt_async and not tcfg.opt_on_host:
+            raise ValueError("opt_async requires opt_on_host")
         if tcfg.teacher_stream and not tcfg.staged_phases:
             raise ValueError("teacher_stream requires staged_phases")
         if tcfg.block_vjp and not tcfg.staged_phases:
@@ -683,6 +736,10 @@ class ScoreDistillationTrainer:
                 attn_impl=self.rcfg.attn_impl, streamed=True)
         else:
             teacher = mem_mod.fetch_from_host(self.teacher_params)
+        # the pending async critic update (opt_async) has been hiding
+        # behind the rollout dispatch above; it must land before the
+        # critic participates in the DMD loss grad
+        self._join_pending()
         critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
                        if self.critic_lora_on else empty)
         critic_train = self.state[
@@ -708,7 +765,8 @@ class ScoreDistillationTrainer:
                                            prompt_c, rng_roll, dlat)
         return grads, loss, aux, trained
 
-    def _critic_step_staged(self, exit_idx, trained_c, noise, prompt_c, rng):
+    def _critic_step_staged(self, exit_idx, critic_train_key, noise,
+                            prompt_c, rng):
         from ..utils import memory as mem_mod
 
         empty = {}
@@ -718,6 +776,11 @@ class ScoreDistillationTrainer:
         rkey = (exit_idx, noise.shape[1] + 1)  # no grad anywhere
         latents = self._staged_roll(rkey)(gen_train, gen_base, noise,
                                           prompt_c, rng_roll)
+        # land the previous step's async critic update AFTER the rollout
+        # dispatch (the rollout only needs the generator) — the host AdamW
+        # has been running behind it since the last step
+        self._join_pending()
+        trained_c = self.state[critic_train_key]
         critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
                        if self.critic_lora_on else empty)
         grads, loss, aux = self._staged_critic_grad(exit_idx)(
@@ -726,20 +789,56 @@ class ScoreDistillationTrainer:
         del critic_base, latents
         return grads, loss, aux
 
+    def _join_pending(self):
+        """Land the in-flight async critic update (opt_async), installing
+        the new trained params into ``self.state`` and stashing the grad
+        norm for the NEXT step's metrics.  No-op when nothing is pending.
+        Must run before ANY read of the pending params — the staged paths
+        call it right after dispatching the next rollout, which is where
+        the overlap comes from."""
+        if self._pending is None:
+            return
+        state_key, norm_key, fut = self._pending
+        self._pending = None
+        new_t, gnorm = fut.join()
+        self.state[state_key] = new_t
+        self._last_async_norms[norm_key] = gnorm
+
+    # public: callers (checkpoint save, end of training) must quiesce the
+    # trainer before reading self.state directly
+    finish_pending = _join_pending
+
     def _apply_update_eager(self, opt_key: str, tx, grads, trained,
                             lr: float, b1: float, b2: float,
-                            norm_key: str, aux: dict):
+                            norm_key: str, aux: dict, state_key=None):
         """Eager optimizer application shared by the staged-phases and
         opt-on-host paths of BOTH trainers' generator and critic updates
         (the monolithic path applies its update inside the train-step jit
         instead).  Mutates ``self.state[opt_key]`` and returns
-        (new_trained, aux + grad norm)."""
+        (new_trained, aux + grad norm).
+
+        With ``opt_async`` and a ``state_key``, the host update is instead
+        launched on a worker thread and the returned ``new_trained`` is an
+        ``_AsyncHostUpdate`` future; the caller stores it into
+        ``self.state[state_key]`` and ``_join_pending`` replaces it with
+        the real params at the next read point.  The grad norm then
+        appears in the NEXT step's aux (lagged by one step)."""
         if self.tcfg.opt_on_host:
             dtypes = [x.dtype for x in jax.tree.leaves(trained)]
+            kwargs = dict(lr=lr, b1=b1, b2=b2,
+                          weight_decay=self.tcfg.weight_decay,
+                          clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
+            if self.tcfg.opt_async and state_key is not None:
+                assert self._pending is None, "one async update at a time"
+                fut = _AsyncHostUpdate(self.state[opt_key], grads, kwargs)
+                self._pending = (state_key, norm_key, fut)
+                out_aux = dict(aux)
+                prev = self._last_async_norms.pop(norm_key, None)
+                if prev is not None:
+                    out_aux[norm_key] = prev
+                return fut, out_aux
             new_t, gnorm = host_adamw_step(
-                self.state[opt_key], grads, lr=lr, b1=b1, b2=b2,
-                weight_decay=self.tcfg.weight_decay,
-                clip=self.tcfg.grad_clip_norm, out_dtypes=dtypes)
+                self.state[opt_key], grads, **kwargs)
         else:
             updates, self.state[opt_key] = tx.update(
                 grads, self.state[opt_key], trained)
@@ -794,6 +893,7 @@ class ScoreDistillationTrainer:
                     exit_idx, 0, use_mask, self.state[gen_train_key],
                     noise[:, : nb * fpb], prompt_c, prompt_u, rng_g)
             else:
+                self._join_pending()  # the monolithic gen jit reads the critic
                 trained = self.state[gen_train_key]
                 key = (exit_idx, 0, use_mask)
                 if key not in self._gen_steps:
@@ -828,11 +928,14 @@ class ScoreDistillationTrainer:
         # critic trains every step, on its own rollout of the same prompts
         # (reference fwdbwd_one_step(batch, False) after the generator pass)
         exit_c, nb_c, _ = self._sample_rollout_geometry(noise, rng_exit2, rng_len2)
-        trained_c = self.state[critic_train_key]
         if self.tcfg.staged_phases:
             cgrads, closs, caux = self._critic_step_staged(
-                exit_c, trained_c, noise[:, : nb_c * fpb], prompt_c, rng_c)
+                exit_c, critic_train_key, noise[:, : nb_c * fpb], prompt_c,
+                rng_c)
+            trained_c = self.state[critic_train_key]  # post-join value
         else:
+            self._join_pending()
+            trained_c = self.state[critic_train_key]
             if exit_c not in self._critic_steps:
                 self._critic_steps[exit_c] = self._critic_step_fn(exit_c)
             cargs = (
@@ -852,7 +955,8 @@ class ScoreDistillationTrainer:
             ct, aux = self._apply_update_eager(
                 "critic_opt", self.critic_tx, grads, trained_c,
                 self.tcfg.lr_critic, self.tcfg.beta1_critic,
-                self.tcfg.beta2_critic, "critic_grad_norm", aux)
+                self.tcfg.beta2_critic, "critic_grad_norm", aux,
+                state_key=critic_train_key)
             del grads
         else:
             ct, copt, loss, aux = self._critic_steps[exit_c](*cargs)

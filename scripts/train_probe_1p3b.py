@@ -81,6 +81,10 @@ def main():
                     help="eager per-block generator VJP (exact; peak HBM "
                          "one block's residuals instead of all blocks' — "
                          "the 21-frame OOM fix; implies --staged)")
+    ap.add_argument("--opt_async", action="store_true",
+                    help="overlap the critic's host AdamW (grad D2H + numpy "
+                         "math + param H2D) with the next step's rollout "
+                         "dispatch (TrainerConfig.opt_async; exact)")
     ap.add_argument("--staged", action="store_true",
                     help="staged_phases: 3-jit DMD split with the teacher + "
                          "frozen critic base paged to host between phases "
@@ -259,7 +263,8 @@ def main():
                 # 16 GB chip: bf16 adapters (reference adapter.dtype) +
                 # ZeRO-Offload-style host AdamW — on-device f32 master+
                 # moments for 2x540M adapter params alone would be ~13 GB
-                opt_on_host=True, cache_int8=args.cache_int8,
+                opt_on_host=True, opt_async=args.opt_async,
+                cache_int8=args.cache_int8,
                 staged_phases=(args.staged or args.teacher_14b
                                or args.block_vjp),
                 block_vjp=args.block_vjp,
@@ -271,12 +276,14 @@ def main():
             mem("trainer_ready")
             t0 = time.perf_counter()
             m = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(5))
+            tr.finish_pending()
             _ = float(jnp.asarray(m["critic_loss"]))
             mem("first_step_done")
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             for r in range(args.reps):
                 m = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(5))
+            tr.finish_pending()  # include the trailing async update
             _ = float(jnp.asarray(m["critic_loss"]))
             dt = (time.perf_counter() - t0) / args.reps
             extra = {"generator_loss": float(m.get("generator_loss", float("nan"))),
@@ -297,7 +304,7 @@ def main():
                 num_training_frames=frames, min_num_training_frames=frames,
                 slice_last_frames=-1, lora_rank=256, lora_alpha=256.0,
                 dfake_gen_update_ratio=1, opt_on_host=True,
-                cache_int8=args.cache_int8,
+                opt_async=args.opt_async, cache_int8=args.cache_int8,
                 staged_phases=args.staged or args.block_vjp,
                 block_vjp=args.block_vjp)
             scfg = StreamingConfig(chunk_size=frames, max_length=frames * 4,
@@ -319,6 +326,7 @@ def main():
             for r in range(args.reps):
                 m = tr.streaming_train_step(jax.random.PRNGKey(13 + r),
                                             new_sequence_cb=restart)
+            tr.finish_pending()  # include the trailing async update
             _ = float(jnp.asarray(m["critic_loss"]))
             mem("steady_step_done")
             dt = (time.perf_counter() - t0) / args.reps

@@ -128,6 +128,102 @@ def test_opt_on_host_matches_device():
                                        rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("staged", [False, pytest.param(True, marks=pytest.mark.slow)])
+def test_opt_async_matches_sync(staged):
+    """opt_async defers the critic's host AdamW (grad D2H + numpy math +
+    param H2D) to a worker thread; the update lands right before the next
+    read of the critic params.  Same numpy ops on the same grads, just
+    deferred → final params, optimizer state, and per-step losses must be
+    IDENTICAL to the synchronous opt_on_host path; the reported
+    ``critic_grad_norm`` lags one step."""
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    mk = lambda s: D.init_dit_params(jax.random.PRNGKey(s), cfg, jnp.float32,
+                                     zero_head=False)
+    noise = jax.random.normal(jax.random.PRNGKey(3),
+                              (1, 3, geom.channels, geom.height, geom.width))
+    pe = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.text_len, cfg.text_dim))
+
+    def run(async_on):
+        tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                             min_num_training_frames=3, slice_last_frames=3,
+                             attn_impl="xla", dfake_gen_update_ratio=2,
+                             lora_rank=4, lora_alpha=4.0, lora_dtype="float32",
+                             opt_on_host=True, opt_async=async_on,
+                             staged_phases=staged)
+        tr = ScoreDistillationTrainer(tcfg, cfg, geom, mk(0), mk(1), mk(2))
+        ms = [tr.train_step(noise, pe, pe * 0.1, jax.random.PRNGKey(5))
+              for _ in range(3)]
+        tr.finish_pending()
+        assert tr._pending is None
+        return tr, ms
+
+    tr_s, ms_s = run(False)
+    tr_a, ms_a = run(True)
+    for key in ("gen_lora", "critic_lora"):
+        for a, b in zip(jax.tree.leaves(tr_s.state[key]),
+                        jax.tree.leaves(tr_a.state[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for key in ("gen_opt", "critic_opt"):
+        assert tr_s.state[key]["t"] == tr_a.state[key]["t"]
+        for sub in ("m", "v", "master"):
+            for a, b in zip(jax.tree.leaves(tr_s.state[key][sub]),
+                            jax.tree.leaves(tr_a.state[key][sub])):
+                np.testing.assert_array_equal(a, b)
+    for m_s, m_a in zip(ms_s, ms_a):
+        np.testing.assert_array_equal(m_s["critic_loss"], m_a["critic_loss"])
+    # the async norm is the PREVIOUS step's (produced inside the deferred
+    # update): absent on step 0, step 1 reports step 0's value
+    assert "critic_grad_norm" not in ms_a[0]
+    np.testing.assert_allclose(ms_a[1]["critic_grad_norm"],
+                               ms_s[0]["critic_grad_norm"], rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_opt_async_streaming_matches_sync():
+    """Streaming-trainer variant: the async critic update must land before
+    the next chunk's critic grad (and before the generator's DMD loss on
+    generator steps) — final adapter state identical to synchronous."""
+    cfg = tiny_dit_config()
+    geom = tiny_geometry()
+    mk = lambda s: D.init_dit_params(jax.random.PRNGKey(s), cfg, jnp.float32,
+                                     zero_head=False)
+    pe = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.text_len, cfg.text_dim))
+
+    def run(async_on):
+        tcfg = TrainerConfig(num_frame_per_block=1, num_training_frames=3,
+                             slice_last_frames=3, attn_impl="xla",
+                             dfake_gen_update_ratio=2, lora_rank=4,
+                             lora_alpha=4.0, lora_dtype="float32",
+                             opt_on_host=True, opt_async=async_on)
+        scfg = StreamingConfig(chunk_size=3, max_length=9, min_new_frame=2,
+                               switch_choices=(3,))
+        tr = StreamingTrainer(tcfg, cfg, geom, mk(0), mk(1), mk(2),
+                              streaming_cfg=scfg)
+
+        def new_seq():
+            tr.start_new_sequence(pe, pe * 0.1, jax.random.PRNGKey(7))
+
+        new_seq()
+        ms = []
+        for _ in range(3):
+            if not tr.can_generate_more():
+                new_seq()
+            ms.append(tr.streaming_train_step(jax.random.PRNGKey(8),
+                                              new_sequence_cb=new_seq))
+        tr.finish_pending()
+        return tr, ms
+
+    tr_s, ms_s = run(False)
+    tr_a, ms_a = run(True)
+    for key in ("gen_lora", "critic_lora"):
+        for a, b in zip(jax.tree.leaves(tr_s.state[key]),
+                        jax.tree.leaves(tr_a.state[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for m_s, m_a in zip(ms_s, ms_a):
+        np.testing.assert_array_equal(m_s["critic_loss"], m_a["critic_loss"])
+
+
 @pytest.mark.slow
 def test_lora_streaming_step():
     cfg = tiny_dit_config()
