@@ -1,5 +1,5 @@
 # Round-2 chip session i: async host-AdamW A/B (TrainerConfig.opt_async).
-# The critic's host AdamW (grad D2H + numpy math + param H2D — ~2.2 GB of
+# The critic's host AdamW (grad D2H + numpy math + param H2D — ~3.3 GB of
 # tunnel paging per step at LoRA-r256) runs on a worker thread and lands
 # after the NEXT step's rollout dispatch.  Exact (parity-tested on CPU);
 # this measures how much of it hides behind device compute on the real
@@ -17,15 +17,15 @@ while kill -0 "$(cat /tmp/chip_session.pid 2>/dev/null)" 2>/dev/null; do sleep 3
 echo $$ > /tmp/chip_session.pid
 
 echo "=== staged 6-frame lora_step, SYNC host AdamW (baseline) ==="
-if [ "$(left)" -gt 2100 ]; then
-  timeout 2100 python scripts/train_probe_1p3b.py \
-    --mode lora_step --frames 6 --reps 3 --staged 2>&1 | tail -3
+if [ "$(left)" -gt 600 ]; then
+  timeout 2100 python -u scripts/train_probe_1p3b.py \
+    --mode lora_step --frames 6 --reps 3 --staged 2>&1 | tee /tmp/r2i_sync.log
 fi
 
 echo "=== staged 6-frame lora_step, ASYNC critic host AdamW ==="
-if [ "$(left)" -gt 2100 ]; then
-  timeout 2100 python scripts/train_probe_1p3b.py \
-    --mode lora_step --frames 6 --reps 3 --staged --opt_async 2>&1 | tail -3
+if [ "$(left)" -gt 600 ]; then
+  timeout 2100 python -u scripts/train_probe_1p3b.py \
+    --mode lora_step --frames 6 --reps 3 --staged --opt_async 2>&1 | tee /tmp/r2i_async.log
 fi
 
 rm -f /tmp/chip_session.pid
