@@ -16,6 +16,8 @@ Env knobs: BENCH_FRAMES (measured latent frames, default 30),
 BENCH_BATCH (batched serving, aggregate FPS; default 1),
 BENCH_SWITCHES=1 to run the measured segment with a mid-run prompt switch,
 BENCH_SKIP_VAE=1 to exclude VAE decode, BENCH_INT8=1 for the quantized DiT,
+BENCH_PER_STREAM_VAE=1 to decode each batched stream as a separate B=1
+call (halves the decode HBM peak — the B>1 full-VAE OOM fix),
 BENCH_WINDOW="local,sink" attention window (default "9,3" — the reference's
 own tuned config, -6% latency with no quality drop on its H100 ablation,
 reports.md:57-61; "12,3" for the shipped-yaml window).
@@ -207,16 +209,35 @@ def main():
         decode_first = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z, None, True))
         decode_rest = jax.jit(lambda p, z, c: V.vae_decode_scan(p, vcfg, z, c, False))
 
+    # BENCH_PER_STREAM_VAE=1 (batch>1): decode each stream as a separate
+    # B=1 VAE call with its own conv-cache chain — peak decode HBM is one
+    # stream's temps instead of batch x (the B=2 full-VAE OOM fix;
+    # pipeline/serve.py per_stream_decode is the serving-path analogue)
+    per_stream_vae = (batch > 1 and not skip_vae and
+                      os.environ.get("BENCH_PER_STREAM_VAE", "0") == "1")
+
     def run_segment(noise_seg, cross, cache, rng, start, vae_caches, first_seg):
         lat, cache, rng = pipe.generate_latents_scanned(
             noise_seg, cross, rng=rng, cache=cache, start_frame=start)
         pixels = None
         if not skip_vae:
-            if first_seg:
-                pixels, vae_caches = decode_first(vae_params, lat.astype(jnp.bfloat16))
+            lz = lat.astype(jnp.bfloat16)
+            if per_stream_vae:
+                if vae_caches is None:
+                    vae_caches = [None] * batch
+                rows = []
+                for s in range(batch):
+                    if first_seg:
+                        row, vae_caches[s] = decode_first(vae_params, lz[s : s + 1])
+                    else:
+                        row, vae_caches[s] = decode_rest(vae_params, lz[s : s + 1],
+                                                         vae_caches[s])
+                    rows.append(row)
+                pixels = jnp.concatenate(rows, axis=0)
+            elif first_seg:
+                pixels, vae_caches = decode_first(vae_params, lz)
             else:
-                pixels, vae_caches = decode_rest(vae_params, lat.astype(jnp.bfloat16),
-                                                 vae_caches)
+                pixels, vae_caches = decode_rest(vae_params, lz, vae_caches)
         return lat, cache, rng, vae_caches, pixels
 
     total = warmup_frames + frames

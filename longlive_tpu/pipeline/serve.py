@@ -37,6 +37,16 @@ class PipelinedRenderer:
     segment_frames: latent frames per pipeline stage (multiple of the
                    pipeline's frame block; larger = better dispatch
                    amortization, smaller = lower first-frame latency).
+    per_stream_decode: with batched serving (B > 1), decode each stream's
+                   latents as a separate B=1 call (one compile, reused
+                   across streams) — the decode device's peak HBM is ONE
+                   stream's decode temps instead of B× (measured round 2:
+                   B=2 full-VAE decode OOMs a 16 GB v5e batched).  The
+                   per-stream calls dispatch back-to-back on the decode
+                   device, so they all still overlap generation of the
+                   next segment; batched VAE gains nothing on one chip
+                   anyway (the 480×832 convs saturate it without batch
+                   amortization — PERF.md B=2 note).
     """
 
     def __init__(
@@ -46,11 +56,13 @@ class PipelinedRenderer:
         vae_cfg: V.VAEConfig,
         segment_frames: int = 12,
         decode_device: Optional[jax.Device] = None,
+        per_stream_decode: bool = False,
     ):
         assert segment_frames % pipe.frame_block == 0
         self.pipe = pipe
         self.vcfg = vae_cfg
         self.segment_frames = segment_frames
+        self.per_stream_decode = per_stream_decode
         self.decode_device = decode_device or jax.devices()[-1]
         self.vae_params = jax.device_put(vae_params, self.decode_device)
         # pin execution to the decode device via shardings (jit's `device=`
@@ -91,7 +103,23 @@ class PipelinedRenderer:
                 noise[:, start : start + n], cross_kv, rng=rng, cache=cache,
                 start_frame=start)
             lat_d = jax.device_put(lat.astype(dtype), self.decode_device)
-            if start == 0:
+            if self.per_stream_decode and b > 1:
+                # B separate B=1 decodes (independent conv-cache chains per
+                # stream; the VAE has no cross-sample ops, so this equals
+                # the batched decode) — peak HBM = one stream's temps
+                if vae_caches is None:
+                    vae_caches = [None] * b
+                px_rows = []
+                for s in range(b):
+                    if start == 0:
+                        row, vae_caches[s] = self._decode_first(
+                            self.vae_params, lat_d[s : s + 1])
+                    else:
+                        row, vae_caches[s] = self._decode_rest(
+                            self.vae_params, lat_d[s : s + 1], vae_caches[s])
+                    px_rows.append(row)
+                px = jnp.concatenate(px_rows, axis=0)
+            elif start == 0:
                 px, vae_caches = self._decode_first(self.vae_params, lat_d)
             else:
                 px, vae_caches = self._decode_rest(self.vae_params, lat_d,

@@ -34,6 +34,10 @@ def main():
                          "not a generation device")
     ap.add_argument("--segment_frames", type=int, default=12,
                     help="latent frames per pipelined segment")
+    ap.add_argument("--per_stream_decode", action="store_true",
+                    help="batched serving: decode each stream as a "
+                         "separate B=1 VAE call (halves the decode "
+                         "device's peak HBM; throughput unchanged)")
     args = ap.parse_args()
 
     config = load_pipeline_config(args.config_path)
@@ -62,7 +66,8 @@ def main():
 
         renderer = PipelinedRenderer(
             pipe, vae_params, vcfg, segment_frames=args.segment_frames,
-            decode_device=jax.devices()[args.decode_device])
+            decode_device=jax.devices()[args.decode_device],
+            per_stream_decode=args.per_stream_decode)
 
     if config.data_path and os.path.exists(config.data_path) and text_encoder:
         rows = shard(TextDataset(config.data_path), jax.process_index(),

@@ -56,6 +56,36 @@ def test_pipelined_render_matches_sequential(setup):
 
 
 @pytest.mark.slow
+def test_per_stream_decode_matches_batched(setup):
+    """per_stream_decode=True splits a B=2 render's VAE work into two B=1
+    decode calls with independent conv-cache chains (the decode device's
+    peak HBM halves — the B=2 full-VAE OOM fix for pipelined serving).
+    The VAE has no cross-sample ops, so the pixels must match the batched
+    decode."""
+    cfg, geom, params, pconfig, vcfg, vae_params = setup
+    pipe = CausalInferencePipeline(pconfig, params, geometry=geom,
+                                   dit_config=cfg, attn_impl="xla")
+    pe = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.text_len, cfg.text_dim))
+    cross = pipe.prepare_condition(pe)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (2, 6, geom.channels, geom.height, geom.width))
+
+    batched = PipelinedRenderer(
+        pipe, vae_params, vcfg, segment_frames=2,
+        decode_device=jax.devices()[1])
+    px_ref = batched.render(noise, cross, dtype=jnp.float32)
+
+    streamed = PipelinedRenderer(
+        pipe, vae_params, vcfg, segment_frames=2,
+        decode_device=jax.devices()[1], per_stream_decode=True)
+    px_str = streamed.render(noise, cross, dtype=jnp.float32)
+
+    assert px_str.shape == px_ref.shape
+    np.testing.assert_allclose(np.asarray(px_ref), np.asarray(px_str),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_pipelined_render_composes_with_sp_generation(setup):
     """The full multi-chip serving claim in one test: generation sharded
     over an sp=2 mesh (devices 0-1) while the VAE decodes pipelined on a
