@@ -33,21 +33,89 @@ def _torch_load(path: str):
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
+# -- converted-checkpoint cache --------------------------------------------
+#
+# torch->JAX conversion of the released artifacts (2.6 GB DiT, 11 GB umT5)
+# costs minutes of host CPU per process start; with ``ckpt_cache: true`` in
+# the YAML (or LONGLIVE_CKPT_CACHE=1) the converted tree is saved ONCE as an
+# orbax pytree next to the source checkpoint and later runs restore it
+# directly (round-3 queue: wire utils/orbax_io.save_params into the CLIs).
+# Freshness is keyed on the source files' mtimes (SOURCES.json marker);
+# stale or unreadable caches fall back to re-conversion with a warning.
+
+
+def _cache_enabled(config) -> bool:
+    env = os.environ.get("LONGLIVE_CKPT_CACHE")
+    if env is not None:
+        return env == "1"
+    return bool((getattr(config, "extras", None) or {}).get("ckpt_cache", False))
+
+
+def _cache_load(cache_dir: str, sources) -> Optional[dict]:
+    import json
+
+    marker = os.path.join(cache_dir, "SOURCES.json")
+    if not os.path.exists(marker):
+        return None
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+        if set(rec) != {os.path.abspath(p) for p in sources}:
+            return None
+        for p, mt in rec.items():
+            if not os.path.exists(p) or abs(os.path.getmtime(p) - mt) > 1e-3:
+                return None
+        from . import orbax_io
+
+        host = orbax_io.load_params(os.path.join(cache_dir, "params"))
+        return jax.tree.map(jnp.asarray, host)
+    except Exception as e:  # unusable cache must never block loading
+        _warn(f"checkpoint cache {cache_dir!r} unusable ({e}); re-converting")
+        return None
+
+
+def _cache_store(cache_dir: str, sources, params) -> None:
+    import json
+
+    try:
+        from . import orbax_io
+
+        orbax_io.save_params(os.path.join(cache_dir, "params"), params)
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(os.path.join(cache_dir, "SOURCES.json"), "w") as f:
+            json.dump({os.path.abspath(p): os.path.getmtime(p)
+                       for p in sources}, f)
+    except Exception as e:  # cache write failure is non-fatal
+        _warn(f"could not write checkpoint cache {cache_dir!r}: {e}")
+
+
 def load_dit_params(
     config: PipelineConfig, cfg: DiTConfig, dtype=jnp.bfloat16, use_ema: bool = False
 ) -> dict:
     """LongLive generator: base ckpt + LoRA fold (inference.py:72-130)."""
     path = config.generator_ckpt
     if path and os.path.exists(path):
+        has_lora = bool(config.lora_ckpt and os.path.exists(config.lora_ckpt))
+        sources = [path] + ([config.lora_ckpt] if has_lora else [])
+        tag = f"{'ema' if use_ema else 'gen'}-{jnp.dtype(dtype).name}" + (
+            "-lorafold" if has_lora else "")
+        cache_dir = f"{path}.jaxcache-{tag}"
+        if _cache_enabled(config):
+            cached = _cache_load(cache_dir, sources)
+            if cached is not None:
+                return cached
         sd = ckpt.unwrap_generator_checkpoint(_torch_load(path), use_ema=use_ema)
-        if config.lora_ckpt and os.path.exists(config.lora_ckpt):
+        if has_lora:
             lora = _torch_load(config.lora_ckpt)
             if isinstance(lora, dict) and "generator_lora" in lora:
                 lora = lora["generator_lora"]
             adapter = (config.extras or {}).get("adapter", {})
             scale = float(adapter.get("alpha", 256)) / float(adapter.get("rank", 256))
             sd = ckpt.fold_lora_into_dit_sd(sd, lora, alpha_over_rank=scale)
-        return ckpt.dit_params_from_torch(sd, cfg, dtype)
+        params = ckpt.dit_params_from_torch(sd, cfg, dtype)
+        if _cache_enabled(config):
+            _cache_store(cache_dir, sources, params)
+        return params
     _warn(f"generator checkpoint {path!r} not found — using random init")
     return D.init_dit_params(jax.random.PRNGKey(config.seed), cfg, dtype)
 
@@ -56,7 +124,15 @@ def load_vae_params(config: PipelineConfig, dtype=jnp.bfloat16) -> Tuple[dict, V
     vcfg = V.VAEConfig()
     path = os.path.join("wan_models", config.model_name, "Wan2.1_VAE.pth")
     if os.path.exists(path):
-        return ckpt.vae_params_from_torch(_torch_load(path), vcfg, dtype), vcfg
+        cache_dir = f"{path}.jaxcache-{jnp.dtype(dtype).name}"
+        if _cache_enabled(config):
+            cached = _cache_load(cache_dir, [path])
+            if cached is not None:
+                return cached, vcfg
+        params = ckpt.vae_params_from_torch(_torch_load(path), vcfg, dtype)
+        if _cache_enabled(config):
+            _cache_store(cache_dir, [path], params)
+        return params, vcfg
     _warn(f"VAE checkpoint {path!r} not found — using random init")
     return V.init_vae_params(jax.random.PRNGKey(0), vcfg, dtype), vcfg
 
@@ -134,7 +210,12 @@ def load_text_encoder(
     weights = os.path.join(base, "models_t5_umt5-xxl-enc-bf16.pth")
     tok = os.path.join(base, "google", "umt5-xxl")
     if os.path.exists(weights) and os.path.exists(tok):
-        params = T5.t5_params_from_torch(_torch_load(weights), tcfg, dtype)
+        cache_dir = f"{weights}.jaxcache-{jnp.dtype(dtype).name}"
+        params = _cache_load(cache_dir, [weights]) if _cache_enabled(config) else None
+        if params is None:
+            params = T5.t5_params_from_torch(_torch_load(weights), tcfg, dtype)
+            if _cache_enabled(config):
+                _cache_store(cache_dir, [weights], params)
         # `low_memory: true` (the reference's <40 GB DynamicSwapInstaller
         # mode, inference.py:62,135-136) streams one umT5 layer to HBM at a
         # time instead of residing the 11 GB encoder

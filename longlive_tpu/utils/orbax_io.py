@@ -65,8 +65,12 @@ def save_params(path: str, params: Any) -> str:
     return path
 
 
-def load_params(path: str, abstract_params: Any) -> Any:
+def load_params(path: str, abstract_params: Any = None) -> Any:
+    """Without ``abstract_params`` the tree is restored as host numpy
+    arrays in their saved dtypes (callers device_put as needed)."""
     ckptr = ocp.StandardCheckpointer()
+    if abstract_params is None:
+        return ckptr.restore(os.path.abspath(path))
     return ckptr.restore(os.path.abspath(path), abstract_params)
 
 

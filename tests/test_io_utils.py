@@ -1,5 +1,7 @@
 """Video IO + prompt extension interface + checkpoint loading."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +127,64 @@ def test_load_base_dit_safetensors(tmp_path):
     want = dit_params_from_torch(sd, cfg, jnp.float32)
     for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_converted_checkpoint_cache(tmp_path):
+    """``ckpt_cache: true``: the torch->JAX conversion result is saved as an
+    orbax pytree next to the source and restored on later loads; the cache
+    invalidates when the source file changes (mtime marker)."""
+    import dataclasses
+    import time as _time
+
+    import torch
+
+    from longlive_tpu.config import PipelineConfig, tiny_dit_config
+    from longlive_tpu.utils import loading
+    from ref_loader import load_wan_model
+
+    mm = load_wan_model()
+    torch.manual_seed(0)
+    cfg = tiny_dit_config()
+    ref = mm.WanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=cfg.text_len,
+        in_dim=cfg.in_dim, dim=cfg.dim, ffn_dim=cfg.ffn_dim,
+        freq_dim=cfg.freq_dim, text_dim=cfg.text_dim, out_dim=cfg.out_dim,
+        num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        qk_norm=True, cross_attn_norm=True, eps=1e-6)
+    path = str(tmp_path / "gen.pt")
+    torch.save({"generator": ref.state_dict()}, path)
+    pc = PipelineConfig(generator_ckpt=path, extras={"ckpt_cache": True})
+
+    first = loading.load_dit_params(pc, cfg, jnp.float32)
+    cache_dir = path + ".jaxcache-gen-float32"
+    assert (tmp_path / "gen.pt.jaxcache-gen-float32" / "SOURCES.json").exists()
+    second = loading.load_dit_params(pc, cfg, jnp.float32)  # cache hit
+    for a, b in zip(jax.tree.leaves(first), jax.tree.leaves(second)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # cache is a real orbax tree (loadable directly), and hits skip torch
+    from longlive_tpu.utils import orbax_io
+
+    host = orbax_io.load_params(cache_dir + "/params")
+    assert len(jax.tree.leaves(host)) == len(jax.tree.leaves(first))
+
+    # staleness: rewriting the source with different weights must bypass
+    # the old cache (mtime mismatch) and reconvert
+    _time.sleep(0.01)
+    torch.manual_seed(1)
+    ref2 = mm.WanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=cfg.text_len,
+        in_dim=cfg.in_dim, dim=cfg.dim, ffn_dim=cfg.ffn_dim,
+        freq_dim=cfg.freq_dim, text_dim=cfg.text_dim, out_dim=cfg.out_dim,
+        num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        qk_norm=True, cross_attn_norm=True, eps=1e-6)
+    torch.save({"generator": ref2.state_dict()}, path)
+    os.utime(path, (os.path.getmtime(path) + 5, os.path.getmtime(path) + 5))
+    third = loading.load_dit_params(pc, cfg, jnp.float32)
+    diffs = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(jax.tree.leaves(first), jax.tree.leaves(third)))
+    assert diffs > 0  # new weights actually loaded, not the stale cache
 
 
 def test_epoch_shard_and_prefetch(tmp_path):
