@@ -155,6 +155,22 @@ def main():
                         fused_rope=fused_rope and not kv_int8,
                         recache_attn_impl="pallas_qk8" if recache_qk8 else None)
 
+    # BENCH_SP>1: sequence-parallel DiT over devices 0..sp-1 (Ulysses
+    # cached decode, parallel/decode_sp.py) — readies the measured ~36 FPS
+    # multi-chip estimate (PERF.md addendum) for the day a slice is live.
+    # kernel_cache/fused_rope are single-device modes; the pipeline's AUTO
+    # rule turns them off under sp.
+    sp = int(os.environ.get("BENCH_SP", "1"))
+    mesh = None
+    if sp > 1:
+        from longlive_tpu.parallel import mesh as M
+
+        if len(jax.devices()) < sp:
+            print(f"bench: BENCH_SP={sp} but only {len(jax.devices())} "
+                  "devices — refusing", file=sys.stderr, flush=True)
+            sys.exit(1)
+        mesh = M.make_mesh(dp=1, fsdp=1, sp=sp, devices=jax.devices()[:sp])
+
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     attn_impl = "auto"
     if use_int8:
@@ -177,7 +193,7 @@ def main():
             attn_impl = "pallas_qk8"
     pipe = InteractiveCausalInferencePipeline(pc, params, geometry=geom,
                                               dit_config=cfg,
-                                              attn_impl=attn_impl)
+                                              attn_impl=attn_impl, mesh=mesh)
 
     prompt_a = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     cross_a = pipe.prepare_condition(prompt_a)
@@ -340,6 +356,7 @@ def main():
         "ms_per_latent_frame": round(elapsed / frames * 1e3, 2),
         "latent_frames_measured": frames,
         "batch": batch,
+        "sp": sp,
         "prompt_switches": 1 if use_switches else 0,
         "switch_recache_ms": switch_ms,
         "attn_window": f"{local_attn},{sink}",
