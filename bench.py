@@ -83,11 +83,11 @@ if __name__ == "__main__":
 import jax
 import jax.numpy as jnp
 
-# persistent executable cache: the pallas VAE kernels cost ~7 min of cold
-# Mosaic compiles; warmed runs (CI, the driver) skip them
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# persistent executable cache: cold Mosaic+XLA compiles cost minutes;
+# warmed runs (CI, the driver) skip them (utils/compile_cache.py)
+from longlive_tpu.utils import compile_cache as _cc  # noqa: E402
+
+_cc.enable()
 
 
 def main():
@@ -222,8 +222,14 @@ def main():
             # constraints force XLA's neighboring int8 convs into a
             # T(1,128) output layout (~5x slower; xprof-verified).
             vae_params = V.quantize_vae_params(vae_params)
-        decode_first = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z, None, True))
-        decode_rest = jax.jit(lambda p, z, c: V.vae_decode_scan(p, vcfg, z, c, False))
+        from longlive_tpu.utils import aot_cache
+
+        decode_first = aot_cache.aot_jit(
+            lambda p, z: V.vae_decode_scan(p, vcfg, z, None, True),
+            key=f"bench-decode-first-{vcfg!r}")
+        decode_rest = aot_cache.aot_jit(
+            lambda p, z, c: V.vae_decode_scan(p, vcfg, z, c, False),
+            key=f"bench-decode-rest-{vcfg!r}")
 
     # BENCH_PER_STREAM_VAE=1 (batch>1): decode each stream as a separate
     # B=1 VAE call with its own conv-cache chain — peak decode HBM is one

@@ -29,6 +29,7 @@ from ..models import dit as D
 from ..ops import kv_cache as kvc
 from ..ops import scheduler as S
 from ..ops.rope import make_rope_tables
+from ..utils import aot_cache
 
 
 def build_recache_fn(
@@ -174,14 +175,27 @@ class CausalInferencePipeline:
                     "(sink_size and local_attn_size - sink_size must be "
                     "multiples of num_frame_per_block)")
         self.kernel_cache = bool(kc)
-        self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
+        self._block_fn = self._jit("block", self._block_step, donate_argnums=(1,))
         self._recache_fns = {}
         self._segment_fns = {}
-        self._prepare_cond_fn = jax.jit(
+        self._prepare_cond_fn = self._jit(
+            "prepare_cond",
             lambda p, pe: D.prepare_cross_kv(
                 p, self.cfg, pe, self.params["patch_embedding"]["kernel"].dtype
-            )
+            ),
         )
+
+    def _jit(self, tag: str, fn, donate_argnums=()):
+        """jit with AOT executable persistence (utils/aot_cache) — warm
+        process starts skip tracing AND compilation of the serving
+        programs.  Sharded (sp) programs embed a device assignment, so
+        only single-device pipelines are AOT-cached."""
+        if self.mesh is not None:
+            return jax.jit(fn, donate_argnums=donate_argnums)
+        key = repr((type(self).__name__, tag, self.config, self.cfg,
+                    self.geom, self.attn_impl, self.deterministic_renoise,
+                    self.kernel_cache, self._contig))
+        return aot_cache.aot_jit(fn, key, donate_argnums=donate_argnums)
 
     # -- jitted core ---------------------------------------------------------
 
@@ -290,7 +304,7 @@ class CausalInferencePipeline:
                 b, num_blocks * fpb, *noise_frames.shape[2:])
             return lat, cache, rng
 
-        fn = jax.jit(seg, donate_argnums=(1,))
+        fn = self._jit(f"segment{num_blocks}", seg, donate_argnums=(1,))
         self._segment_fns[num_blocks] = fn
         return fn
 
@@ -345,7 +359,8 @@ class CausalInferencePipeline:
             # odd-sized recache breaks the contiguous-write invariant, so
             # fall back to per-frame writes (retrace the block fns).
             self._contig = False
-            self._block_fn = jax.jit(self._block_step, donate_argnums=(1,))
+            self._block_fn = self._jit("block", self._block_step,
+                                       donate_argnums=(1,))
             self._segment_fns = {}
             self._recache_fns = {}
         key = (num_frames, global_sink, overwrite_sink)
@@ -380,7 +395,7 @@ class CausalInferencePipeline:
                               recache_start_frame)
                 return kvc.to_kernel_layout(ccfg, std)
 
-        jitted = jax.jit(fn, donate_argnums=(1,))
+        jitted = self._jit(f"recache{key}", fn, donate_argnums=(1,))
         self._recache_fns[key] = jitted
         return jitted
 

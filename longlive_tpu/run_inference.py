@@ -18,6 +18,9 @@ from .pipeline import CausalInferencePipeline
 from .utils import loading
 from .utils.dataset import TextDataset, shard
 from .utils.video_io import to_video_array, write_video
+from .utils import compile_cache
+
+compile_cache.enable()
 
 
 def main():

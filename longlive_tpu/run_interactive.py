@@ -18,6 +18,9 @@ from .pipeline import InteractiveCausalInferencePipeline
 from .utils import loading
 from .utils.dataset import MultiTextDataset, shard
 from .utils.video_io import to_video_array, write_video
+from .utils import compile_cache
+
+compile_cache.enable()
 
 
 def main():

@@ -28,6 +28,9 @@ from .models import vae as V
 from .pipeline.image2video import (Image2VideoPipeline,
                                    encode_first_frame_condition)
 from .pipeline.text2video import DEFAULT_NEGATIVE_PROMPT, Text2VideoPipeline
+from .utils import compile_cache
+
+compile_cache.enable()
 from .utils import loading
 from .utils.video_io import to_video_array, write_video
 

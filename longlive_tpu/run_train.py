@@ -27,6 +27,9 @@ from .parallel import mesh as M
 from .training.streaming import StreamingConfig, StreamingTrainer
 from .training.trainer import ScoreDistillationTrainer, TrainerConfig
 from .utils import loading, orbax_io
+from .utils import compile_cache
+
+compile_cache.enable()
 from .utils.dataset import (PrefetchIterator, TextDataset, TwoTextDataset,
                             cycle, epoch_shard)
 from .utils.metrics import MetricsLogger
@@ -287,7 +290,9 @@ def main():
                 visualize(step)
             except Exception as e:  # non-fatal like the reference
                 print(f"[vis] failed at step {step}: {e}")
-    trainer.finish_pending()
+    leftover = trainer.finish_pending()  # the final step's async grad norm
+    if leftover:
+        logger.log(leftover, step=int(trainer.state["step"]))
     orbax_io.save_train_state(args.logdir, int(trainer.state["step"]),
                               trainer.state, max_ckpts)
     logger.event("on_app_end", {"final_step": int(trainer.state["step"])})

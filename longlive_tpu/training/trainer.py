@@ -804,9 +804,16 @@ class ScoreDistillationTrainer:
         self.state[state_key] = new_t
         self._last_async_norms[norm_key] = gnorm
 
-    # public: callers (checkpoint save, end of training) must quiesce the
-    # trainer before reading self.state directly
-    finish_pending = _join_pending
+    def finish_pending(self):
+        """Quiesce: land any in-flight async update before reading
+        ``self.state`` directly (checkpoint save, end of training).
+        Returns ``{norm_key: value}`` for grad norms that have landed but
+        were never reported through a later step's metrics — without this
+        the final step's critic grad norm would be silently dropped."""
+        self._join_pending()
+        out = {k: float(v) for k, v in self._last_async_norms.items()}
+        self._last_async_norms.clear()
+        return out
 
     def _apply_update_eager(self, opt_key: str, tx, grads, trained,
                             lr: float, b1: float, b2: float,
@@ -818,11 +825,12 @@ class ScoreDistillationTrainer:
         (new_trained, aux + grad norm).
 
         With ``opt_async`` and a ``state_key``, the host update is instead
-        launched on a worker thread and the returned ``new_trained`` is an
-        ``_AsyncHostUpdate`` future; the caller stores it into
-        ``self.state[state_key]`` and ``_join_pending`` replaces it with
-        the real params at the next read point.  The grad norm then
-        appears in the NEXT step's aux (lagged by one step)."""
+        launched on a worker thread; the future lives ONLY in
+        ``self._pending`` (never in ``self.state``, which keeps holding the
+        still-valid pre-update tree) and ``_join_pending`` installs the new
+        params into ``self.state[state_key]`` at the next read point.  The
+        grad norm then appears in the NEXT step's aux (lagged by one
+        step)."""
         if self.tcfg.opt_on_host:
             dtypes = [x.dtype for x in jax.tree.leaves(trained)]
             kwargs = dict(lr=lr, b1=b1, b2=b2,
@@ -836,7 +844,10 @@ class ScoreDistillationTrainer:
                 prev = self._last_async_norms.pop(norm_key, None)
                 if prev is not None:
                     out_aux[norm_key] = prev
-                return fut, out_aux
+                # state keeps the pre-update params (a valid pytree) until
+                # _join_pending installs the landed ones — a reader that
+                # misses a join sees one-step-stale params, never a future
+                return trained, out_aux
             new_t, gnorm = host_adamw_step(
                 self.state[opt_key], grads, **kwargs)
         else:

@@ -78,13 +78,24 @@ def _cache_store(cache_dir: str, sources, params) -> None:
     import json
 
     try:
+        if jax.process_index() != 0:
+            # multi-process starts: every process converts, but only one may
+            # write — concurrent force-saves into the same cache_dir race
+            # delete/recreate under peers' reads (peers fall back to
+            # re-conversion on a bad read, but the cache could stay corrupt)
+            return
         from . import orbax_io
 
         orbax_io.save_params(os.path.join(cache_dir, "params"), params)
         os.makedirs(cache_dir, exist_ok=True)
-        with open(os.path.join(cache_dir, "SOURCES.json"), "w") as f:
+        # marker written LAST and atomically: a reader that sees SOURCES.json
+        # sees a fully-saved params tree
+        marker = os.path.join(cache_dir, "SOURCES.json")
+        tmp = f"{marker}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump({os.path.abspath(p): os.path.getmtime(p)
                        for p in sources}, f)
+        os.replace(tmp, marker)
     except Exception as e:  # cache write failure is non-fatal
         _warn(f"could not write checkpoint cache {cache_dir!r}: {e}")
 
@@ -97,8 +108,14 @@ def load_dit_params(
     if path and os.path.exists(path):
         has_lora = bool(config.lora_ckpt and os.path.exists(config.lora_ckpt))
         sources = [path] + ([config.lora_ckpt] if has_lora else [])
+        adapter = (config.extras or {}).get("adapter", {})
+        alpha = float(adapter.get("alpha", 256))
+        rank = float(adapter.get("rank", 256))
+        # the fold scale is part of the cache identity: changing
+        # adapter.{alpha,rank} in the YAML must miss the cache, or stale
+        # params folded at the old scale would be silently returned
         tag = f"{'ema' if use_ema else 'gen'}-{jnp.dtype(dtype).name}" + (
-            "-lorafold" if has_lora else "")
+            f"-lorafold{alpha:g}-{rank:g}" if has_lora else "")
         cache_dir = f"{path}.jaxcache-{tag}"
         if _cache_enabled(config):
             cached = _cache_load(cache_dir, sources)
@@ -109,9 +126,7 @@ def load_dit_params(
             lora = _torch_load(config.lora_ckpt)
             if isinstance(lora, dict) and "generator_lora" in lora:
                 lora = lora["generator_lora"]
-            adapter = (config.extras or {}).get("adapter", {})
-            scale = float(adapter.get("alpha", 256)) / float(adapter.get("rank", 256))
-            sd = ckpt.fold_lora_into_dit_sd(sd, lora, alpha_over_rank=scale)
+            sd = ckpt.fold_lora_into_dit_sd(sd, lora, alpha_over_rank=alpha / rank)
         params = ckpt.dit_params_from_torch(sd, cfg, dtype)
         if _cache_enabled(config):
             _cache_store(cache_dir, sources, params)
