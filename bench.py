@@ -351,6 +351,54 @@ def main():
               file=sys.stderr, flush=True)
         switch_ms = None
 
+    def measure_eager_stall(reps=3):
+        """Viewer-visible switch stall under eager (incremental) recache:
+        with scheduled switches the replay window commits chunk-by-chunk
+        BEHIND generation (EagerRecache), so the only serial-at-switch work
+        is the final block's chunk + pointer finish (+ kernel-layout
+        conversion when kernel_cache).  This times exactly that tail —
+        the number to compare against ``switch_recache_ms`` (one-shot) and
+        the reference's ~360 ms serial recache
+        (interactive_causal_inference.py:34-106)."""
+        rng = jax.random.PRNGKey(9)
+        cache = pipe.init_cache(batch, jnp.bfloat16)
+        fpb = pipe.frame_block
+        n_gen = -(-cfg.local_attn_size // fpb) * fpb + fpb
+        sw_noise = jax.random.normal(
+            jax.random.PRNGKey(10),
+            (batch, n_gen, geom.channels, geom.height, geom.width), jnp.float32)
+        lat, cache, rng = pipe.generate_latents_scanned(
+            sw_noise, cross_a, rng=rng, cache=cache, start_frame=0)
+        n = min(cfg.local_attn_size, n_gen)
+        if n % fpb:
+            return None  # odd replay: eager mode falls back to one-shot
+
+        def force(c):
+            leaf = jax.tree.leaves(c)[0]
+            _ = float(jnp.sum(leaf[..., ::64, 0, 0].astype(jnp.float32)))
+
+        times = []
+        for r in range(reps + 1):  # first rep warms the chunk/finish jits
+            er = pipe.begin_eager_recache(batch, n_gen, jnp.bfloat16)
+            fed = er.feed(cross_b, lat[:, : n_gen - fpb], 0)
+            assert fed == n - fpb, (fed, n)
+            jax.block_until_ready(er.cache.k)
+            t0 = time.perf_counter()
+            er.feed(cross_b, lat[:, n_gen - fpb :], n_gen - fpb)
+            c = er.finish()
+            force(c)
+            times.append(time.perf_counter() - t0)
+        return sum(times[1:]) / reps * 1e3
+
+    eager_stall_ms = None
+    if os.environ.get("BENCH_EAGER_SWITCH", "1") == "1":
+        try:
+            e = measure_eager_stall()
+            eager_stall_ms = None if e is None else round(e, 1)
+        except Exception as e:
+            print(f"bench: eager-switch measurement failed: {str(e)[:100]}",
+                  file=sys.stderr, flush=True)
+
     pixel_frames = 4 * frames * batch  # measured segment only (post-warmup)
     fps = pixel_frames / elapsed
     baseline_fps = 20.7  # H100 reference (README.md:50)
@@ -365,6 +413,7 @@ def main():
         "sp": sp,
         "prompt_switches": 1 if use_switches else 0,
         "switch_recache_ms": switch_ms,
+        "switch_visible_stall_ms": eager_stall_ms,
         "attn_window": f"{local_attn},{sink}",
         "include_vae": not skip_vae,
         "int8": use_int8,

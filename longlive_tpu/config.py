@@ -171,6 +171,14 @@ class PipelineConfig:
     # attends).  Pure data-movement change up to one extra bf16 rounding
     # of q between the rms premul and the rotation.
     fused_rope: bool = False
+    # Incremental prompt-switch recache (pipeline.causal_inference.
+    # EagerRecache): with scheduled switch indices, the replay window is
+    # committed chunk-by-chunk as its frames are generated, so the
+    # at-switch serial stall is ~zero instead of the one-shot recache
+    # (~550 ms).  Reproduces the reference's blockwise-causal interactive
+    # mask semantics (interactive_causal_inference.py:73-96); costs one
+    # extra cache buffer of HBM while a switch approaches.
+    eager_recache: bool = False
     # Attention impl override for the KV-recache (prompt-switch) forward
     # only.  "pallas_qk8" runs the recache's dense prefill QK^T on the int8
     # MXU pipe: unlike the decode path (where the per-forward cache-quantize
@@ -238,6 +246,7 @@ def pipeline_config_from_dict(raw: dict) -> PipelineConfig:
         reuse_last_denoise_kv=bool(raw.get("reuse_last_denoise_kv", False)),
         kernel_cache=raw.get("kernel_cache"),  # None = auto
         fused_rope=bool(raw.get("fused_rope", False)),
+        eager_recache=bool(raw.get("eager_recache", False)),
         recache_attn_impl=raw.get("recache_attn_impl"),
     )
     extras = {k: v for k, v in raw.items() if k not in known and k != "model_kwargs"}

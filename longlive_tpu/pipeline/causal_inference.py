@@ -93,6 +93,90 @@ def build_recache_fn(
     return fn
 
 
+class EagerRecache:
+    """Incremental (chunked) prompt-switch KV-recache — hides the switch
+    stall.
+
+    The one-shot recache replays the whole min(local_attn, t)-frame window
+    at the switch point (~550 ms serial on a v5e, reference ~360 ms,
+    interactive_causal_inference.py:34-106).  But with scheduled switches
+    (the reference's ``switch_frame_indices``) the replay frames become
+    available one block at a time BEFORE the switch — and the recache is a
+    blockwise-causal prefill, so it can be built incrementally: as each
+    pre-switch block lands, its chunk is committed (kv_only, under the NEW
+    prompt) into a second cache buffer.  At the switch only the FINAL
+    block's chunk remains serial: the visible stall drops to ~1/(n/fpb) of
+    the one-shot recache.  Total FLOPs are unchanged (same replay, spread
+    out); HBM cost is one extra cache buffer while the switch approaches.
+
+    Chunking reproduces the reference's own interactive-mode semantics
+    exactly: its recache applies a blockwise-causal flex-attention mask
+    (interactive_causal_inference.py:73-96, causal_model.py:648-701), i.e.
+    replay block i never attends later blocks — which is forced here by
+    construction (later blocks don't exist yet when chunk i commits).
+
+    Usage (serving loop, switch at frame ``s`` known in advance):
+        er = EagerRecache(pipe, batch, switch_frame=s, dtype)
+        er.feed(cross_new, latents, latents_start)   # any time frames land
+        cache = er.finish()                          # at the switch
+    ``feed`` accepts any latent span and consumes the overlap with the
+    replay window [s - n, s); out-of-window frames are ignored.
+    """
+
+    def __init__(self, pipe: "CausalInferencePipeline", batch: int,
+                 switch_frame: int, dtype=jnp.bfloat16):
+        fpb = pipe.frame_block
+        n = min(pipe.config.local_attn_size, switch_frame)
+        if n % fpb:
+            raise ValueError(
+                f"eager recache needs a block-aligned replay ({n} frames, "
+                f"block {fpb}); use the one-shot recache")
+        self.pipe = pipe
+        self.n = n
+        self.start = switch_frame - n  # absolute frame of replay index 0
+        self.fed = 0  # replay frames committed so far
+        # built in the standard layout even under kernel_cache (finish
+        # converts once — the same relayout the one-shot recache pays)
+        self.cache = kvc.init_cache(
+            pipe.cache_cfg, pipe.cfg.num_layers, batch, pipe.cfg.num_heads,
+            pipe.cfg.head_dim, dtype, k_int8=pipe.config.kv_int8)
+        self._chunk_fn = pipe._eager_recache_chunk_fn()
+
+    def feed(self, cross_new, latents: jax.Array, latents_start: int) -> int:
+        """Commit the overlap of ``[latents_start, +F)`` with the not-yet-fed
+        replay range.  Returns the number of frames consumed.  Dispatches
+        device work without blocking the host."""
+        fpb = self.pipe.frame_block
+        consumed = 0
+        while self.fed < self.n:
+            c0 = self.fed
+            abs0 = self.start + c0
+            if not (latents_start <= abs0
+                    and abs0 + fpb <= latents_start + latents.shape[1]):
+                break
+            chunk = jax.lax.dynamic_slice_in_dim(
+                latents, abs0 - latents_start, fpb, axis=1)
+            self.cache = self._chunk_fn(
+                self.pipe.params, self.cache, cross_new, chunk,
+                jnp.asarray(c0, jnp.int32), jnp.asarray(self.start, jnp.int32))
+            self.fed += fpb
+            consumed += fpb
+        return consumed
+
+    def finish(self) -> kvc.KVCache:
+        """Returns the completed post-switch cache (one-shot-recache layout:
+        frames packed from slot 0, ring_base = switch - n + sink)."""
+        assert self.fed == self.n, (
+            f"eager recache incomplete: {self.fed}/{self.n} frames fed")
+        pipe = self.pipe
+        cache = kvc.recache_state(pipe.cache_cfg, self.cache,
+                                  jnp.asarray(self.start + self.n, jnp.int32),
+                                  self.n)
+        if pipe.kernel_cache:
+            cache = pipe._to_kl_fn(cache)
+        return cache
+
+
 class CausalInferencePipeline:
     """Drives block-by-block AR generation with a frame-sink + ring-window
     KV cache.
@@ -398,6 +482,52 @@ class CausalInferencePipeline:
         jitted = self._jit(f"recache{key}", fn, donate_argnums=(1,))
         self._recache_fns[key] = jitted
         return jitted
+
+    def _eager_recache_chunk_fn(self):
+        """One jitted program shared by every EagerRecache chunk: commit
+        replay frames [c0, c0+fpb) (kv_only, new prompt, context_noise t)
+        into linear slots with the same sink+window validity rule as
+        build_recache_fn — c0 is traced, so all chunks and all switch
+        positions reuse one executable."""
+        if getattr(self, "_eager_chunk_jit", None) is None:
+            ccfg = self.cache_cfg
+            sink = ccfg.sink_frames
+            budget = self.attn_window_frames - sink
+            fpb = self.frame_block
+
+            def chunk_fn(params, cache, cross_new, chunk, c0, recache_start):
+                c1 = c0 + fpb
+                slots = jnp.arange(ccfg.total_frames, dtype=jnp.int32)
+                n_arr = jnp.maximum(c1, sink)
+                kv_valid = (slots < sink) | (
+                    (slots >= n_arr - budget) & (slots < n_arr))
+                kv_valid = jnp.repeat(kv_valid, ccfg.frame_seq)
+                offsets = (c0 + jnp.arange(fpb, dtype=jnp.int32)) * ccfg.frame_seq
+                _, cache = self._forward(
+                    params, chunk, float(self.config.context_noise),
+                    cross_new, cache, recache_start + c0, kv_valid=kv_valid,
+                    offsets=offsets, write_frames=tuple(range(fpb)),
+                    advance_counters=False, kv_only=True)
+                return cache
+
+            self._eager_chunk_jit = self._jit("eager_recache_chunk", chunk_fn,
+                                              donate_argnums=(1,))
+        return self._eager_chunk_jit
+
+    @property
+    def _to_kl_fn(self):
+        if getattr(self, "_to_kl_jit", None) is None:
+            self._to_kl_jit = self._jit(
+                "to_kernel_layout",
+                lambda c: kvc.to_kernel_layout(self.cache_cfg, c),
+                donate_argnums=(0,))
+        return self._to_kl_jit
+
+    def begin_eager_recache(self, batch: int, switch_frame: int,
+                            dtype=jnp.bfloat16) -> EagerRecache:
+        """Start an incremental recache for a scheduled prompt switch at
+        ``switch_frame`` (see EagerRecache)."""
+        return EagerRecache(self, batch, switch_frame, dtype)
 
     # -- host-side loop -------------------------------------------------------
 

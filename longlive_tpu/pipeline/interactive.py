@@ -113,22 +113,61 @@ class InteractiveCausalInferencePipeline(CausalInferencePipeline):
             bounds.append(min(-(-si // fpb) * fpb, t_frames))
         bounds.append(t_frames)
 
-        cache = self.init_cache(b, self.params["patch_embedding"]["kernel"].dtype)
+        dtype = self.params["patch_embedding"]["kernel"].dtype
+        cache = self.init_cache(b, dtype)
         outputs: List[jax.Array] = []
+        # eager_recache: with switch positions known up-front (they are —
+        # switch_frame_indices), the replay window is committed chunk by
+        # chunk as its frames are generated, so the at-switch serial work
+        # is ~zero instead of the full ~550 ms one-shot recache (see
+        # EagerRecache; reference blockwise-causal mask semantics).
+        use_eager = bool(self.config.eager_recache) and not global_sink
+        er = None  # pending EagerRecache for the upcoming switch
         for seg in range(len(cross_kv_list)):
             s, e = bounds[seg], bounds[seg + 1]
             if e <= s:
+                er = None
                 continue  # switch index at/after the video end
             if seg > 0 and s > 0:
                 n = s if local == -1 else min(local, s)
-                replay = jnp.concatenate(outputs, axis=1)[:, s - n : s]
-                cache = self._recache_fn(n, global_sink)(
-                    self.params, cache, cross_kv_list[seg], replay,
-                    jnp.asarray(s - n, jnp.int32))
-            lat, cache, rng = self.generate_latents_scanned(
-                noise[:, s:e], cross_kv_list[seg], rng=rng, cache=cache,
-                start_frame=s)
-            outputs.append(lat)
+                if er is not None and er.n == n and er.fed == n:
+                    cache = er.finish()
+                elif n > 0:
+                    replay = jnp.concatenate(outputs, axis=1)[:, s - n : s]
+                    cache = self._recache_fn(n, global_sink)(
+                        self.params, cache, cross_kv_list[seg], replay,
+                        jnp.asarray(s - n, jnp.int32))
+            er = None
+            sw_next = bounds[seg + 1] if seg + 1 < len(cross_kv_list) else None
+            n_next = 0
+            if use_eager and sw_next is not None and sw_next > s:
+                n_next = sw_next if local == -1 else min(local, sw_next)
+                if n_next <= 0 or n_next % fpb:
+                    n_next = 0  # odd replay size: one-shot fallback
+            if n_next == 0:
+                lat, cache, rng = self.generate_latents_scanned(
+                    noise[:, s:e], cross_kv_list[seg], rng=rng, cache=cache,
+                    start_frame=s)
+                outputs.append(lat)
+                continue
+            er = self.begin_eager_recache(b, sw_next, dtype)
+            cross_next = cross_kv_list[seg + 1]
+            w0 = sw_next - n_next  # first frame of the replay window
+            if outputs and w0 < s:  # window reaches into earlier segments
+                hist = jnp.concatenate(outputs, axis=1)
+                er.feed(cross_next, hist[:, w0:s], w0)
+            split = max(s, w0)
+            if split > s:  # pre-window part of the segment: one scan
+                lat, cache, rng = self.generate_latents_scanned(
+                    noise[:, s:split], cross_kv_list[seg], rng=rng,
+                    cache=cache, start_frame=s)
+                outputs.append(lat)
+            for bs in range(split, e, fpb):  # window tail: feed per block
+                x0, cache, rng = self._block_fn(
+                    self.params, cache, cross_kv_list[seg],
+                    noise[:, bs : bs + fpb], jnp.asarray(bs, jnp.int32), rng)
+                outputs.append(x0)
+                er.feed(cross_next, x0, bs)
         return jnp.concatenate(outputs, axis=1)
 
     def _report_profile(self, block_times, switch_times, fpb):

@@ -93,10 +93,29 @@ def main():
     args = ap.parse_args()
 
     # multi-host rendezvous — XLA-collective analogue of the reference's
-    # NCCL TCP-store init (utils/distributed.py:75-88); a no-op single-host
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    # NCCL TCP-store init (utils/distributed.py:75-88); a no-op single-host.
+    # torchrun-style env contract: JAX_COORDINATOR_ADDRESS (+ optional
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID for explicit rendezvous — the
+    # 2-process CPU simulation uses these; cloud TPU infers them).
+    coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("COORDINATOR_ADDRESS"))
+    if coord:
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # cross-process collectives on the CPU backend ride gloo
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor
+            # it via the config flag BEFORE the backend initializes
+            jax.config.update("jax_platforms", "cpu")
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(coordinator_address=coord,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(**kw)
+        print(f"[dist] process {jax.process_index()}/{jax.process_count()} "
+              f"local_devices={jax.local_device_count()} "
+              f"global_devices={jax.device_count()}", flush=True)
 
     with open(args.config_path) as f:
         raw = yaml.safe_load(f)
@@ -253,6 +272,29 @@ def main():
 
     rng = jax.random.PRNGKey(tcfg.seed)
     shape = raw.get("image_or_video_shape", [1, 21, 16, 60, 104])
+
+    # Per-host data sharding (reference DistributedSampler semantics): with
+    # a process-spanning mesh each process contributes only its local rows
+    # — prompt rows already differ per process (epoch_shard) — and batch
+    # arrays are assembled into global dp-sharded arrays.  Trainer-internal
+    # randomness stays identical everywhere (same PRNG key on all hosts,
+    # the functional analogue of the reference's rank-0 broadcasts).
+    multiproc = mesh is not None and jax.process_count() > 1
+    local_batch = shape[0]
+    if multiproc:
+        assert shape[0] % jax.process_count() == 0, (
+            f"global batch {shape[0]} must divide over "
+            f"{jax.process_count()} processes")
+        local_batch = shape[0] // jax.process_count()
+
+    def to_global(x):
+        if not multiproc:
+            return x
+        from jax.experimental import multihost_utils as mh
+        from jax.sharding import PartitionSpec as P
+
+        return mh.host_local_array_to_global_array(np.asarray(x), mesh, P("dp"))
+
     t0 = time.time()
     while int(trainer.state["step"]) < max_iters:
         step = int(trainer.state["step"])
@@ -274,10 +316,13 @@ def main():
             cc = encode(row["prompts"])
             cu = encode(neg_prompt)
             rng, sub = jax.random.split(rng)
+            if multiproc:  # each host draws only its own batch shard
+                sub = jax.random.fold_in(sub, jax.process_index())
             noise = jax.random.normal(
-                sub, (shape[0], tcfg.num_training_frames, geom.channels,
+                sub, (local_batch, tcfg.num_training_frames, geom.channels,
                       geom.height, geom.width), jnp.float32)
-            metrics = trainer.train_step(noise, cc, cu, rng)
+            metrics = trainer.train_step(to_global(noise), to_global(cc),
+                                         to_global(cu), rng)
         if step % log_iters == 0 or step < 3:
             metrics["wall_s"] = round(time.time() - t0, 1)
             print(metrics)

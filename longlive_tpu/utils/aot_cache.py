@@ -108,15 +108,24 @@ class _AOTJit:
             except Exception:
                 pass  # stale/corrupt entry: fall through to recompile
         compiled = self._jit.lower(*args).compile()
-        try:
-            blob = pickle.dumps(se.serialize(compiled))
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = f"{path}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, path)
-        except Exception:
-            pass  # non-serializable program or read-only cache: still usable
+
+        def _store():  # serializing GB-scale executables costs tens of
+            # seconds — off the critical path (daemon thread; a killed
+            # process just loses the cache entry, never corrupts it)
+            try:
+                blob = pickle.dumps(se.serialize(compiled))
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)
+                _prune(os.path.dirname(path))
+            except Exception:
+                pass  # non-serializable program or read-only cache
+
+        import threading
+
+        threading.Thread(target=_store, daemon=True).start()
         return compiled
 
     def __call__(self, *args):
@@ -134,6 +143,30 @@ class _AOTJit:
                     call = self._jit  # AOT must never break the serving path
             self._calls[sig] = call
         return call(*args)
+
+
+def _prune(aot_dir: str) -> None:
+    """Bound the AOT dir (default 6 GB, LONGLIVE_AOT_CACHE_GB): source
+    edits change the package fingerprint, orphaning prior entries — oldest
+    entries are deleted first."""
+    cap = float(os.environ.get("LONGLIVE_AOT_CACHE_GB", "6")) * 1e9
+    entries = []
+    total = 0
+    for name in os.listdir(aot_dir):
+        if name.endswith(".aot"):
+            p = os.path.join(aot_dir, name)
+            st = os.stat(p)
+            entries.append((st.st_mtime, st.st_size, p))
+            total += st.st_size
+    entries.sort()
+    for _, size, p in entries:
+        if total <= cap:
+            break
+        try:
+            os.remove(p)
+            total -= size
+        except OSError:
+            pass
 
 
 def aot_jit(fn, key: str, donate_argnums=()):

@@ -31,7 +31,9 @@ def save_train_state(logdir: str, step: int, state: Any,
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, dict(state), force=True)
     ckptr.wait_until_finished()
-    if max_checkpoints:
+    # retention runs on process 0 only (multi-process: every process calls
+    # save for the collective write, but deleting concurrently would race)
+    if max_checkpoints and jax.process_index() == 0:
         steps = sorted(list_checkpoint_steps(logdir))
         for s in steps[:-max_checkpoints]:
             import shutil

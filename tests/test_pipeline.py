@@ -272,3 +272,100 @@ def test_fused_rope_generation_parity(pipe_setup):
             noise, _prompt_kv(pipe, cfg, 1))
         np.testing.assert_allclose(np.asarray(lat_f), np.asarray(lat_r),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_eager_recache_single_chunk_matches_oneshot(pipe_setup):
+    """A one-chunk EagerRecache is the SAME program as the one-shot
+    recache (same kv_valid rule, offsets, write set, RoPE start), so the
+    resulting caches must agree to jit-boundary roundoff."""
+    cfg, geom, params, pcfg = pipe_setup
+    pipe = _make_pipe(CausalInferencePipeline, cfg, geom, params, pcfg)
+    cross_a = _prompt_kv(pipe, cfg, 1)
+    cross_b = _prompt_kv(pipe, cfg, 2)
+    fpb = pipe.frame_block
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (1, fpb, geom.channels, geom.height, geom.width))
+    lat, cache, _ = pipe.generate_latents_scanned(noise, cross_a)
+
+    n = min(cfg.local_attn_size, fpb)  # == fpb -> single chunk
+    one_shot = pipe._recache_fn(n, False)(
+        pipe.params, cache, cross_b, lat[:, fpb - n:],
+        jnp.asarray(fpb - n, jnp.int32))
+
+    er = pipe.begin_eager_recache(1, switch_frame=fpb, dtype=jnp.float32)
+    assert er.feed(cross_b, lat, 0) == n
+    eager = er.finish()
+
+    for a, b in zip(jax.tree.leaves(one_shot), jax.tree.leaves(eager)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_eager_recache_chunked_continuation(pipe_setup):
+    """Multi-chunk eager recache across split feed() spans: pointer scalars
+    match the one-shot recache, chunk order/overlap bookkeeping consumes
+    exactly the replay window, and generation continues finite from the
+    eager cache."""
+    cfg, geom, params, pcfg = pipe_setup
+    pipe = _make_pipe(CausalInferencePipeline, cfg, geom, params, pcfg)
+    cross_a = _prompt_kv(pipe, cfg, 1)
+    cross_b = _prompt_kv(pipe, cfg, 2)
+    switch = 5
+    n = min(cfg.local_attn_size, switch)  # 4 chunks at fpb=1
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 8, geom.channels, geom.height, geom.width))
+    lat, cache, rng = pipe.generate_latents_scanned(noise[:, :switch], cross_a)
+
+    er = pipe.begin_eager_recache(1, switch_frame=switch, dtype=jnp.float32)
+    # feed in two disjoint spans (simulating blockwise arrival); the second
+    # span starts mid-window
+    c1 = er.feed(cross_b, lat[:, :3], 0)
+    c2 = er.feed(cross_b, lat[:, 3:], 3)
+    assert c1 + c2 == n
+    eager = er.finish()
+
+    one_shot = pipe._recache_fn(n, False)(
+        pipe.params, cache, cross_b, lat[:, switch - n:],
+        jnp.asarray(switch - n, jnp.int32))
+    # same post-recache pointer state (layout parity); buffer contents
+    # differ only by the mask semantics (blockwise-causal vs full replay —
+    # the reference's own interactive mode uses blockwise-causal,
+    # interactive_causal_inference.py:73-96)
+    for f in ("ring_base", "sink_filled", "ring_filled"):
+        assert int(getattr(eager, f)) == int(getattr(one_shot, f)), f
+
+    lat2, _, _ = pipe.generate_latents_scanned(
+        noise[:, switch:], cross_b, rng=rng, cache=eager, start_frame=switch)
+    assert np.isfinite(np.asarray(lat2)).all()
+
+
+def test_interactive_eager_recache_mode(pipe_setup):
+    """eager_recache=True: pre-switch latents are identical to the default
+    interactive path (the segment is merely split into scan + per-block
+    tail of the same block program); the post-switch cache carries the
+    blockwise-causal replay (golden-tested vs the torch reference in
+    test_reference_parity) and generation continues finite."""
+    cfg, geom, params, pcfg = pipe_setup
+    import dataclasses as dc
+
+    base = InteractiveCausalInferencePipeline(
+        pcfg, params, geometry=geom, dit_config=cfg, attn_impl="xla")
+    eager = InteractiveCausalInferencePipeline(
+        dc.replace(pcfg, eager_recache=True), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
+    cross = [_prompt_kv(base, cfg, 1), _prompt_kv(base, cfg, 2)]
+    cross_e = [_prompt_kv(eager, cfg, 1), _prompt_kv(eager, cfg, 2)]
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 10, geom.channels, geom.height, geom.width))
+    switch = [6]
+    lat_b = base.generate_latents_interactive_scanned(noise, cross, switch)
+    lat_e = eager.generate_latents_interactive_scanned(noise, cross_e, switch)
+    assert lat_e.shape == lat_b.shape
+    # pre-switch: bit-for-bit the same program order (scan + block tail)
+    np.testing.assert_allclose(np.asarray(lat_e[:, :6]),
+                               np.asarray(lat_b[:, :6]), rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.asarray(lat_e)).all()
+    # post-switch differs only via the (reference-faithful) causal replay
+    # mask — values stay in the same numeric range
+    post_b, post_e = np.asarray(lat_b[:, 6:]), np.asarray(lat_e[:, 6:])
+    assert post_e.std() < 10 * post_b.std() + 1e-3

@@ -337,3 +337,93 @@ def test_window_capped_cache_matches_reference(ref_setup):
     ours = np.stack(ours, axis=1)
 
     np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_eager_chunked_recache_matches_reference_blockwise(ref_setup):
+    """Incremental (chunked) prompt-switch recache (EagerRecache): the
+    reference's interactive mode replays under a blockwise-CAUSAL mask
+    (interactive_causal_inference.py:73-96) — equivalently, feeding the
+    replay block-by-block through its cached path.  Our eager recache
+    chunks the same way by construction; outputs after the switch must
+    match the reference driven per-block."""
+    cm, cfg, geom, ref, params = ref_setup
+    from longlive_tpu.config import PipelineConfig
+    from longlive_tpu.pipeline import CausalInferencePipeline
+
+    fs = geom.frame_seq_length
+    B = 1
+    window = cfg.local_attn_size  # 4
+    switch_at, f_total = 5, 7
+    torch.manual_seed(7)
+    prompt_a = torch.randn(B, cfg.text_len, cfg.text_dim)
+    prompt_b = torch.randn(B, cfg.text_len, cfg.text_dim)
+    x_all = torch.randn(B, f_total, cfg.in_dim, geom.height, geom.width)
+    t_val = 250.0
+
+    # ---- reference: per-frame replay through the cached path
+    kv, ca = _ref_caches(cfg, B, fs, window)
+    ref_out = []
+    with torch.no_grad():
+        def ref_fwd(xb, f, prompt, sink_recache=False, nframes=1):
+            t = torch.full((B, nframes), t_val if not sink_recache else 0.0)
+            return ref([u for u in xb], t=t, context=[prompt[0]], seq_len=10_000,
+                       kv_cache=kv, crossattn_cache=ca, current_start=f * fs,
+                       sink_recache_after_switch=sink_recache)
+
+        for f in range(switch_at):
+            y = ref_fwd(x_all[:, f].unsqueeze(2), f, prompt_a)
+            ref_out.append(y.squeeze(2))
+        for blk in kv:
+            blk["k"].zero_(); blk["v"].zero_()
+        for blk in ca:
+            blk["k"].zero_(); blk["v"].zero_(); blk["is_init"] = False
+        n = min(window, switch_at)
+        for i in range(n):  # chunked: one frame per call, causal by arrival
+            f = switch_at - n + i
+            ref_fwd(ref_out[f].unsqueeze(2), f, prompt_b, sink_recache=True)
+        for blk in ca:
+            blk["k"].zero_(); blk["v"].zero_(); blk["is_init"] = False
+        for f in range(switch_at, f_total):
+            y = ref_fwd(x_all[:, f].unsqueeze(2), f, prompt_b)
+            ref_out.append(y.squeeze(2))
+    ref_out = torch.stack(ref_out, dim=1).numpy()
+
+    # ---- ours: EagerRecache
+    cache_cfg = CacheConfig(cfg.sink_size, window - cfg.sink_size, fs)
+    tables = make_rope_tables(cfg.head_dim, cfg.rope_max_pos)
+    cross_a = D.prepare_cross_kv(params, cfg, jnp.asarray(prompt_a.numpy()), jnp.float32)
+    cross_b = D.prepare_cross_kv(params, cfg, jnp.asarray(prompt_b.numpy()), jnp.float32)
+    cache = kvc.init_cache(cache_cfg, cfg.num_layers, B, cfg.num_heads,
+                           cfg.head_dim, jnp.float32)
+    pcfg = PipelineConfig(
+        num_frame_per_block=cfg.num_frame_per_block, context_noise=0,
+        local_attn_size=cfg.local_attn_size, sink_size=cfg.sink_size,
+        num_output_frames=8, kernel_cache=False)
+    pipe = CausalInferencePipeline(pcfg, params, geometry=geom,
+                                   dit_config=cfg, attn_impl="xla")
+    assert pipe.cache_cfg == cache_cfg
+    ours = []
+
+    def our_fwd(f, cross, cache):
+        xb = jnp.asarray(x_all[:, f : f + 1].numpy())
+        t = jnp.full((B, 1), t_val, jnp.float32)
+        flow, cache = D.dit_forward_cached(
+            params, cfg, cache_cfg, tables, xb, t, cross, cache,
+            jnp.asarray(f, jnp.int32), attn_impl="xla")
+        return np.asarray(flow[:, 0]), cache
+
+    for f in range(switch_at):
+        y, cache = our_fwd(f, cross_a, cache)
+        ours.append(y)
+    n = min(window, switch_at)
+    er = pipe.begin_eager_recache(B, switch_frame=switch_at, dtype=jnp.float32)
+    replay = jnp.asarray(np.stack(ours[-n:], axis=1))
+    assert er.feed(cross_b, replay, switch_at - n) == n
+    cache = er.finish()
+    for f in range(switch_at, f_total):
+        y, cache = our_fwd(f, cross_b, cache)
+        ours.append(y)
+    ours = np.stack(ours, axis=1)
+
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=5e-4)
