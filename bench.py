@@ -206,14 +206,14 @@ def main():
     vae_params = None
     if not skip_vae:
         vae_params = V.init_vae_params(jax.random.PRNGKey(3), vcfg, jnp.bfloat16)
-        if use_int8 and os.environ.get("BENCH_INT8_VAE", "0") != "1":
-            # int8 MXU pipe INSIDE the fused VAE conv kernel (per-oc weight
-            # scales, gamma fold, per-tile activation scale): decode 189.3
-            # -> 179.6 ms/latent-frame, e2e 466.2 -> 456.0 (chip session i);
-            # quality bound measured at <= 0.53% latent rel-RMS
-            # (scripts/quality_delta.py).  Part of the int8 serving mode —
-            # the reference's own headline quotes its quantized mode.
-            # LONGLIVE_VAE_INT8=0 forces bf16 VAE under BENCH_INT8=1.
+        # int8 MXU pipe INSIDE the fused VAE conv kernel: decode 189.3 ->
+        # 179.6 ms/latent-frame, e2e −10 ms of ~460 — but its own quality
+        # disclosure is 37.5 dB PSNR / 1.05% pixel MAE at random weights
+        # (scripts/quality_delta.py) and no real checkpoints exist here to
+        # validate it.  OPT-IN until the real-weight gate in PERF.md
+        # passes (round-3 revert of the r2 default: a quality-trading
+        # mode must not be the default on unvalidated evidence).
+        if os.environ.get("BENCH_VAE_INT8", "0") == "1":
             os.environ.setdefault("LONGLIVE_VAE_INT8", "1")
         if use_int8 and os.environ.get("BENCH_INT8_VAE", "0") == "1":
             # legacy mode: int8 wide-stage convs (-7 ms vs the bf16 XLA

@@ -30,8 +30,8 @@ from .utils import loading, orbax_io
 from .utils import compile_cache
 
 compile_cache.enable()
-from .utils.dataset import (PrefetchIterator, TextDataset, TwoTextDataset,
-                            cycle, epoch_shard)
+from .utils.dataset import (ShardedCheckpointableLoader, TextDataset,
+                            TwoTextDataset, cycle)
 from .utils.metrics import MetricsLogger
 
 
@@ -101,11 +101,10 @@ def main():
              or os.environ.get("COORDINATOR_ADDRESS"))
     if coord:
         if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-            # cross-process collectives on the CPU backend ride gloo
+            # cross-process collectives on the CPU backend ride gloo; and
+            # the axon TPU plugin ignores the JAX_PLATFORMS env var, so
+            # honor it via the config flag BEFORE the backend initializes
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-            # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor
-            # it via the config flag BEFORE the backend initializes
             jax.config.update("jax_platforms", "cpu")
         kw = {}
         if os.environ.get("JAX_NUM_PROCESSES"):
@@ -116,6 +115,15 @@ def main():
         print(f"[dist] process {jax.process_index()}/{jax.process_count()} "
               f"local_devices={jax.local_device_count()} "
               f"global_devices={jax.device_count()}", flush=True)
+        if jax.process_count() > 1:
+            # establish the cross-process collective context NOW, while the
+            # ranks are still in lockstep — gloo pair connections have a
+            # fixed timeout, and the first training step's collectives can
+            # otherwise be minutes apart under compile-time skew
+            from jax.experimental import multihost_utils as _mh
+
+            _mh.sync_global_devices("longlive_train_start")
+            print("[dist] global barrier ok", flush=True)
 
     with open(args.config_path) as f:
         raw = yaml.safe_load(f)
@@ -203,23 +211,26 @@ def main():
     # prompt stream
     data_path = raw.get("data_path")
     switch_path = raw.get("switch_prompt_path")
+    loader = None
     if data_path and os.path.exists(data_path):
         if switch_path and os.path.exists(switch_path):
             ds = TwoTextDataset(data_path, switch_path)
         else:
             ds = TextDataset(data_path)
-        # per-epoch shuffled shard (DistributedSampler shuffle+set_epoch)
-        # behind a bounded background prefetch (DataLoader-worker analogue:
-        # host-side IO overlaps device steps)
-        def _epochs(seed=int(raw.get("seed", 0))):
-            epoch = 0
-            while True:
-                for row in epoch_shard(ds, jax.process_index(),
-                                       jax.process_count(), seed, epoch):
-                    yield row
-                epoch += 1
-
-        prompt_iter = PrefetchIterator(_epochs(), depth=4)
+        # per-host-sharded, per-epoch-shuffled, CHECKPOINTABLE loader
+        # (DistributedSampler shuffle+set_epoch semantics + mid-epoch
+        # resume — the reference restarts each resume from the epoch head,
+        # repeating samples).  Loader position is saved beside every
+        # checkpoint and restored with it.
+        lstate = (None if args.no_auto_resume
+                  else orbax_io.load_loader_state(args.logdir))
+        loader = ShardedCheckpointableLoader(
+            ds, jax.process_index(), jax.process_count(),
+            seed=int(raw.get("seed", 0)), state=lstate)
+        if lstate is not None:
+            print(f"[resume] loader at epoch {loader.epoch} "
+                  f"index {loader.index}")
+        prompt_iter = loader
     else:
         prompt_iter = cycle([{"prompts": "(random)", "idx": 0}])
     neg_prompt = raw.get("negative_prompt", "")
@@ -275,7 +286,7 @@ def main():
 
     # Per-host data sharding (reference DistributedSampler semantics): with
     # a process-spanning mesh each process contributes only its local rows
-    # — prompt rows already differ per process (epoch_shard) — and batch
+    # — prompt rows already differ per process (sharded loader) — and batch
     # arrays are assembled into global dp-sharded arrays.  Trainer-internal
     # randomness stays identical everywhere (same PRNG key on all hosts,
     # the functional analogue of the reference's rank-0 broadcasts).
@@ -330,6 +341,8 @@ def main():
         if step > 0 and step % log_iters == 0:
             trainer.finish_pending()  # quiesce the async critic update
             orbax_io.save_train_state(args.logdir, step, trainer.state, max_ckpts)
+            if loader is not None:
+                orbax_io.save_loader_state(args.logdir, step, loader.state())
         if vis_interval and step > 0 and step % vis_interval == 0:
             try:
                 visualize(step)
@@ -340,6 +353,9 @@ def main():
         logger.log(leftover, step=int(trainer.state["step"]))
     orbax_io.save_train_state(args.logdir, int(trainer.state["step"]),
                               trainer.state, max_ckpts)
+    if loader is not None:
+        orbax_io.save_loader_state(args.logdir, int(trainer.state["step"]),
+                                   loader.state())
     logger.event("on_app_end", {"final_step": int(trainer.state["step"])})
 
 

@@ -154,3 +154,61 @@ class PrefetchIterator:
         while not self._q.empty():  # unblock a worker stuck on put()
             self._q.get_nowait()
         self._t.join(timeout=5)
+
+
+class ShardedCheckpointableLoader:
+    """Per-host-sharded, per-epoch-shuffled, CHECKPOINTABLE prompt loader —
+    a grain-style resumable iterator behind the same row interface as the
+    datasets above.
+
+    The reference resumes training at a step but restarts its DataLoader
+    from the epoch head, repeating samples (DistributedSampler has no
+    mid-epoch state).  Here ``state()`` captures (epoch, index-in-shard);
+    restoring it continues mid-epoch with no repetition and no skips, and
+    the shard partition guarantees no sample repetition ACROSS hosts
+    within an epoch (same (seed, epoch) permutation on every host,
+    disjoint ``host_index::host_count`` slices — the functional analogue
+    of DistributedSampler(shuffle=True).set_epoch, inference.py:145-149).
+
+    Prefetch: rows here are in-memory prompt lines, so the loader hands
+    rows out synchronously; wrap heavy row transforms in PrefetchIterator
+    BEFORE the consumption counter if needed (counting must happen at the
+    consumer handoff or checkpoint state would run ahead of training).
+    """
+
+    def __init__(self, dataset, host_index: int = 0, host_count: int = 1,
+                 seed: int = 0, state: Optional[dict] = None):
+        assert 0 <= host_index < host_count
+        self.ds = dataset
+        self.host_index = host_index
+        self.host_count = host_count
+        self.seed = seed
+        self.epoch = int(state["epoch"]) if state else 0
+        self.index = int(state["index"]) if state else 0
+        self._order_epoch = -1
+        self._order: List[int] = []
+
+    def _shard_order(self) -> List[int]:
+        if self._order_epoch != self.epoch:
+            order = shuffled_indices(len(self.ds), self.seed, self.epoch)
+            self._order = order[self.host_index :: self.host_count]
+            self._order_epoch = self.epoch
+        return self._order
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        order = self._shard_order()
+        if self.index >= len(order):
+            self.epoch += 1
+            self.index = 0
+            order = self._shard_order()
+        row = self.ds[order[self.index]]
+        self.index += 1
+        return row
+
+    def state(self) -> dict:
+        """Position AFTER the last row handed out — save alongside the
+        train step; pass back as ``state=`` to resume exactly there."""
+        return {"epoch": self.epoch, "index": self.index}

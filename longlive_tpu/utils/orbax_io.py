@@ -25,11 +25,29 @@ def _ckpt_dir(logdir: str, step: int) -> str:
     return os.path.join(os.path.abspath(logdir), f"checkpoint_model_{step:06d}")
 
 
+def _multihost_safe(state: Any) -> Any:
+    """Multi-process saves reject host-local jax.Arrays (e.g. the python-
+    side ``step`` scalar): every fully-addressable array is identical on
+    all processes here (same-PRNG design), so save it as numpy — orbax
+    writes replicated numpy from the primary only.  Cross-process sharded
+    arrays pass through untouched."""
+    if jax.process_count() == 1:
+        return dict(state)
+    import numpy as np
+
+    def conv(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return np.asarray(x)
+        return x
+
+    return jax.tree.map(conv, dict(state))
+
+
 def save_train_state(logdir: str, step: int, state: Any,
                      max_checkpoints: Optional[int] = None) -> str:
     path = _ckpt_dir(logdir, step)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, dict(state), force=True)
+    ckptr.save(path, _multihost_safe(state), force=True)
     ckptr.wait_until_finished()
     # retention runs on process 0 only (multi-process: every process calls
     # save for the collective write, but deleting concurrently would race)
@@ -76,6 +94,36 @@ def load_params(path: str, abstract_params: Any = None) -> Any:
     return ckptr.restore(os.path.abspath(path), abstract_params)
 
 
+def save_loader_state(logdir: str, step: int, state: dict) -> None:
+    """Per-host data-loader position (ShardedCheckpointableLoader.state()),
+    saved beside the step's checkpoint.  Per-host files: shards may differ
+    in length by one, so (epoch, index) can differ across hosts."""
+    import json
+
+    path = _ckpt_dir(logdir, step)
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, f"loader_state_p{jax.process_index()}.json")
+    tmp = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, marker)
+
+
+def load_loader_state(logdir: str, step: Optional[int] = None) -> Optional[dict]:
+    import json
+
+    if step is None:
+        step = latest_checkpoint_step(logdir)
+        if step is None:
+            return None
+    marker = os.path.join(_ckpt_dir(logdir, step),
+                          f"loader_state_p{jax.process_index()}.json")
+    if not os.path.exists(marker):
+        return None  # pre-loader checkpoint: restart from the epoch head
+    with open(marker) as f:
+        return json.load(f)
+
+
 def restore_train_state(logdir: str, abstract_state: Any,
                         step: Optional[int] = None) -> Any:
     """Restores into the sharding/dtype layout of ``abstract_state``
@@ -86,4 +134,4 @@ def restore_train_state(logdir: str, abstract_state: Any,
             return None
     path = _ckpt_dir(logdir, step)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, dict(abstract_state))
+    return ckptr.restore(path, _multihost_safe(abstract_state))

@@ -49,24 +49,34 @@ def _child_env(proc_id: int, port: int) -> dict:
     return env
 
 
-def _run_pair(cmd_for, port: int, timeout: int = 900):
-    """Launch the two ranks, wait, return (rc0, rc1, out0, out1)."""
-    procs = []
-    for i in range(2):
-        procs.append(subprocess.Popen(
-            cmd_for(i), env=_child_env(i, port), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    rcs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            out, _ = p.communicate()
-            out += "\n<TIMEOUT>"
-        outs.append(out)
-        rcs.append(p.returncode)
+def _run_pair(cmd_for, port: int, timeout: int = 900, retries: int = 2):
+    """Launch the two ranks, wait, return (rc0, rc1, out0, out1).
+
+    Gloo pair/rendezvous setup can time out when the host is heavily
+    loaded (these sims share a box with chip-probe paging); such failures
+    are infrastructure flakes, not code failures — retry on a fresh port."""
+    for attempt in range(retries + 1):
+        procs = []
+        for i in range(2):
+            procs.append(subprocess.Popen(
+                cmd_for(i), env=_child_env(i, port + attempt * 10), cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs = []
+        rcs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                out += "\n<TIMEOUT>"
+            outs.append(out)
+            rcs.append(p.returncode)
+        flaky = any("Gloo context initialization failed" in o
+                    or "DEADLINE_EXCEEDED" in o for o in outs)
+        if rcs == [0, 0] or not flaky or attempt == retries:
+            return rcs, outs
+        print(f"(gloo rendezvous flake; retry {attempt + 1})", flush=True)
     return rcs, outs
 
 
@@ -85,6 +95,9 @@ def serve_child():
     import numpy as np
     from jax.experimental import multihost_utils as mh
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # establish the gloo context while ranks are in lockstep (see run_train)
+    mh.sync_global_devices("serve_sim_start")
 
     from longlive_tpu.config import PipelineConfig, tiny_dit_config, tiny_geometry
     from longlive_tpu.models import dit as D
@@ -187,7 +200,9 @@ def main():
                           "--config_path", yaml_path, "--logdir", logdir]
 
     print("=== phase 1: train CLI, 2 procs x 4 devices (dp=2, fsdp=4) ===")
-    rcs, outs = _run_pair(train_cmd(3), port=12361)
+    base_cmd = train_cmd(3)
+    rcs, outs = _run_pair(  # no_auto_resume: a flake-retry must retrain
+        lambda i: base_cmd(i) + ["--no_auto_resume"], port=12361)
     for i, o in enumerate(outs):
         sys.stdout.write("".join(f"[p{i}] {ln}\n" for ln in o.splitlines()[-8:]))
     losses_seen = all("critic_loss" in o for o in outs)
@@ -203,11 +218,15 @@ def main():
     print("=== phase 2: process restart + cross-process auto-resume ===")
     rcs, outs = _run_pair(train_cmd(5), port=12362)
     resumed = all("[resume] restored step" in o for o in outs)
+    # mid-epoch data-loader resume (ShardedCheckpointableLoader): each rank
+    # restores its own per-host position saved beside the checkpoint
+    loader_resumed = all("[resume] loader at epoch" in o for o in outs)
     ok2 = rcs == [0, 0] and resumed
     for i, o in enumerate(outs):
         sys.stdout.write("".join(f"[p{i}] {ln}\n" for ln in o.splitlines()[-6:]))
     result["phases"]["restart_resume"] = {
         "rc": rcs, "resumed_on_both_ranks": resumed,
+        "loader_mid_epoch_resume_on_both_ranks": loader_resumed,
         "checkpoints": ckpts, "ok": ok2}
     if not ok2:
         _fail(result, outs, work)

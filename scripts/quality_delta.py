@@ -34,6 +34,19 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--window", default="9,3")
     ap.add_argument("--skip_vae", action="store_true")
+    ap.add_argument("--drift_interval", type=int, default=0,
+                    help="report latent rel-RMS vs bf16 PER SEGMENT of this "
+                         "many frames — the long-horizon compounding check "
+                         "for the fast mode (run with --frames 240)")
+    ap.add_argument("--modes", default=None,
+                    help="comma-separated substrings: run only matching "
+                         "modes (bf16 always runs as the reference)")
+    ap.add_argument("--dmd_steps", type=int, default=0,
+                    help="tiny mode only: pre-train the generator with this "
+                         "many DMD steps and measure at the TRAINED weights "
+                         "(random-weight activation statistics are not "
+                         "representative; a distilled model is the gate's "
+                         "operating point)")
     args = ap.parse_args()
 
     from longlive_tpu.config import DiTConfig, LatentGeometry, PipelineConfig
@@ -66,6 +79,33 @@ def main():
     # every mode output identical zero flow — useless for a numeric delta
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16,
                                zero_head=False)
+    if args.dmd_steps:
+        assert os.environ.get("LONGLIVE_QD_TINY") == "1", \
+            "--dmd_steps needs the tiny fixture (no released weights here)"
+        from longlive_tpu.training.trainer import (ScoreDistillationTrainer,
+                                                   TrainerConfig)
+        tc = TrainerConfig(num_training_frames=4, min_num_training_frames=4,
+                           slice_last_frames=4, attn_impl="xla",
+                           ema_on_host=False)
+        g0 = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32,
+                               zero_head=False)
+        tr = ScoreDistillationTrainer(tc, cfg, geom, g0,
+                                      jax.tree.map(jnp.copy, g0),
+                                      jax.tree.map(jnp.copy, g0))
+        tr_prompt = jax.random.normal(jax.random.PRNGKey(11),
+                                      (1, cfg.text_len, cfg.text_dim))
+        for i in range(args.dmd_steps):
+            tr_noise = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(12), i),
+                (1, 4, geom.channels, geom.height, geom.width), jnp.float32)
+            m = tr.train_step(tr_noise, tr_prompt, tr_prompt,
+                              jax.random.PRNGKey(13))
+        print(json.dumps({"dmd_fixture_steps": args.dmd_steps,
+                          "final_generator_loss": m.get("generator_loss"),
+                          "final_critic_loss": m.get("critic_loss")}),
+              flush=True)
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                              tr.state["gen_params"])
     params_q = quantize_dit_params(params)
     prompt = jax.random.normal(jax.random.PRNGKey(1),
                                (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
@@ -94,8 +134,11 @@ def main():
     modes = [
         ("bf16", params, "xla" if tiny else "auto", None),
         ("int8_linears", params_q, "xla" if tiny else "auto", None),
+        # kernel_cache=False: the qk8 attend consumes per-token scales and
+        # does not support the stacked kernel-layout (kv_layer) cache
         ("int8_linears+qk8_attn", params_q,
-         "pallas_qk8_interpret" if tiny else "pallas_qk8", None),
+         "pallas_qk8_interpret" if tiny else "pallas_qk8",
+         _dc.replace(pc, kernel_cache=False)),
         # Block-Cascading-style fast mode: skip the clean-context commit
         # pass, keep the last denoise forward's K/V (5->4 forwards/block).
         # The delta here is ALGORITHMIC (slightly-noisy context), not
@@ -105,6 +148,10 @@ def main():
          _dc.replace(pc, reuse_last_denoise_kv=True)),
     ]
 
+    if args.modes:
+        keep = [s.strip() for s in args.modes.split(",")]
+        modes = [m for m in modes
+                 if m[0] == "bf16" or any(k in m[0] for k in keep)]
     ref_lat = None
     ref_px = None
     for name, p, impl, pcfg in modes:
@@ -117,6 +164,17 @@ def main():
             row["latent_rel_rms_vs_bf16"] = float(
                 np.sqrt((d ** 2).mean()) / (np.sqrt((ref_lat ** 2).mean()) + 1e-12))
             row["latent_max_abs_vs_bf16"] = float(np.abs(d).max())
+            if args.drift_interval:
+                # per-segment divergence: a mode whose error COMPOUNDS over
+                # the horizon shows a rising series (the fast mode's
+                # KV-context perturbation feeds back through the cache;
+                # numeric-precision modes stay flat)
+                seg = args.drift_interval
+                row["drift_rel_rms_per_segment"] = [
+                    round(float(np.sqrt((d[:, s:s + seg] ** 2).mean())
+                                / (np.sqrt((ref_lat[:, s:s + seg] ** 2).mean())
+                                   + 1e-12)), 5)
+                    for s in range(0, lat.shape[1], seg)]
         if vae_params is not None:
             px, _ = jax.jit(
                 lambda vp, z: V.vae_decode_scan(vp, vcfg, z, None, True))(

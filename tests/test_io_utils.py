@@ -229,3 +229,55 @@ def test_epoch_shard_and_prefetch(tmp_path):
     it = PrefetchIterator(iter(range(10**6)), depth=2)
     assert next(it) == 0
     it.close()  # joins without hanging on the full queue
+
+
+def test_sharded_checkpointable_loader_no_cross_host_repetition():
+    """Within an epoch, the two hosts' shards are disjoint and together
+    cover the dataset exactly once; shuffles differ across epochs."""
+    from longlive_tpu.utils.dataset import ShardedCheckpointableLoader, TextDataset
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        for i in range(7):  # odd count: shards differ in length by one
+            f.write(f"prompt {i}\n")
+        path = f.name
+    try:
+        ds = TextDataset(path)
+        l0 = ShardedCheckpointableLoader(ds, 0, 2, seed=3)
+        l1 = ShardedCheckpointableLoader(ds, 1, 2, seed=3)
+        e0 = [next(l0)["idx"] for _ in range(4)]  # host 0 shard (len 4)
+        e1 = [next(l1)["idx"] for _ in range(3)]  # host 1 shard (len 3)
+        assert not (set(e0) & set(e1))
+        assert set(e0) | set(e1) == set(range(7))
+        # epoch 1 reshuffles (both hosts agree on the new permutation)
+        n0 = [next(l0)["idx"] for _ in range(4)]
+        n1 = [next(l1)["idx"] for _ in range(3)]
+        assert set(n0) | set(n1) == set(range(7))
+        assert (n0, n1) != (e0, e1)  # astronomically unlikely to collide
+    finally:
+        os.unlink(path)
+
+
+def test_sharded_checkpointable_loader_mid_epoch_resume():
+    """state() -> restore continues mid-epoch exactly: no repetition, no
+    skips, across an epoch boundary too."""
+    from longlive_tpu.utils.dataset import ShardedCheckpointableLoader, TextDataset
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        for i in range(5):
+            f.write(f"p{i}\n")
+        path = f.name
+    try:
+        ds = TextDataset(path)
+        ref = ShardedCheckpointableLoader(ds, 0, 1, seed=9)
+        full = [next(ref)["idx"] for _ in range(12)]  # 2.4 epochs
+
+        lo = ShardedCheckpointableLoader(ds, 0, 1, seed=9)
+        first = [next(lo)["idx"] for _ in range(7)]
+        st = lo.state()
+        resumed = ShardedCheckpointableLoader(ds, 0, 1, seed=9, state=st)
+        rest = [next(resumed)["idx"] for _ in range(5)]
+        assert first + rest == full
+    finally:
+        os.unlink(path)
