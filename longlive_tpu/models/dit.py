@@ -1079,14 +1079,16 @@ def dit_forward_cached(
     blocks_xs = (params["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v,
                  cache.k_scale, cache.v_scale)
     body = jax.checkpoint(scan_body) if remat_layers else scan_body
-    if kv_only and remat_layers:
-        # TRAINING commit forwards: keep the uniform L-layer scan and just
-        # drop the head.  The serving-path L-1 split below slices the
-        # stacked params (jax.tree.map a[:-1] / a[-1]), which under the
-        # rollout VJP materializes near-full COPIES of every weight stack
-        # (measured: 2x 1.42 GB ys + 761 MB ffn-weight copies in the
-        # 21-frame staged phase-3 compile OOM) — the split is a pure-serving
-        # optimization.
+    if kv_only and (remat_layers or b > 1):
+        # TRAINING commit forwards AND batched serving: keep the uniform
+        # L-layer scan and just drop the head.  The L-1 split below slices
+        # the stacked params and cache (jax.tree.map a[:-1] / a[-1]):
+        # under the rollout VJP that materializes near-full COPIES of
+        # every weight stack (measured: 2x 1.42 GB ys + 761 MB ffn-weight
+        # copies, 21-frame staged phase-3 compile OOM), and at B>1 the
+        # cache.k/.v[:-1] slices alone are 2x 2.33 GB HLO temps — the
+        # B=2 e2e compile OOM (chip r3b stage 1).  The split saves only
+        # ~1/L of one forward in 5, so it stays a B=1 serving optimization.
         tokens, (new_k, new_v, new_sc, new_vsc) = jax.lax.scan(
             body, tokens, blocks_xs)
         flow = jnp.zeros((b, f, cfg.out_dim, h, w), jnp.float32)

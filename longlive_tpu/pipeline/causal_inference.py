@@ -126,7 +126,8 @@ class EagerRecache:
     def __init__(self, pipe: "CausalInferencePipeline", batch: int,
                  switch_frame: int, dtype=jnp.bfloat16):
         fpb = pipe.frame_block
-        n = min(pipe.config.local_attn_size, switch_frame)
+        local = pipe.config.local_attn_size
+        n = switch_frame if local == -1 else min(local, switch_frame)
         if n % fpb:
             raise ValueError(
                 f"eager recache needs a block-aligned replay ({n} frames, "

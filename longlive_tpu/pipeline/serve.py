@@ -75,6 +75,20 @@ class PipelinedRenderer:
         self._decode_rest = jax.jit(
             lambda p, z, c: V.vae_decode_scan(p, vae_cfg, z, c, False),
             out_shardings=dd_sharding)
+        if len(jax.devices()) == 1:
+            # single-chip serving (decode shares the generation chip): the
+            # decode programs join the AOT executable cache — multi-device
+            # placements embed a device assignment and stay plain jit
+            from ..utils import aot_cache
+
+            if aot_cache.enabled():
+                key = f"serve-decode-{vae_cfg!r}-{segment_frames}"
+                self._decode_first = aot_cache.aot_jit(
+                    lambda p, z: V.vae_decode_scan(p, vae_cfg, z, None, True),
+                    key=key + "-first")
+                self._decode_rest = aot_cache.aot_jit(
+                    lambda p, z, c: V.vae_decode_scan(p, vae_cfg, z, c, False),
+                    key=key + "-rest")
 
     def render(
         self,

@@ -39,7 +39,8 @@ def _child_env(proc_id: int, port: int) -> dict:
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "XLA_FLAGS": ("--xla_force_host_platform_device_count=4"
+                      " --xla_cpu_collective_timeout_seconds=1200"),
         "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
         "JAX_NUM_PROCESSES": "2",
         "JAX_PROCESS_ID": str(proc_id),

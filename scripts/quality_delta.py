@@ -123,10 +123,26 @@ def main():
         pipe = CausalInferencePipeline(pcfg or pc, p, geometry=geom,
                                        dit_config=cfg, attn_impl=attn_impl)
         cross = pipe.prepare_condition(prompt)
-        lat, _, _ = pipe.generate_latents_scanned(
-            noise, cross, rng=jax.random.PRNGKey(4),
-            cache=pipe.init_cache(1, jnp.bfloat16), start_frame=0)
-        return np.asarray(lat.astype(jnp.float32))
+        seg = args.drift_interval or args.frames
+        if seg >= args.frames:
+            lat, _, _ = pipe.generate_latents_scanned(
+                noise, cross, rng=jax.random.PRNGKey(4),
+                cache=pipe.init_cache(1, jnp.bfloat16), start_frame=0)
+            return np.asarray(lat.astype(jnp.float32))
+        # long-horizon runs: generate segment-by-segment with cache
+        # continuation (identical rng chain — the carry passes through),
+        # offloading each segment to host — constant device memory instead
+        # of one 240-frame program (a single big program crashed the
+        # tunneled TPU worker, chip session r3b stage 2)
+        cache = pipe.init_cache(1, jnp.bfloat16)
+        rng = jax.random.PRNGKey(4)
+        out = []
+        for s in range(0, args.frames, seg):
+            lat, cache, rng = pipe.generate_latents_scanned(
+                noise[:, s : s + seg], cross, rng=rng, cache=cache,
+                start_frame=s)
+            out.append(np.asarray(lat.astype(jnp.float32)))
+        return np.concatenate(out, axis=1)
 
     import dataclasses as _dc
 

@@ -369,3 +369,26 @@ def test_interactive_eager_recache_mode(pipe_setup):
     # mask — values stay in the same numeric range
     post_b, post_e = np.asarray(lat_b[:, 6:]), np.asarray(lat_e[:, 6:])
     assert post_e.std() < 10 * post_b.std() + 1e-3
+
+
+def test_kernel_cache_batched_matches_default(pipe_setup):
+    """kernel_cache at B=2: the stacked [L*B*N, S_pad, D] rows are b-major
+    exactly like the flattened q rows, so batched serving must match the
+    write-then-attend pipeline per stream (the round-2 B=2 rows ran with
+    kernel_cache off, leaving this unproven)."""
+    cfg, geom, params, pcfg = pipe_setup
+    import dataclasses as dc
+
+    ref_pipe = CausalInferencePipeline(
+        dc.replace(pcfg, kernel_cache=False), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
+    kl_pipe = CausalInferencePipeline(
+        dc.replace(pcfg, kernel_cache=True), params, geometry=geom,
+        dit_config=cfg, attn_impl="xla")
+    pe = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.text_len, cfg.text_dim))
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (2, 8, geom.channels, geom.height, geom.width))
+    lat_r, _, _ = ref_pipe.generate_latents_scanned(noise, ref_pipe.prepare_condition(pe))
+    lat_k, _, _ = kl_pipe.generate_latents_scanned(noise, kl_pipe.prepare_condition(pe))
+    np.testing.assert_allclose(np.asarray(lat_k), np.asarray(lat_r),
+                               rtol=1e-4, atol=1e-5)
