@@ -354,11 +354,16 @@ def main():
     def measure_eager_stall(reps=3):
         """Viewer-visible switch stall under eager (incremental) recache:
         with scheduled switches the replay window commits chunk-by-chunk
-        BEHIND generation (EagerRecache), so the only serial-at-switch work
-        is the final block's chunk + pointer finish (+ kernel-layout
-        conversion when kernel_cache).  This times exactly that tail —
-        the number to compare against ``switch_recache_ms`` (one-shot) and
-        the reference's ~360 ms serial recache
+        BEHIND generation (EagerRecache), and the LAST pre-switch block
+        skips its commit pass outright (its K/V would be read by nothing —
+        the switch replaces the cache), so the eager chunk takes the
+        commit's place in the schedule.  The visible stall is therefore
+
+          (nocommit block + final chunk + finish) − (steady block)
+
+        — the EXTRA serial device time at the switch vs steady-state
+        generation.  Compare against ``switch_recache_ms`` (one-shot,
+        ~545 ms) and the reference's ~360 ms serial recache
         (interactive_causal_inference.py:34-106)."""
         rng = jax.random.PRNGKey(9)
         cache = pipe.init_cache(batch, jnp.bfloat16)
@@ -377,6 +382,27 @@ def main():
             leaf = jax.tree.leaves(c)[0]
             _ = float(jnp.sum(leaf[..., ::64, 0, 0].astype(jnp.float32)))
 
+        nb = jax.random.normal(
+            jax.random.PRNGKey(11),
+            (batch, fpb, geom.channels, geom.height, geom.width), jnp.float32)
+
+        def time_blocks(fn, cache, rng, start0, reps):
+            x0, cache, rng = fn(pipe.params, cache, cross_a, nb,
+                                jnp.asarray(start0, jnp.int32), rng)  # warm
+            jax.block_until_ready(x0)
+            t0 = time.perf_counter()
+            for i in range(reps):
+                x0, cache, rng = fn(pipe.params, cache, cross_a, nb,
+                                    jnp.asarray(start0 + (i + 1) * fpb,
+                                                jnp.int32), rng)
+            jax.block_until_ready(x0)
+            return (time.perf_counter() - t0) / reps * 1e3, cache, rng
+
+        steady_ms, cache, rng = time_blocks(pipe._block_fn, cache, rng,
+                                            n_gen, reps)
+        nocommit_ms, cache, rng = time_blocks(pipe._block_fn_nocommit, cache,
+                                              rng, n_gen + (reps + 1) * fpb,
+                                              reps)
         times = []
         for r in range(reps + 1):  # first rep warms the chunk/finish jits
             er = pipe.begin_eager_recache(batch, n_gen, jnp.bfloat16)
@@ -388,7 +414,13 @@ def main():
             c = er.finish()
             force(c)
             times.append(time.perf_counter() - t0)
-        return sum(times[1:]) / reps * 1e3
+        feed_finish_ms = sum(times[1:]) / reps * 1e3
+        stall = max(0.0, nocommit_ms + feed_finish_ms - steady_ms)
+        print(f"bench: eager switch: steady_block={steady_ms:.1f} "
+              f"nocommit_block={nocommit_ms:.1f} "
+              f"feed+finish={feed_finish_ms:.1f} -> stall={stall:.1f} ms",
+              file=sys.stderr, flush=True)
+        return stall
 
     eager_stall_ms = None
     if os.environ.get("BENCH_EAGER_SWITCH", "1") == "1":

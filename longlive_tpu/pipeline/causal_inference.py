@@ -305,14 +305,24 @@ class CausalInferencePipeline:
             cache, start_frame, attn_impl=attn_impl, **kw,
         )
 
-    def _block_step(self, params, cache, cross_kv, noise_block, start_frame, rng):
+    def _block_step(self, params, cache, cross_kv, noise_block, start_frame,
+                    rng, skip_commit: bool = False):
         """4-step denoise + clean-context commit for one block
-        (reference causal_inference.py:144-200)."""
+        (reference causal_inference.py:144-200).
+
+        ``skip_commit``: drop the commit entirely (no 5th forward, no K/V
+        kept).  EXACT for the LAST block before a prompt switch — its
+        committed K/V would be read by nothing (the switch replaces the
+        cache), and the eager-recache chunk under the new prompt takes the
+        commit's place in the schedule, so the switch adds ~zero serial
+        work.  x0 is unaffected (the commit never fed the block's own
+        denoising), and the rng chain is identical (the commit consumes no
+        randomness)."""
         b, f = noise_block.shape[:2]
         x = noise_block
         x0 = x
         n_steps = len(self.denoise_timesteps)
-        reuse_kv = self.config.reuse_last_denoise_kv
+        reuse_kv = self.config.reuse_last_denoise_kv and not skip_commit
         kl = self.kernel_cache
         for i, t_val in enumerate(self.denoise_timesteps):
             # denoise (recompute) passes discard the cache -> skip
@@ -351,7 +361,7 @@ class CausalInferencePipeline:
                     self.sched, x0.reshape(b * f, *x0.shape[2:]), noise.reshape(
                         b * f, *x0.shape[2:]), t_next
                 ).reshape(x0.shape)
-        if not reuse_kv:
+        if not reuse_kv and not skip_commit:
             # clean-context commit pass (causal_inference.py:191-200); its
             # flow output is never read, so the last layer runs K/V-only
             _, cache = self._forward(
@@ -446,6 +456,7 @@ class CausalInferencePipeline:
             self._contig = False
             self._block_fn = self._jit("block", self._block_step,
                                        donate_argnums=(1,))
+            self._block_nc_jit = None
             self._segment_fns = {}
             self._recache_fns = {}
         key = (num_frames, global_sink, overwrite_sink)
@@ -514,6 +525,18 @@ class CausalInferencePipeline:
             self._eager_chunk_jit = self._jit("eager_recache_chunk", chunk_fn,
                                               donate_argnums=(1,))
         return self._eager_chunk_jit
+
+    @property
+    def _block_fn_nocommit(self):
+        """Block step WITHOUT the commit pass — for the last block before a
+        prompt switch (see _block_step.skip_commit)."""
+        if getattr(self, "_block_nc_jit", None) is None:
+            self._block_nc_jit = self._jit(
+                "block_nocommit",
+                lambda p, c, ck, nb, s, r: self._block_step(
+                    p, c, ck, nb, s, r, skip_commit=True),
+                donate_argnums=(1,))
+        return self._block_nc_jit
 
     @property
     def _to_kl_fn(self):

@@ -163,7 +163,14 @@ class InteractiveCausalInferencePipeline(CausalInferencePipeline):
                     cache=cache, start_frame=s)
                 outputs.append(lat)
             for bs in range(split, e, fpb):  # window tail: feed per block
-                x0, cache, rng = self._block_fn(
+                # final pre-switch block: skip its commit pass outright —
+                # the committed K/V would be read by nothing (the switch
+                # replaces the cache), so the eager chunk under the new
+                # prompt takes the commit's place in the schedule and the
+                # switch adds ~zero serial device work
+                fn = (self._block_fn_nocommit if bs + fpb >= e
+                      else self._block_fn)
+                x0, cache, rng = fn(
                     self.params, cache, cross_kv_list[seg],
                     noise[:, bs : bs + fpb], jnp.asarray(bs, jnp.int32), rng)
                 outputs.append(x0)

@@ -392,3 +392,24 @@ def test_kernel_cache_batched_matches_default(pipe_setup):
     lat_k, _, _ = kl_pipe.generate_latents_scanned(noise, kl_pipe.prepare_condition(pe))
     np.testing.assert_allclose(np.asarray(lat_k), np.asarray(lat_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_block_step_skip_commit_x0_exact(pipe_setup):
+    """skip_commit drops only the commit pass: the block's x0 (and the rng
+    chain) are bit-identical to the normal block step — the basis for the
+    zero-cost final pre-switch block."""
+    cfg, geom, params, pcfg = pipe_setup
+    pipe = _make_pipe(CausalInferencePipeline, cfg, geom, params, pcfg)
+    cross = _prompt_kv(pipe, cfg, 1)
+    nb = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (1, pipe.frame_block, geom.channels, geom.height, geom.width))
+    rng = jax.random.PRNGKey(3)
+    c1 = pipe.init_cache(1, jnp.float32)
+    c2 = pipe.init_cache(1, jnp.float32)
+    x0_a, _, rng_a = pipe._block_fn(pipe.params, c1, cross, nb,
+                                    jnp.asarray(0, jnp.int32), rng)
+    x0_b, _, rng_b = pipe._block_fn_nocommit(pipe.params, c2, cross, nb,
+                                             jnp.asarray(0, jnp.int32), rng)
+    np.testing.assert_array_equal(np.asarray(x0_a), np.asarray(x0_b))
+    np.testing.assert_array_equal(np.asarray(rng_a), np.asarray(rng_b))
