@@ -128,9 +128,17 @@ def main():
     # time) so attention runs int8-QK with NO per-forward K-quantize pass —
     # the design negative result #2 (PERF.md) called for
     kv_int8 = os.environ.get("BENCH_INT8_KV", "0") == "1"
-    # BENCH_REUSE_KV=1: skip the clean-context commit pass, keeping the last
-    # denoise forward's K/V (Block-Cascading-style, 5->4 forwards per block)
-    reuse_kv = os.environ.get("BENCH_REUSE_KV", "0") == "1"
+    # BENCH_REUSE_KV: skip the clean-context commit pass, keeping the last
+    # denoise forward's K/V (Block-Cascading-style, 5->4 forwards per
+    # block, −13% latency).  DEFAULT ON since round 3: the long-horizon
+    # gate passed — 240-frame full-geometry drift vs the clean-context
+    # pipeline is a CONSTANT ~1.6% latent rel-RMS (per-30-frame segments
+    # 1.53/1.62/1.61/1.61/1.62/1.62/1.62/1.62%, chip r3d; no compounding
+    # through the KV-cache feedback), consistent with LongLive's
+    # context-noise training tolerance.  BENCH_REUSE_KV=0 restores the
+    # reference-faithful 5-forward schedule; final re-validation at real
+    # weights stays on the standing list (PERF.md gate).
+    reuse_kv = os.environ.get("BENCH_REUSE_KV", "1") == "1"
     # BENCH_RECACHE_QK8=1: the prompt-switch recache prefill runs int8-QK
     # (one-shot quantize vs O(S^2) attention — the amortization the decode
     # path lacks, PERF.md negative result #2)
