@@ -255,15 +255,22 @@ def main():
             if per_stream_vae:
                 if vae_caches is None:
                     vae_caches = [None] * batch
-                rows = []
+                marks = []
                 for s in range(batch):
                     if first_seg:
                         row, vae_caches[s] = decode_first(vae_params, lz[s : s + 1])
                     else:
                         row, vae_caches[s] = decode_rest(vae_params, lz[s : s + 1],
                                                          vae_caches[s])
-                    rows.append(row)
-                pixels = jnp.concatenate(rows, axis=0)
+                    # a real batched server streams each stream's pixels
+                    # OFF the chip as they decode; keeping B full pixel
+                    # buffers resident (2x 2.53 GB at 18 frames) is what
+                    # pushed B=2 e2e past 16 GB (b2_mem_probe, r3e).
+                    # Reduce to a tiny completion marker — the decode work
+                    # is unchanged; the buffer frees after its decode.
+                    marks.append(jnp.sum(
+                        row[:, -1, :, ::64, ::64].astype(jnp.float32)))
+                pixels = jnp.stack(marks)
             elif first_seg:
                 pixels, vae_caches = decode_first(vae_params, lz)
             else:
@@ -283,8 +290,9 @@ def main():
         lat, cache, rng, vae_caches, px = run_segment(
             noise[:, :warmup_frames], cross_a, cache, rng, 0, vae_caches, True)
         jax.block_until_ready(lat)
-        if px is not None:
-            _ = float(jnp.sum(px[:, -1, :, ::64, ::64]))  # force completion
+        if px is not None:  # force completion (per-stream mode: marker)
+            _ = float(jnp.sum(px if per_stream_vae
+                              else px[:, -1, :, ::64, ::64]))
         t0 = time.perf_counter()
         if use_switches:
             half = frames // 2 // 3 * 3
@@ -307,7 +315,8 @@ def main():
             last_px, last_lat = (px1, lat1)
         jax.block_until_ready(last_lat)
         if last_px is not None:
-            _ = float(jnp.sum(last_px[:, -1, :, ::64, ::64]))
+            _ = float(jnp.sum(last_px if per_stream_vae
+                              else last_px[:, -1, :, ::64, ::64]))
         return time.perf_counter() - t0
 
     t_compile0 = time.perf_counter()
