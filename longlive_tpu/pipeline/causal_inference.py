@@ -166,16 +166,15 @@ class EagerRecache:
 
     def finish(self) -> kvc.KVCache:
         """Returns the completed post-switch cache (one-shot-recache layout:
-        frames packed from slot 0, ring_base = switch - n + sink)."""
+        frames packed from slot 0, ring_base = switch - n + sink).  One
+        jitted program (pointer update + optional kernel-layout
+        conversion) — the switch-path serial tail must not pay per-scalar
+        dispatch round trips."""
         assert self.fed == self.n, (
             f"eager recache incomplete: {self.fed}/{self.n} frames fed")
-        pipe = self.pipe
-        cache = kvc.recache_state(pipe.cache_cfg, self.cache,
-                                  jnp.asarray(self.start + self.n, jnp.int32),
-                                  self.n)
-        if pipe.kernel_cache:
-            cache = pipe._to_kl_fn(cache)
-        return cache
+        return self.pipe._finish_recache_fn()(
+            self.cache, jnp.asarray(self.start + self.n, jnp.int32),
+            jnp.asarray(self.n, jnp.int32))
 
 
 class CausalInferencePipeline:
@@ -537,6 +536,20 @@ class CausalInferencePipeline:
                     p, c, ck, nb, s, r, skip_commit=True),
                 donate_argnums=(1,))
         return self._block_nc_jit
+
+    def _finish_recache_fn(self):
+        """EagerRecache.finish as ONE program: recache pointer state +
+        (under kernel_cache) the standard->kernel relayout."""
+        if getattr(self, "_finish_recache_jit", None) is None:
+            def fin(cache, end, n):
+                cache = kvc.recache_state(self.cache_cfg, cache, end, n)
+                if self.kernel_cache:
+                    cache = kvc.to_kernel_layout(self.cache_cfg, cache)
+                return cache
+
+            self._finish_recache_jit = self._jit("finish_recache", fin,
+                                                 donate_argnums=(0,))
+        return self._finish_recache_jit
 
     @property
     def _to_kl_fn(self):
