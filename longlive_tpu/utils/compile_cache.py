@@ -34,6 +34,15 @@ def enable(cache_dir: str | None = None) -> str | None:
     env = os.environ.get("LONGLIVE_JAX_CACHE")
     if env is not None and env in ("", "0"):
         return None
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu") and not env:
+        # CPU-forced runs (tests, multiproc sims): XLA:CPU AOT cache
+        # entries are host-machine-feature-bound — entries written by
+        # processes with different feature preferences load with
+        # "Machine type ... doesn't match" and can SIGILL (observed as a
+        # fatal native crash mid-suite).  The cache's value is the TPU
+        # path; CPU tiny-config compiles are seconds anyway.  Set
+        # LONGLIVE_JAX_CACHE explicitly to force-enable on CPU.
+        return None
     path = cache_dir or env or _REPO_DEFAULT
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
