@@ -19,7 +19,13 @@ def main():
     seg = 60
     cfg = DiTConfig()
     geom = LatentGeometry()
-    pc = PipelineConfig(num_output_frames=total)
+    import os
+    pc = PipelineConfig(
+        num_output_frames=total,
+        # match the round-3 serving defaults (fast mode, 9/3 window)
+        local_attn_size=int(os.environ.get("LONGGEN_WINDOW", "9")),
+        sink_size=3, global_sink=False,
+        reuse_last_denoise_kv=os.environ.get("LONGGEN_REUSE", "1") == "1")
     params = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     pipe = CausalInferencePipeline(pc, params, geometry=geom, dit_config=cfg)
     prompt = jax.random.normal(jax.random.PRNGKey(1),
