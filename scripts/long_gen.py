@@ -2,8 +2,11 @@
 960 latent frames, README.md:25,49): constant-HBM rolling KV cache, latents
 offloaded to host per segment.  Usage: python scripts/long_gen.py [frames]"""
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
@@ -19,7 +22,6 @@ def main():
     seg = 60
     cfg = DiTConfig()
     geom = LatentGeometry()
-    import os
     pc = PipelineConfig(
         num_output_frames=total,
         # match the round-3 serving defaults (fast mode, 9/3 window)
