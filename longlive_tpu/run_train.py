@@ -84,6 +84,74 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
     )
 
 
+def resolve_score_models(raw: dict, dit_cfg, tcfg: TrainerConfig, mesh=None):
+    """Teacher (real_score) / critic (fake_score) initialization.
+
+    Matches the reference's DMD wiring (model/base.py:29-49 + the shipped
+    configs/longlive_train_init.yaml:5-7): ``real_name``/``fake_name`` select
+    FRESH base-Wan checkpoints for the real/fake score models — they are NOT
+    copies of the (distilled) generator, which ``generator_ckpt`` loads into
+    the generator only (trainer/distillation.py:158,476-478).  The 14B
+    teacher (``real_name: Wan2.1-T2V-14B``) composes with ``teacher_stream``:
+    its tree is built in host RAM and streamed per-layer during the loss
+    phase (never resident in HBM).
+
+    Returns ``(teacher_params, teacher_cfg, critic_params)``.
+    """
+    import dataclasses as _dc
+
+    from .config import WAN_MODEL_CONFIGS
+
+    real_name = raw.get("real_name", "Wan2.1-T2V-1.3B")
+    fake_name = raw.get("fake_name", "Wan2.1-T2V-1.3B")
+    seed = int(raw.get("seed", 0))
+
+    if raw.get("tiny_debug"):
+        # fresh random score models (distinct seeds — the invariant that the
+        # teacher is NOT the generator holds even without artifacts)
+        teacher = D.init_dit_params(jax.random.PRNGKey(seed + 1), dit_cfg,
+                                    jnp.float32, zero_head=False)
+        critic = D.init_dit_params(jax.random.PRNGKey(seed + 2), dit_cfg,
+                                   jnp.float32, zero_head=False)
+        return teacher, dit_cfg, critic
+
+    # teacher geometry: real_name's released arch, with the run's
+    # latent/text geometry carried over (the 14B teacher keeps the
+    # generator's resolution — train_probe_1p3b.py --teacher_14b wiring)
+    tgeom = WAN_MODEL_CONFIGS.get(real_name)
+    if tgeom is None:
+        raise KeyError(
+            f"real_name {real_name!r} unknown; known: {list(WAN_MODEL_CONFIGS)}")
+    teacher_cfg = _dc.replace(dit_cfg, **tgeom)
+    big_teacher = teacher_cfg.dim != dit_cfg.dim or (
+        teacher_cfg.num_layers != dit_cfg.num_layers)
+    if big_teacher and not tcfg.teacher_stream:
+        raise ValueError(
+            f"real_name {real_name!r} is a larger teacher "
+            f"(dim {teacher_cfg.dim}); set teacher_stream: true (and "
+            "staged_phases: true) so it streams from host RAM")
+    on_host = bool(tcfg.teacher_stream and mesh is None)
+    teacher = loading.load_base_dit(
+        os.path.join("wan_models", real_name), teacher_cfg, jnp.float32,
+        seed=seed + 1, on_host=on_host)
+
+    # critic (fake_score) is TRAINED with the generator's arch; a
+    # different-geometry fake_name has no trainer wiring (the reference
+    # never ships one either — fake_name is 1.3B in every config)
+    fgeom = WAN_MODEL_CONFIGS.get(fake_name)
+    if fgeom is None:
+        raise KeyError(
+            f"fake_name {fake_name!r} unknown; known: {list(WAN_MODEL_CONFIGS)}")
+    if fgeom["dim"] != dit_cfg.dim or fgeom["num_layers"] != dit_cfg.num_layers:
+        raise ValueError(
+            f"fake_name {fake_name!r} geometry {fgeom} differs from the "
+            "generator arch; the critic must share the generator's config")
+    critic = loading.load_base_dit(
+        os.path.join("wan_models", fake_name), dit_cfg, jnp.float32,
+        seed=seed + 2)
+    return teacher, teacher_cfg, critic
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_path", required=True)
@@ -161,8 +229,6 @@ def main():
         gen_params = loading.load_dit_params(pconfig, dit_cfg, jnp.float32)
         vae_params, vcfg = loading.load_vae_params(pconfig, jnp.float32)
         text_encoder = loading.load_text_encoder(pconfig)
-    teacher_params = jax.tree.map(jnp.copy, gen_params)
-    critic_params = jax.tree.map(jnp.copy, gen_params)
 
     mesh = None
     ndev = len(jax.devices())
@@ -180,6 +246,11 @@ def main():
         else:
             mesh = M.make_mesh(dp=dp, fsdp=fsdp_n,
                                devices=jax.devices()[: dp * fsdp_n])
+    # real/fake score models: FRESH base-Wan weights via real_name/fake_name
+    # (reference model/base.py:30-39) — generator_ckpt never touches them
+    teacher_params, teacher_cfg, critic_params = resolve_score_models(
+        raw, dit_cfg, tcfg, mesh=mesh)
+
     if mesh is not None:
         gen_params = M.shard_params(gen_params, mesh)
         teacher_params = M.shard_params(teacher_params, mesh)
@@ -196,11 +267,12 @@ def main():
         )
         trainer = StreamingTrainer(
             tcfg, dit_cfg, geom, gen_params, critic_params, teacher_params,
-            mesh=mesh, streaming_cfg=scfg, vae_params=vae_params, vae_cfg=vcfg)
+            mesh=mesh, streaming_cfg=scfg, vae_params=vae_params, vae_cfg=vcfg,
+            teacher_cfg=teacher_cfg)
     else:
         trainer = ScoreDistillationTrainer(
             tcfg, dit_cfg, geom, gen_params, critic_params, teacher_params,
-            mesh=mesh)
+            mesh=mesh, teacher_cfg=teacher_cfg)
 
     if not args.no_auto_resume:
         restored = orbax_io.restore_train_state(args.logdir, trainer.state)

@@ -52,3 +52,98 @@ def test_run_train_tiny(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "run_train", "--config_path", str(cfg_path), "--logdir", str(logdir)])
     main()
+
+
+def _tree_equal(a, b):
+    import numpy as np
+
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    return len(la) == len(lb) and all(
+        x.shape == y.shape and np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(la, lb))
+
+
+def test_resolve_score_models_fresh_not_generator():
+    """VERDICT r3 item 1: real/fake score models are FRESH base-Wan weights
+    (reference model/base.py:30-39), never copies of the generator_ckpt-
+    loaded generator (trainer/distillation.py:158,476-478)."""
+    import jax.numpy as jnp
+
+    from longlive_tpu.config import tiny_dit_config
+    from longlive_tpu.models import dit as D
+    from longlive_tpu.run_train import build_trainer_config, resolve_score_models
+
+    cfg = tiny_dit_config()
+    raw = {"tiny_debug": True, "seed": 0}
+    tcfg = build_trainer_config(raw)
+    gen = D.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32,
+                            zero_head=False)
+    teacher, teacher_cfg, critic = resolve_score_models(raw, cfg, tcfg)
+    assert teacher_cfg is cfg
+    assert not _tree_equal(teacher, gen)
+    assert not _tree_equal(critic, gen)
+    assert not _tree_equal(teacher, critic)
+
+
+def test_resolve_score_models_loads_base_wan(monkeypatch):
+    """Non-tiny path: teacher/critic come from wan_models/<real_name>/ and
+    wan_models/<fake_name>/ (configs/longlive_train_init.yaml:5-7), NOT from
+    generator_ckpt."""
+    from longlive_tpu.config import PipelineConfig
+    from longlive_tpu.run_train import build_trainer_config, resolve_score_models
+    from longlive_tpu.utils import loading
+
+    calls = []
+    real_load = loading.load_base_dit
+
+    def spy(model_dir, cfg, *a, **kw):
+        calls.append(model_dir)
+        return real_load(model_dir, cfg, *a, **kw)
+
+    monkeypatch.setattr(loading, "load_base_dit", spy)
+    dit_cfg = PipelineConfig().dit_config()
+    # tiny-fy the arch so random-init fallback is cheap, keeping 1.3B name keys
+    import dataclasses as dc
+
+    from longlive_tpu import config as C
+
+    monkeypatch.setitem(C.WAN_MODEL_CONFIGS, "Wan2.1-T2V-1.3B",
+                        dict(dim=96, ffn_dim=128, num_heads=4, num_layers=2))
+    dit_cfg = dc.replace(dit_cfg, dim=96, ffn_dim=128, num_heads=4,
+                         num_layers=2, text_dim=32, freq_dim=32)
+    raw = {"real_name": "Wan2.1-T2V-1.3B", "fake_name": "Wan2.1-T2V-1.3B"}
+    tcfg = build_trainer_config(raw)
+    teacher, teacher_cfg, critic = resolve_score_models(raw, dit_cfg, tcfg)
+    assert calls == ["wan_models/Wan2.1-T2V-1.3B", "wan_models/Wan2.1-T2V-1.3B"]
+    assert not _tree_equal(teacher, critic)  # distinct fallback seeds
+
+
+def test_resolve_score_models_guards(monkeypatch):
+    """14B teacher demands teacher_stream; critic must share the generator
+    arch; unknown names fail loudly."""
+    import dataclasses as dc
+
+    import pytest as _pytest
+
+    from longlive_tpu import config as C
+    from longlive_tpu.config import PipelineConfig
+    from longlive_tpu.run_train import build_trainer_config, resolve_score_models
+
+    # tiny-fy the registered archs so random-init fallbacks stay cheap
+    monkeypatch.setitem(C.WAN_MODEL_CONFIGS, "Wan2.1-T2V-1.3B",
+                        dict(dim=96, ffn_dim=128, num_heads=4, num_layers=2))
+    monkeypatch.setitem(C.WAN_MODEL_CONFIGS, "Wan2.1-T2V-14B",
+                        dict(dim=192, ffn_dim=256, num_heads=8, num_layers=3))
+    dit_cfg = dc.replace(PipelineConfig().dit_config(), dim=96, ffn_dim=128,
+                         num_heads=4, num_layers=2, text_dim=32, freq_dim=32)
+    with _pytest.raises(ValueError, match="teacher_stream"):
+        resolve_score_models({"real_name": "Wan2.1-T2V-14B"}, dit_cfg,
+                             build_trainer_config({}))
+    raw = {"fake_name": "Wan2.1-T2V-14B", "teacher_stream": True,
+           "staged_phases": True}
+    with _pytest.raises(ValueError, match="generator"):
+        resolve_score_models(raw, dit_cfg, build_trainer_config(raw))
+    with _pytest.raises(KeyError):
+        resolve_score_models({"real_name": "nope"}, dit_cfg,
+                             build_trainer_config({}))
