@@ -797,6 +797,13 @@ def dit_forward_teacher_forcing(
     teacher-forcing mask — noisy block i attends its own noisy block plus the
     *clean* context of earlier blocks (reference causal_model.py:130-175,
     703-788; wan_wrapper.py:259-268).  Returns flow_pred for the noisy half.
+
+    With a pallas ``attn_impl`` the mask is computed arithmetically inside
+    the flash kernel (mask_kind="teacher_forcing") — at the 21-frame
+    training geometry the [2S, 2S] = 65520^2 f32 bias the dense path
+    materializes is ~17 GB, so the kernel path is the only one usable at
+    scale (the reference's flex-attention TF BlockMask, causal_model.py:
+    703-788).
     """
     from ..ops.masks import expand_frame_mask, teacher_forcing_frame_mask
 
@@ -819,9 +826,24 @@ def dit_forward_teacher_forcing(
     rope_cos = jnp.concatenate([rope_cos, rope_cos], axis=0)
     rope_sin = jnp.concatenate([rope_sin, rope_sin], axis=0)
 
-    frame_mask = teacher_forcing_frame_mask(f, cfg.num_frame_per_block)
-    token_mask = expand_frame_mask(frame_mask, hp * wp)
-    bias = jnp.where(token_mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+    use_kernel = attn_impl in ("pallas", "pallas_interpret", "auto")
+    if use_kernel:
+        from ..ops.attention import flash_attention_frame_masked
+
+        fs_tokens = hp * wp
+
+        def self_attend(q, k, v):
+            return flash_attention_frame_masked(
+                q, k, v, mask_kind="teacher_forcing", frame_seq=fs_tokens,
+                nfb=cfg.num_frame_per_block, clean_frames=f,
+                interpret=(attn_impl == "pallas_interpret"))
+    else:
+        frame_mask = teacher_forcing_frame_mask(f, cfg.num_frame_per_block)
+        token_mask = expand_frame_mask(frame_mask, hp * wp)
+        bias = jnp.where(token_mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+        def self_attend(q, k, v):
+            return dense_attention(q, k, v, bias)
 
     def scan_body(carry, xs):
         xcur = carry
@@ -845,7 +867,7 @@ def dit_forward_teacher_forcing(
                          layout=cfg.rope_layout)
         k = apply_rotary(k.reshape(b, s, n, hd), rope_cos, rope_sin,
                          layout=cfg.rope_layout)
-        y = dense_attention(q, k, v, bias)
+        y = self_attend(q, k, v)
         y = nn.linear(y.reshape(b, s, n * hd), layer_p["self_attn"]["o"])
         xcur = xcur + _flat(_per_frame(y, ftot) * e_[2])
 

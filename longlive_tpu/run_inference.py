@@ -50,7 +50,8 @@ def main():
     cfg = config.dit_config()
     geom = LatentGeometry()
 
-    params = loading.load_dit_params(config, cfg, use_ema=args.use_ema)
+    use_ema = args.use_ema or config.use_ema  # CLI flag OR yaml key
+    params = loading.load_dit_params(config, cfg, use_ema=use_ema)
     vae_params, vcfg = loading.load_vae_params(config)
     text_encoder = loading.load_text_encoder(config)
 
@@ -79,6 +80,8 @@ def main():
         rows = [{"prompts": "(random prompt embedding)", "idx": 0}]
     if args.max_prompts:
         rows = rows[: args.max_prompts]
+    if config.inference_iter != -1:  # reference inference.py:246
+        rows = rows[: config.inference_iter]
 
     # frame-by-frame scanned decode: larger chunks exceed v5e HBM at 480p
     decode = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z)[0])
@@ -100,22 +103,39 @@ def main():
 
     rng = jax.random.PRNGKey(config.seed)
     out_dir = config.output_folder or "videos/long"
+    rank = jax.process_index()
+    # reference filename scheme (inference.py:231-244): LoRA > EMA > regular
+    model_type = ("lora" if config.lora_ckpt else
+                  "ema" if use_ema else "regular")
+    ns = max(1, config.num_samples)
     for row, cond in zip(rows, conds):
-        cross = pipe.prepare_condition(cond)
+        # num_samples seeds per prompt share the condition
+        # (inference.py:189-195: prompts = [prompt] * num_samples)
+        cross = pipe.prepare_condition(jnp.repeat(cond, ns, axis=0)
+                                       if ns > 1 else cond)
         rng, sub = jax.random.split(rng)
         noise = jax.random.normal(
-            sub, (1, config.num_output_frames, geom.channels, geom.height, geom.width),
-            jnp.float32,
-        )
+            sub, (ns, config.num_output_frames, geom.channels, geom.height,
+                  geom.width), jnp.float32)
         if renderer is not None:
             pixels = renderer.render(noise, cross, rng=sub)
         else:
             latents = pipe.generate_latents(noise, cross, rng=sub,
                                             profile=config.profile)
-            pixels = decode(vae_params, latents.astype(jnp.bfloat16))
-        path = os.path.join(out_dir, f"video_{row['idx']:04d}.mp4")
-        write_video(path, to_video_array(pixels), fps=16)
-        print(f"wrote {path}")
+            # per-stream decode bounds the VAE peak to one stream's temps
+            pixels = jnp.concatenate(
+                [decode(vae_params, latents[i : i + 1].astype(jnp.bfloat16))
+                 for i in range(ns)], axis=0)
+        for seed_idx in range(ns):
+            if config.save_with_index:
+                name = f"rank{rank}-{row['idx']}-{seed_idx}_{model_type}.mp4"
+            else:
+                stem = row["prompts"][:100].replace(os.sep, "_")
+                name = f"rank{rank}-{stem}-{seed_idx}.mp4"
+            path = os.path.join(out_dir, name)
+            write_video(path, to_video_array(pixels[seed_idx : seed_idx + 1]),
+                        fps=16)
+            print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -40,7 +40,8 @@ def main():
     cfg = config.dit_config()
     geom = LatentGeometry()
 
-    params = loading.load_dit_params(config, cfg, use_ema=args.use_ema)
+    use_ema = args.use_ema or config.use_ema  # CLI flag OR yaml key
+    params = loading.load_dit_params(config, cfg, use_ema=use_ema)
     vae_params, vcfg = loading.load_vae_params(config)
     text_encoder = loading.load_text_encoder(config)
 
@@ -63,6 +64,8 @@ def main():
         rows = [{"prompts": ["(random)"] * n_seg, "idx": 0}]
     if args.max_prompts:
         rows = rows[: args.max_prompts]
+    if config.inference_iter != -1:  # reference interactive_inference.py:246
+        rows = rows[: config.inference_iter]
 
     # frame-by-frame scanned decode: larger chunks exceed v5e HBM at 480p
     decode = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z)[0])
@@ -105,7 +108,15 @@ def main():
             latents = pipe.generate_latents_interactive_scanned(
                 noise, cross_list, switch_indices, rng=sub)
         pixels = decode(vae_params, latents.astype(jnp.bfloat16))
-        path = os.path.join(out_dir, f"video_{row['idx']:04d}.mp4")
+        # reference filename scheme (inference.py:231-244)
+        rank = jax.process_index()
+        model_type = ("lora" if config.lora_ckpt else
+                      "ema" if use_ema else "regular")
+        if config.save_with_index:
+            name = f"rank{rank}-{row['idx']}-0_{model_type}.mp4"
+        else:
+            name = f"video_{row['idx']:04d}.mp4"
+        path = os.path.join(out_dir, name)
         write_video(path, to_video_array(pixels), fps=16)
         print(f"wrote {path}")
 

@@ -195,6 +195,9 @@ def main():
 
     with open(args.config_path) as f:
         raw = yaml.safe_load(f)
+    from .config import warn_unknown_keys
+
+    warn_unknown_keys(raw, source=args.config_path)
     pconfig = pipeline_config_from_dict(raw)
     tcfg = build_trainer_config(raw)
     if raw.get("tiny_debug"):

@@ -115,3 +115,24 @@ def test_phase_timer():
     with pt.phase("a"):
         pass
     assert "a" in pt.report()
+
+
+@pytest.mark.slow
+def test_teacher_forcing_flash_path_matches_dense(base):
+    """VERDICT r3 item 5: the TF forward routed through the arithmetic-mask
+    flash kernel (mask_kind='teacher_forcing') matches the dense-bias path —
+    the kernel is the only TF path usable at the 21-frame training geometry
+    (dense needs a ~17 GB [2S,2S] bias)."""
+    cfg, geom, params, tables, cross = base
+    noisy = jax.random.normal(jax.random.PRNGKey(2),
+                              (1, 4, geom.channels, geom.height, geom.width))
+    clean = jax.random.normal(jax.random.PRNGKey(3), noisy.shape)
+    t = jnp.full((1, 4), 500.0)
+    aug = jnp.full((1, 4), 100.0)
+    dense = D.dit_forward_teacher_forcing(params, cfg, tables, noisy, clean,
+                                          t, cross, aug_t=aug, attn_impl="xla")
+    flash = D.dit_forward_teacher_forcing(params, cfg, tables, noisy, clean,
+                                          t, cross, aug_t=aug,
+                                          attn_impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
