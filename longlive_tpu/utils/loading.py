@@ -135,8 +135,9 @@ def load_dit_params(
     return D.init_dit_params(jax.random.PRNGKey(config.seed), cfg, dtype)
 
 
-def load_vae_params(config: PipelineConfig, dtype=jnp.bfloat16) -> Tuple[dict, V.VAEConfig]:
-    vcfg = V.VAEConfig()
+def load_vae_params(config: PipelineConfig, dtype=jnp.bfloat16,
+                    vcfg: Optional[V.VAEConfig] = None) -> Tuple[dict, V.VAEConfig]:
+    vcfg = vcfg or V.VAEConfig()
     path = os.path.join("wan_models", config.model_name, "Wan2.1_VAE.pth")
     if os.path.exists(path):
         cache_dir = f"{path}.jaxcache-{jnp.dtype(dtype).name}"
