@@ -324,10 +324,13 @@ def main():
     compile_and_run = time.perf_counter() - t_compile0
     elapsed = full_run()
 
-    def measure_switch(reps=3):
+    def measure_switch(reps=3, replay_frames=None):
         """Prompt-switch cost = one KV-recache (a single masked prefill of
         min(local_attn, t) frames under the new prompt).  Timed as a
-        dependent chain so the tunnel RTT is paid once, not per rep."""
+        dependent chain so the tunnel RTT is paid once, not per rep.
+        ``replay_frames``: reduced replay window (the REACTIVE unscheduled-
+        switch lever, CausalInferencePipeline.reactive_switch) — None =
+        the reference-exact full window."""
         rng = jax.random.PRNGKey(7)
         cache = pipe.init_cache(batch, jnp.bfloat16)
         n_gen = -(-cfg.local_attn_size // 3) * 3 + 3
@@ -339,6 +342,8 @@ def main():
         lat, cache, rng = pipe.generate_latents_scanned(
             sw_noise, cross_a, rng=rng, cache=cache, start_frame=0)
         n = min(cfg.local_attn_size, n_gen)
+        if replay_frames is not None:
+            n = max(3, min(replay_frames, n) // 3 * 3)  # block-aligned
         replay = lat[:, n_gen - n :]
         start = jnp.asarray(n_gen - n, jnp.int32)
         fn = pipe._recache_fn(n, False)
@@ -358,8 +363,15 @@ def main():
         force(c)
         return (time.perf_counter() - t0) / reps * 1e3
 
+    reactive_ms = None
     try:
         switch_ms = round(measure_switch(), 1)
+        # reactive (unscheduled) switch at the reduced replay window
+        # (BENCH_REACTIVE_FRAMES, default 6 = sink + one block at 9/3)
+        rframes = int(os.environ.get("BENCH_REACTIVE_FRAMES", "6"))
+        if 0 < rframes < min(cfg.local_attn_size,
+                             -(-cfg.local_attn_size // 3) * 3 + 3):
+            reactive_ms = round(measure_switch(replay_frames=rframes), 1)
     except Exception as e:  # B>1 HBM-edge configs: the serving numbers
         # above are already measured — report the switch as absent
         # rather than losing the run (the recache replay at batch 2
@@ -463,6 +475,7 @@ def main():
         "prompt_switches": 1 if use_switches else 0,
         "switch_recache_ms": switch_ms,
         "switch_visible_stall_ms": eager_stall_ms,
+        "switch_reactive_stall_ms": reactive_ms,
         "attn_window": f"{local_attn},{sink}",
         "include_vae": not skip_vae,
         "int8": use_int8,

@@ -186,6 +186,20 @@ class PipelineConfig:
     # mask semantics (interactive_causal_inference.py:73-96); costs one
     # extra cache buffer of HBM while a switch approaches.
     eager_recache: bool = False
+    # Reduced replay window for REACTIVE (unscheduled) prompt switches:
+    # a switch that arrives without schedule cannot use the eager
+    # (incremental) recache — the one-shot replay of min(local_attn, t)
+    # frames is a ~550 ms serial stall.  With this set to r, an
+    # unscheduled switch replays only the last r frames (block-aligned),
+    # cutting the stall roughly proportionally.  The first post-switch
+    # blocks see a shorter history window (same spirit as the reference's
+    # no-quality-drop window-9 ablation, reports.md:57-61); the window
+    # refills with post-switch frames within local_attn frames, after
+    # which the state is self-consistent again.  Under global_sink=False
+    # the pinned sink becomes the first frames of the REDUCED replay
+    # (slightly newer than the full replay's).  None = reference-exact
+    # full-window replay.  No reference analogue.
+    reactive_recache_frames: Optional[int] = None
     # Attention impl override for the KV-recache (prompt-switch) forward
     # only.  "pallas_qk8" runs the recache's dense prefill QK^T on the int8
     # MXU pipe: unlike the decode path (where the per-forward cache-quantize
@@ -250,7 +264,8 @@ _CONSUMED_KEYS = frozenset({
     "switch_prompt_path", "train_first_chunk", "mixed_precision",
     # TPU-native extension keys (no reference analogue; see field docs)
     "kv_int8", "reuse_last_denoise_kv", "kernel_cache", "fused_rope",
-    "eager_recache", "recache_attn_impl", "ckpt_cache", "low_memory",
+    "eager_recache", "recache_attn_impl", "reactive_recache_frames",
+    "ckpt_cache", "low_memory",
     "parallel", "opt_on_host", "opt_async", "ema_on_host", "cache_int8",
     "staged_phases", "block_vjp", "page_generator", "teacher_stream",
     "tiny_debug",
@@ -329,6 +344,9 @@ def pipeline_config_from_dict(raw: dict) -> PipelineConfig:
         fused_rope=bool(raw.get("fused_rope", False)),
         eager_recache=bool(raw.get("eager_recache", False)),
         recache_attn_impl=raw.get("recache_attn_impl"),
+        reactive_recache_frames=(
+            None if raw.get("reactive_recache_frames") is None
+            else int(raw["reactive_recache_frames"])),
     )
     extras = {k: v for k, v in raw.items() if k not in known and k != "model_kwargs"}
     return PipelineConfig(extras=extras, **known)

@@ -494,6 +494,40 @@ class CausalInferencePipeline:
         self._recache_fns[key] = jitted
         return jitted
 
+    def reactive_switch(self, cache, history: jax.Array, cross_new,
+                        current_frame: int, frames: Optional[int] = None):
+        """Unscheduled (reactive) prompt switch at ``current_frame``:
+        rebuild the KV cache under the new prompt and return it.  The next
+        block then generates against the recached state.
+
+        A switch that arrives without schedule cannot use the eager
+        incremental recache (its chunks hide behind PRE-switch generation),
+        so the serial cost here is the replay prefill itself.  ``frames``
+        (default ``config.reactive_recache_frames``, else the full
+        ``min(local_attn, t)`` window) bounds that cost: a reduced replay
+        of r frames cuts the stall roughly r/window while the first
+        post-switch blocks see a shorter history window — the same
+        quality lever as the reference's window-9 ablation
+        (reports.md:57-61).  The window refills with post-switch frames
+        within ``local_attn`` frames.  ``history``: the generated latents
+        ending at ``current_frame`` (at least the replay span).
+        """
+        local = self.cfg.local_attn_size
+        full = current_frame if local == -1 else min(local, current_frame)
+        if frames is None:
+            frames = self.config.reactive_recache_frames or full
+        fpb = self.frame_block
+        n = min(frames, full)
+        n -= n % fpb  # block-aligned (kernel_cache/contiguous invariant)
+        if n <= 0:
+            n = min(fpb, full)
+        assert history.shape[1] >= n, (
+            f"history has {history.shape[1]} frames; replay needs {n}")
+        replay = history[:, history.shape[1] - n :]
+        return self._recache_fn(n, bool(self.config.global_sink))(
+            self.params, cache, cross_new, replay,
+            jnp.asarray(current_frame - n, jnp.int32))
+
     def _eager_recache_chunk_fn(self):
         """One jitted program shared by every EagerRecache chunk: commit
         replay frames [c0, c0+fpb) (kv_only, new prompt, context_noise t)

@@ -413,3 +413,74 @@ def test_block_step_skip_commit_x0_exact(pipe_setup):
                                              jnp.asarray(0, jnp.int32), rng)
     np.testing.assert_array_equal(np.asarray(x0_a), np.asarray(x0_b))
     np.testing.assert_array_equal(np.asarray(rng_a), np.asarray(rng_b))
+
+
+@pytest.mark.slow
+def test_reactive_switch_full_window_matches_oneshot(pipe_setup):
+    """reactive_switch with no reduction is EXACTLY the one-shot recache
+    (reference interactive_causal_inference.py:34-106 semantics)."""
+    cfg, geom, params, pconfig = pipe_setup
+    pipe = _make_pipe(CausalInferencePipeline, cfg, geom, params, pconfig)
+    cross_a = _prompt_kv(pipe, cfg, 1)
+    cross_b = _prompt_kv(pipe, cfg, 5)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 6, geom.channels, geom.height, geom.width))
+    lat, cache, rng = pipe.generate_latents_scanned(noise, cross_a)
+    s = 6
+    n = min(cfg.local_attn_size, s)  # 4
+
+    import copy
+
+    ref_cache = pipe._recache_fn(n, False)(
+        pipe.params, jax.tree.map(jnp.copy, cache), cross_b, lat[:, s - n :],
+        jnp.asarray(s - n, jnp.int32))
+    got = pipe.reactive_switch(jax.tree.map(jnp.copy, cache), lat, cross_b, s)
+    for a, b in zip(jax.tree.leaves(ref_cache), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_reactive_switch_reduced_window(pipe_setup):
+    """Reduced replay (frames=2 at window 4): generation continues finite
+    from the recached state, the output differs from the full-window
+    switch (shorter history), and after `local_attn` more frames the two
+    variants' caches hold the same VALID window span (self-refill)."""
+    import dataclasses as dc
+
+    cfg, geom, params, pconfig = pipe_setup
+    pconf_r = dc.replace(pconfig, reactive_recache_frames=2)
+    pipe = _make_pipe(CausalInferencePipeline, cfg, geom, params, pconf_r)
+    cross_a = _prompt_kv(pipe, cfg, 1)
+    cross_b = _prompt_kv(pipe, cfg, 5)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 6, geom.channels, geom.height, geom.width))
+    noise2 = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 4, geom.channels, geom.height, geom.width))
+    lat, cache, rng = pipe.generate_latents_scanned(noise, cross_a)
+
+    cache_r = pipe.reactive_switch(jax.tree.map(jnp.copy, cache), lat,
+                                   cross_b, 6)  # uses config default (2)
+    cache_f = pipe.reactive_switch(jax.tree.map(jnp.copy, cache), lat,
+                                   cross_b, 6, frames=4)
+    lat_r, _, _ = pipe.generate_latents_scanned(noise2, cross_b, rng=rng,
+                                                cache=cache_r, start_frame=6)
+    lat_f, _, _ = pipe.generate_latents_scanned(noise2, cross_b, rng=rng,
+                                                cache=cache_f, start_frame=6)
+    assert np.isfinite(np.asarray(lat_r)).all()
+    assert np.abs(np.asarray(lat_r) - np.asarray(lat_f)).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_reactive_switch_block_alignment_and_bounds(pipe_setup):
+    """frames is clamped to the available window and rounded down to a
+    block multiple; tiny history still works."""
+    cfg, geom, params, pconfig = pipe_setup
+    pipe = _make_pipe(CausalInferencePipeline, cfg, geom, params, pconfig)
+    cross_a = _prompt_kv(pipe, cfg, 1)
+    cross_b = _prompt_kv(pipe, cfg, 5)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 2, geom.channels, geom.height, geom.width))
+    lat, cache, rng = pipe.generate_latents_scanned(noise, cross_a)
+    # current_frame=2, window=min(4,2)=2; frames=99 clamps to 2
+    got = pipe.reactive_switch(cache, lat, cross_b, 2, frames=99)
+    assert jnp.isfinite(jax.tree.leaves(got)[0]).all()
