@@ -20,8 +20,15 @@ def linear(x: jax.Array, p: dict) -> jax.Array:
     input dtype.  Dispatches to the int8 path when the params were quantized
     (ops.quant.quantize_dit_params)."""
     if "w_int8" in p:
-        from ..ops.quant import linear_int8
+        import os
 
+        from ..ops.quant import linear_int8, linear_int8_fused
+
+        # LONGLIVE_INT8_FUSED=1: the activation-quantize pass runs inside
+        # the matmul kernel (one bf16 read instead of a quantize round
+        # trip); same scales/rounding as linear_int8
+        if os.environ.get("LONGLIVE_INT8_FUSED", "0") != "0":
+            return linear_int8_fused(x, p)
         return linear_int8(x, p)
     kernel = p["kernel"]
     if "lora_a" in p:

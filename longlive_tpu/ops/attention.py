@@ -62,7 +62,8 @@ _LANES = 128
 
 def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
                   nkv1: int = 0, skip: bool = False, kl: bool = False,
-                  rope: bool = False):
+                  rope: bool = False, exp2: bool = False,
+                  mxu_lsum: bool = False):
     """One (head, q_block, kv_block) grid step of flash attention.
 
     Refs: [bias [1, bkv] f32 if has_bias],
@@ -190,9 +191,25 @@ def _flash_kernel(*refs, has_bias: bool, qk_int8: bool = False,
         l_prev = l_ref[:]
         m_cur = jnp.max(s, axis=-1)[:, None]  # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)  # [bq, 128]
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - _to_w(m_new, bkv))
-        l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1)[:, None]
+        # exp2 mode: log2(e) is folded into the softmax scale (and bias /
+        # int8 scales) OUTSIDE the kernel, so exp(x) == exp2(x') — saves
+        # the VPU a multiply per [bq, bkv] element on the softmax's hot
+        # pass (the kernel is VPU-bound at the decode shape, not MXU-bound)
+        _e = jnp.exp2 if exp2 else jnp.exp
+        alpha = _e(m_prev - m_new)
+        p = _e(s - _to_w(m_new, bkv))
+        if mxu_lsum:
+            # row-sum on the MXU: p @ ones[bkv, 128] lands the sum already
+            # lane-replicated in the [bq, 128] state layout — replaces the
+            # VPU lane-reduction + broadcast with one extra matmul the MXU
+            # has headroom for
+            psum = jax.lax.dot_general(
+                p.astype(v_tile.dtype), jnp.ones((bkv, _LANES), v_tile.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            l_ref[:] = l_prev * alpha + psum
+        else:
+            l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1)[:, None]
         m_ref[:] = m_new
         pv = jax.lax.dot_general(
             p.astype(v_tile.dtype),
@@ -307,7 +324,13 @@ def flash_attention(
     cache, silently ignoring in-process knob changes (the A/B trap).
     See _flash_attention_jit for the full contract."""
     if block_q is None:
-        block_q = _auto_block_q(q.shape[1], frame_seq)
+        env_bq = os.environ.get("LONGLIVE_BQ")
+        if env_bq:
+            # explicit q-tile override (VMEM-permitting; a whole-Sq tile
+            # kills the x(num q tiles) KV re-streaming at VMEM cost)
+            block_q = min(int(env_bq), q.shape[1])
+        else:
+            block_q = _auto_block_q(q.shape[1], frame_seq)
     if block_kv is None:
         # kv tile (lane-dim blocks must be 128-multiples, so frame-exact
         # tiles are impossible at 1560 tokens/frame); LONGLIVE_BKV sweeps
@@ -316,14 +339,17 @@ def flash_attention(
         # fastest on the v5e: 5.512 vs 5.796 ms/layer at the decode shape
         # and 516.8 vs 519.5 ms/latent-frame e2e (chip sessions r2b/r2c).
         block_kv = int(os.environ.get("LONGLIVE_BKV", "512"))
+    exp2 = os.environ.get("LONGLIVE_EXP2", "0") == "1"
+    mxu_lsum = os.environ.get("LONGLIVE_MXU_LSUM", "0") == "1"
     return _flash_attention_jit(
         q, k, v, bias, block_q, block_kv, frame_seq, qk_int8,
-        k2, v2, k_scales, skip_ranges, kv_layer, q_rope, interpret)
+        k2, v2, k_scales, skip_ranges, kv_layer, q_rope, interpret,
+        exp2=exp2, mxu_lsum=mxu_lsum)
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_kv", "frame_seq", "qk_int8",
-                              "interpret")
+                              "interpret", "exp2", "mxu_lsum")
 )
 def _flash_attention_jit(
     q: jax.Array,
@@ -341,6 +367,8 @@ def _flash_attention_jit(
     kv_layer: Optional[jax.Array] = None,
     q_rope: Optional[Tuple[jax.Array, jax.Array]] = None,
     interpret: bool = False,
+    exp2: bool = False,
+    mxu_lsum: bool = False,
 ) -> jax.Array:
     """Pallas flash attention.
 
@@ -374,6 +402,11 @@ def _flash_attention_jit(
     b, sq, n, d = q.shape
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
+    if exp2:
+        # exp(x) == exp2(x * log2 e): fold log2(e) into the prefolded
+        # softmax scale (and the bias below) so the kernel's hot softmax
+        # pass runs exp2 with zero extra elementwise work
+        scale *= math.log2(math.e)
     has_bias = bias is not None
     has_seg2 = k2 is not None
     use_kl = kv_layer is not None
@@ -499,7 +532,10 @@ def _flash_attention_jit(
     in_specs = []
     operands = []
     if has_bias:
-        bias = _pad_axis(bias.astype(jnp.float32), 1, skv_p, value=_NEG_INF)
+        bias = bias.astype(jnp.float32)
+        if exp2:
+            bias = bias * math.log2(math.e)  # match the exp2 logit domain
+        bias = _pad_axis(bias, 1, skv_p, value=_NEG_INF)
         if has_seg2:
             # second segment: all tokens valid, pad rows masked
             bias2 = jnp.zeros((b, skv2), jnp.float32)
@@ -577,7 +613,8 @@ def _flash_attention_jit(
     kernel = functools.partial(_flash_kernel, has_bias=has_bias,
                                qk_int8=qk_int8,
                                nkv1=nkv1 if has_seg2 else 0, skip=use_skip,
-                               kl=use_kl, rope=use_rope)
+                               kl=use_kl, rope=use_rope, exp2=exp2,
+                               mxu_lsum=mxu_lsum)
     out_spec = pl.BlockSpec(
         (1, block_q, d), _wrap(lambda tm, h, iq, ikv: (h, iq, 0)),
         memory_space=pltpu.VMEM)

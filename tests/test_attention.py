@@ -333,3 +333,23 @@ def test_q_rope_kernel_prologue_parity():
                         q_rope=(cos, sin))
         np.testing.assert_allclose(np.asarray(out3), np.asarray(ref2),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_flash_exp2_and_mxu_lsum_variants_match():
+    """LONGLIVE_EXP2 (exp->exp2 with folded log2 e) and LONGLIVE_MXU_LSUM
+    (row-sum l on the MXU) are numerics-preserving kernel variants."""
+    rng = np.random.RandomState(3)
+    b, sq, skv, n, d = 1, 64, 160, 2, 128
+    q = jnp.asarray(rng.randn(b, sq, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, skv, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, skv, n, d), jnp.float32)
+    bias = jnp.where(jnp.arange(skv) < 150, 0.0,
+                     -1e30)[None, :].astype(jnp.float32)
+    ref = A.dense_attention(q, k, v, bias[:, None, None, :])
+    for exp2 in (False, True):
+        for lsum in (False, True):
+            out = A._flash_attention_jit(
+                q, k, v, bias, 32, 64, None, False, None, None, None, None,
+                None, None, True, exp2=exp2, mxu_lsum=lsum)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)

@@ -96,3 +96,31 @@ def test_fuse_qkv_params_exact():
         np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
         np.testing.assert_array_equal(np.asarray(c0.k), np.asarray(c1.k))
         np.testing.assert_array_equal(np.asarray(c0.v), np.asarray(c1.v))
+
+
+def test_linear_int8_fused_matches_xla_path(monkeypatch):
+    """linear_int8_fused (in-kernel activation quantize) stays within
+    1-LSB rounding of linear_int8 and falls back cleanly at unsupported
+    shapes."""
+    import numpy as np
+
+    from longlive_tpu.ops import quant as Q
+
+    monkeypatch.setenv("LONGLIVE_INT8_FUSED", "interpret")
+    rng = np.random.RandomState(0)
+    for (m, k, n, bias) in ((520, 1536, 512, True), (300, 256, 384, False)):
+        x = jnp.asarray(rng.randn(2, m // 2, k), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(k, n) * 0.05, jnp.float32)
+        p = Q.quantize_weight(w)
+        if bias:
+            p["bias"] = jnp.asarray(rng.randn(n), jnp.float32)
+        ref = np.asarray(Q.linear_int8(x, p), np.float32)
+        got = np.asarray(Q.linear_int8_fused(x, p), np.float32)
+        rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 2e-3, (m, k, n, rel)
+    # K too large for one VMEM tile -> identical to the XLA path (fallback)
+    x = jnp.asarray(rng.randn(1, 256, 8960), jnp.bfloat16)
+    p = Q.quantize_weight(jnp.asarray(rng.randn(8960, 128) * 0.02))
+    np.testing.assert_array_equal(
+        np.asarray(Q.linear_int8_fused(x, p), np.float32),
+        np.asarray(Q.linear_int8(x, p), np.float32))
