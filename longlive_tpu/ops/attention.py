@@ -258,14 +258,21 @@ def _auto_block_q(sq: int, frame_seq: Optional[int] = None) -> int:
 
     The candidates are derived from the actual tokens-per-frame (so any
     resolution gets a zero-pad frame-aligned tile, not just 480x832's
-    1560), capped at ~4 VMEM-resident 512-row tiles; shapes with no
+    1560), capped at the largest measured-safe VMEM tile; shapes with no
     frame structure (training full-sequence, tests) keep the profiled
     bq=256 default.
+
+    Round-4 chip A/B (scripts/r4_attn_ab.sh): a WHOLE-Sq q tile at the
+    decode shape (bq=4680 with bkv=256) beats bq=1560/bkv=512 by 8.1%
+    per block (617.2 vs 671.7 ms) — each KV tile then streams ONCE per
+    (layer, head) instead of once per q tile.  The cap is therefore the
+    full 3-frame decode Sq (4680 = acc+m+l scratch ~7.2 MB f32, which
+    compiled and won; bkv=512 at that bq exceeds VMEM, bkv=128 loses).
     """
     if frame_seq is None or frame_seq <= 0 or frame_seq % 8 or sq % frame_seq:
         return 256
     frames = sq // frame_seq
-    cap = max(2048, frame_seq)
+    cap = max(4680, frame_seq)
     best = 256
     for k in range(1, frames + 1):
         if frames % k == 0 and frame_seq * k <= cap:
@@ -335,10 +342,15 @@ def flash_attention(
         # kv tile (lane-dim blocks must be 128-multiples, so frame-exact
         # tiles are impossible at 1560 tokens/frame); LONGLIVE_BKV sweeps
         # the dead-tile-elision granularity e2e (smaller tiles elide more
-        # of a skip range at more grid-step overhead).  512 measured
-        # fastest on the v5e: 5.512 vs 5.796 ms/layer at the decode shape
-        # and 516.8 vs 519.5 ms/latent-frame e2e (chip sessions r2b/r2c).
-        block_kv = int(os.environ.get("LONGLIVE_BKV", "512"))
+        # of a skip range at more grid-step overhead).  At bq<=1560, 512
+        # measured fastest (5.512 vs 5.796 ms/layer, r2b/r2c); at the
+        # whole-Sq q tile 256 is required for VMEM and measured fastest
+        # (r4 ladder: 4680/256 617.2, 4680/128 789.2, 4680/512 no-fit).
+        env_bkv = os.environ.get("LONGLIVE_BKV")
+        if env_bkv:
+            block_kv = int(env_bkv)
+        else:
+            block_kv = 256 if block_q > 1560 else 512
     exp2 = os.environ.get("LONGLIVE_EXP2", "0") == "1"
     mxu_lsum = os.environ.get("LONGLIVE_MXU_LSUM", "0") == "1"
     return _flash_attention_jit(

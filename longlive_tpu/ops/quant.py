@@ -224,8 +224,9 @@ def linear_int8_fused(x: jax.Array, p: dict) -> jax.Array:
             or k > 4096 or k % 128 or m < 256:
         return linear_int8(x, p)
     # M tile: largest 8-multiple divisor of m within VMEM budget, else 512
+    env_bm = _os.environ.get("LONGLIVE_INT8_BM")
     bm = 512
-    for t in (520, 512, 584, 312, 468):
+    for t in ((int(env_bm),) if env_bm else (520, 512, 584, 312, 468)):
         if m % t == 0 and t % 8 == 0:
             bm = t
             break
