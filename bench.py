@@ -485,7 +485,10 @@ def main():
         "contig_writes": pipe._contig,
         "recache_qk8": recache_qk8,
         "two_segment": os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1",
-        "block_kv": int(os.environ.get("LONGLIVE_BKV", "512")),
+        # auto = whole-Sq q tile with bkv 256 (r4 default; see
+        # ops/attention._auto_block_q) unless the env overrides
+        "block_kv": (int(os.environ["LONGLIVE_BKV"])
+                     if os.environ.get("LONGLIVE_BKV") else "auto(256@bq4680)"),
         "kernel_cache": pipe.kernel_cache,
         "fused_rope": fused_rope,
         "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",

@@ -338,6 +338,12 @@ def flash_attention(
             block_q = min(int(env_bq), q.shape[1])
         else:
             block_q = _auto_block_q(q.shape[1], frame_seq)
+        if qk_int8 and block_q > 1560:
+            # the int8-QK operand set (q/k int8 + scale vectors + f32
+            # rescale temps) exceeds VMEM at the whole-Sq tile (measured:
+            # scoped-vmem OOM by 1.24M at bq=4680/bkv=256); keep the
+            # r2-profiled frame tile there
+            block_q = 1560
     if block_kv is None:
         # kv tile (lane-dim blocks must be 128-multiples, so frame-exact
         # tiles are impossible at 1560 tokens/frame); LONGLIVE_BKV sweeps

@@ -177,6 +177,43 @@ class InteractiveCausalInferencePipeline(CausalInferencePipeline):
                 er.feed(cross_next, x0, bs)
         return jnp.concatenate(outputs, axis=1)
 
+    def generate_latents_reactive(
+        self,
+        noise: jax.Array,  # [B, T, C, H, W]
+        cross_kv: "D.CrossKV",
+        poll_switch: Callable[[int], Optional["D.CrossKV"]],
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Serving loop for UNSCHEDULED prompt switches: before each block,
+        ``poll_switch(block_start_frame)`` is consulted; a non-None return
+        is a switch request that takes effect immediately via
+        ``reactive_switch`` (reduced-window recache when
+        ``config.reactive_recache_frames`` is set — the bounded-stall lever;
+        reference-exact full-window replay otherwise).  This is the
+        interactive surface for switches that are NOT known up-front
+        (scheduled switches should use generate_latents_interactive*, whose
+        eager recache hides the stall entirely)."""
+        b, t_frames = noise.shape[:2]
+        fpb = self.frame_block
+        assert t_frames % fpb == 0
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+        cache = self.init_cache(b, self.params["patch_embedding"]["kernel"].dtype)
+        outputs: List[jax.Array] = []
+        cross = cross_kv
+        for s in range(0, t_frames, fpb):
+            new_cross = poll_switch(s)
+            if new_cross is not None and s > 0:
+                history = jnp.concatenate(outputs, axis=1)
+                cache = self.reactive_switch(cache, history, new_cross, s)
+                cross = new_cross
+            elif new_cross is not None:
+                cross = new_cross  # switch before anything generated
+            x0, cache, rng = self._block_fn(
+                self.params, cache, cross, noise[:, s : s + fpb],
+                jnp.asarray(s, jnp.int32), rng)
+            outputs.append(x0)
+        return jnp.concatenate(outputs, axis=1)
+
     def _report_profile(self, block_times, switch_times, fpb):
         steady = block_times[2:] or block_times
         per_frame = float(np.mean(steady)) / fpb
