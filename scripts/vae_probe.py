@@ -47,6 +47,13 @@ def main():
         ("fused_bigtiles_96", {"LONGLIVE_VAE_VMEM_BUDGET": "45e6",
                                "LONGLIVE_VAE_FUSED_96": "1"}),
         ("fused_96", {"LONGLIVE_VAE_FUSED_96": "1"}),
+        # mid budgets: 22e6 flips ONLY the 96ch stage th 2->4 (halving its
+        # halo redundancy); 45e6 ("bigtiles", th=8 everywhere) lost — the
+        # in-between point was never measured (r4)
+        ("fused_96_22", {"LONGLIVE_VAE_FUSED_96": "1",
+                         "LONGLIVE_VAE_VMEM_BUDGET": "22e6"}),
+        ("fused_96_25", {"LONGLIVE_VAE_FUSED_96": "1",
+                         "LONGLIVE_VAE_VMEM_BUDGET": "25e6"}),
         ("fused_no_timeconv", {"LONGLIVE_VAE_FUSED_TIMECONV": "0"}),
         ("xla", {"LONGLIVE_VAE_FUSED": "0"}),
         # int8 MXU pipe inside the fused kernel (quantization-bounded;
