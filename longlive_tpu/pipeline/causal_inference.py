@@ -452,6 +452,17 @@ class CausalInferencePipeline:
             # min(local_attn, t) frames — always a block multiple — but an
             # odd-sized recache breaks the contiguous-write invariant, so
             # fall back to per-frame writes (retrace the block fns).
+            import sys as _sys
+
+            print(
+                f"[longlive_tpu] WARNING: odd-sized recache ({num_frames} "
+                f"frames, block {self.frame_block}) disables contiguous KV "
+                "writes for the REST OF THIS PIPELINE'S LIFE: every cached "
+                "block/segment program retraces now (a multi-second latency "
+                "cliff) and steady-state blocks run the slower per-frame "
+                "write form.  Use block-aligned replay sizes "
+                "(reactive_switch rounds down automatically).",
+                file=_sys.stderr, flush=True)
             self._contig = False
             self._block_fn = self._jit("block", self._block_step,
                                        donate_argnums=(1,))
