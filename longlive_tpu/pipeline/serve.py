@@ -96,12 +96,20 @@ class PipelinedRenderer:
         cross_kv,
         rng: Optional[jax.Array] = None,
         dtype=jnp.bfloat16,
+        poll_switch=None,
     ) -> jax.Array:
         """Returns pixels [B, 1 + 4*(T-1), 3, H*8, W*8] in [-1, 1].
 
         Dispatch order per segment i: generate(i) -> copy(i) -> decode(i);
         none of these block the host, so decode(i) (on the decode device)
         runs concurrently with generate(i+1) (on the generation device).
+
+        ``poll_switch(segment_start_frame) -> Optional[CrossKV]``: consulted
+        before each segment; a non-None return is an UNSCHEDULED prompt
+        switch applied via ``CausalInferencePipeline.reactive_switch``
+        (reduced-window replay when ``reactive_recache_frames`` is set).
+        Switch granularity is one pipeline segment — lower
+        ``segment_frames`` for finer switch latency.
         """
         b, t = noise.shape[:2]
         seg = self.segment_frames
@@ -110,12 +118,26 @@ class PipelinedRenderer:
         cache = None
         vae_caches = None
         pixel_segs: List[jax.Array] = []
+        # rolling latent history for reactive replays (generation device)
+        window = (pipe.config.local_attn_size
+                  if pipe.config.local_attn_size != -1 else t)
+        hist: Optional[jax.Array] = None
         start = 0
         while start < t:
+            if poll_switch is not None:
+                new_cross = poll_switch(start)
+                if new_cross is not None:
+                    if start > 0:
+                        cache = pipe.reactive_switch(cache, hist, new_cross,
+                                                     start)
+                    cross_kv = new_cross
             n = min(seg, t - start)
             lat, cache, rng = pipe.generate_latents_scanned(
                 noise[:, start : start + n], cross_kv, rng=rng, cache=cache,
                 start_frame=start)
+            if poll_switch is not None:
+                hist = (lat if hist is None
+                        else jnp.concatenate([hist, lat], axis=1))[:, -window:]
             lat_d = jax.device_put(lat.astype(dtype), self.decode_device)
             if self.per_stream_decode and b > 1:
                 # B separate B=1 decodes (independent conv-cache chains per

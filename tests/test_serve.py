@@ -117,3 +117,37 @@ def test_pipelined_render_composes_with_sp_generation(setup):
     np.testing.assert_allclose(np.asarray(px_ref), np.asarray(px_pipe),
                                rtol=5e-4, atol=5e-4)
     assert jax.devices()[2] in {d for d in px_pipe.devices()}
+
+
+@pytest.mark.slow
+def test_pipelined_render_reactive_switch(setup):
+    """poll_switch on the pipelined renderer == manual generate +
+    reactive_switch + generate, decoded sequentially (full-window replay
+    is reference-exact, so the paths must agree bitwise in latents and to
+    conv-cache round-off in pixels)."""
+    cfg, geom, params, pconfig, vcfg, vae_params = setup
+    pipe = CausalInferencePipeline(pconfig, params, geometry=geom,
+                                   dit_config=cfg, attn_impl="xla")
+    pe_a = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
+    pe_b = jax.random.normal(jax.random.PRNGKey(7), (1, cfg.text_len, cfg.text_dim))
+    ca, cb = pipe.prepare_condition(pe_a), pipe.prepare_condition(pe_b)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 6, geom.channels, geom.height, geom.width))
+
+    # manual reference: 4 frames under A, reactive switch, 2 under B
+    rng0 = jax.random.PRNGKey(pipe.config.seed)
+    lat_a, cache, rng = pipe.generate_latents_scanned(noise[:, :4], ca,
+                                                      rng=rng0)
+    cache = pipe.reactive_switch(cache, lat_a, cb, 4)
+    lat_b, _, _ = pipe.generate_latents_scanned(noise[:, 4:], cb, rng=rng,
+                                                cache=cache, start_frame=4)
+    lat_ref = jnp.concatenate([lat_a, lat_b], axis=1)
+    lat_z = lat_ref[:, :, : vcfg.z_dim].astype(jnp.float32)
+    px_ref, _ = V.vae_decode_scan(vae_params, vcfg, lat_z, None, True)
+
+    renderer = PipelinedRenderer(pipe, vae_params, vcfg, segment_frames=2,
+                                 decode_device=jax.devices()[1])
+    px = renderer.render(noise, ca, dtype=jnp.float32,
+                         poll_switch=lambda s: cb if s == 4 else None)
+    np.testing.assert_allclose(np.asarray(px_ref), np.asarray(px),
+                               rtol=2e-4, atol=2e-4)
