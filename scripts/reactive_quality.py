@@ -81,12 +81,10 @@ def main():
         noise[:, :pre], pa, rng=jax.random.PRNGKey(4))
     lat_pre = np.asarray(lat_pre.astype(jnp.float32))
 
-    vae_params = None
-    vcfg = V.tiny_vae_config() if tiny else V.VAEConfig()
-    if not args.skip_vae:
-        vae_params = V.init_vae_params(jax.random.PRNGKey(5), vcfg,
-                                       jnp.bfloat16)
-
+    # phase 1: all latent rows (generation-resident HBM only — decoding
+    # inside this loop OOMed a 16 GB chip at the second variant's recache)
+    rows = []
+    lat_by_spec = {}
     ref_post = None
     for spec in args.replays.split(","):
         frames = None if spec == "full" else int(spec)
@@ -95,7 +93,9 @@ def main():
                                      frames=frames)
         lat_post, _, _ = pipe.generate_latents_scanned(
             noise[:, pre:], pb, rng=rng0, cache=cache, start_frame=pre)
+        del cache
         lat_post = np.asarray(lat_post.astype(jnp.float32))
+        lat_by_spec[spec] = lat_post
         row = {"replay": spec, "pre_frames": pre, "post_frames": post,
                "window": f"{local},{sink}"}
         if ref_post is None:
@@ -106,15 +106,24 @@ def main():
                 round(float(np.sqrt((d[:, f] ** 2).mean())
                             / (np.sqrt((ref_post[:, f] ** 2).mean()) + 1e-12)), 4)
                 for f in range(post)]
-        if vae_params is not None:
-            px, _ = jax.jit(lambda vp, z: V.vae_decode_scan(
-                vp, vcfg, z, None, True))(
-                vae_params, jnp.asarray(lat_post[:, :, : vcfg.z_dim],
-                                        jnp.bfloat16))
+        rows.append(row)
+
+    # phase 2: decode + proxies, VAE loaded only now
+    if not args.skip_vae:
+        del cache0
+        vcfg = V.tiny_vae_config() if tiny else V.VAEConfig()
+        vae_params = V.init_vae_params(jax.random.PRNGKey(5), vcfg,
+                                       jnp.bfloat16)
+        dec = jax.jit(lambda vp, z: V.vae_decode_scan(vp, vcfg, z, None, True))
+        for row in rows:
+            lat_post = lat_by_spec[row["replay"]]
+            px, _ = dec(vae_params,
+                        jnp.asarray(lat_post[:, :, : vcfg.z_dim], jnp.bfloat16))
             v01 = np.clip(np.asarray(px.astype(jnp.float32))[0].transpose(
                 0, 2, 3, 1) * 0.5 + 0.5, 0, 1)
             row["temporal_flicker"] = float(EM.temporal_flicker(v01))
             row["motion_smoothness"] = float(EM.motion_smoothness(v01))
+    for row in rows:
         print(json.dumps(row), flush=True)
 
 
