@@ -363,15 +363,8 @@ def main():
         force(c)
         return (time.perf_counter() - t0) / reps * 1e3
 
-    reactive_ms = None
     try:
         switch_ms = round(measure_switch(), 1)
-        # reactive (unscheduled) switch at the reduced replay window
-        # (BENCH_REACTIVE_FRAMES, default 6 = sink + one block at 9/3)
-        rframes = int(os.environ.get("BENCH_REACTIVE_FRAMES", "6"))
-        if 0 < rframes < min(cfg.local_attn_size,
-                             -(-cfg.local_attn_size // 3) * 3 + 3):
-            reactive_ms = round(measure_switch(replay_frames=rframes), 1)
     except Exception as e:  # B>1 HBM-edge configs: the serving numbers
         # above are already measured — report the switch as absent
         # rather than losing the run (the recache replay at batch 2
@@ -379,6 +372,18 @@ def main():
         print(f"bench: switch measurement failed: {str(e)[:100]}",
               file=sys.stderr, flush=True)
         switch_ms = None
+    reactive_ms = None
+    try:
+        # reactive (unscheduled) switch at the reduced replay window
+        # (BENCH_REACTIVE_FRAMES, default 6 = sink + one block at 9/3);
+        # failures here must not clobber the full-window number above
+        rframes = int(os.environ.get("BENCH_REACTIVE_FRAMES", "6"))
+        if switch_ms is not None and 0 < rframes < min(
+                cfg.local_attn_size, -(-cfg.local_attn_size // 3) * 3 + 3):
+            reactive_ms = round(measure_switch(replay_frames=rframes), 1)
+    except Exception as e:
+        print(f"bench: reactive-switch measurement failed: {str(e)[:100]}",
+              file=sys.stderr, flush=True)
 
     def measure_eager_stall(reps=3):
         """Viewer-visible switch stall under eager (incremental) recache:

@@ -334,16 +334,18 @@ def flash_attention(
         env_bq = os.environ.get("LONGLIVE_BQ")
         if env_bq:
             # explicit q-tile override (VMEM-permitting; a whole-Sq tile
-            # kills the x(num q tiles) KV re-streaming at VMEM cost)
+            # kills the x(num q tiles) KV re-streaming at VMEM cost).
+            # Honored even for qk_int8 — an A/B must get the tile it asked
+            # for (a too-big tile fails loudly at compile, not silently)
             block_q = min(int(env_bq), q.shape[1])
         else:
             block_q = _auto_block_q(q.shape[1], frame_seq)
-        if qk_int8 and block_q > 1560:
-            # the int8-QK operand set (q/k int8 + scale vectors + f32
-            # rescale temps) exceeds VMEM at the whole-Sq tile (measured:
-            # scoped-vmem OOM by 1.24M at bq=4680/bkv=256); keep the
-            # r2-profiled frame tile there
-            block_q = 1560
+            if qk_int8 and block_q > 1560:
+                # the int8-QK operand set (q/k int8 + scale vectors + f32
+                # rescale temps) exceeds VMEM at the whole-Sq tile
+                # (measured: scoped-vmem OOM by 1.24M at bq=4680/bkv=256);
+                # keep the r2-profiled frame tile there
+                block_q = 1560
     if block_kv is None:
         # kv tile (lane-dim blocks must be 128-multiples, so frame-exact
         # tiles are impossible at 1560 tokens/frame); LONGLIVE_BKV sweeps
@@ -716,10 +718,15 @@ def _masked_flash_kernel(*refs, mask_kind: str, frame_seq: int, nfb: int,
         kf = jnp.where(k_noise, (ki - clean_len) // frame_seq, ki // frame_seq)
         q_blk = qf // nfb
         k_blk = kf // nfb
+        # padded kv tokens (ki >= 2*clean_len) land at kf >= clean_frames;
+        # without this they'd share the LAST noisy block's id whenever
+        # clean_frames % nfb != 0 and noise_own would unmask them (their
+        # zero-key logits deflate the softmax denominator)
+        k_real = kf < clean_frames
         clean_mask = (~q_noise) & (~k_noise) & (k_blk <= q_blk)
         noise_own = q_noise & k_noise & (k_blk == q_blk)
         noise_ctx = q_noise & (~k_noise) & (k_blk < q_blk)
-        mask = clean_mask | noise_own | noise_ctx | (qi == ki)
+        mask = ((clean_mask | noise_own | noise_ctx) & k_real) | (qi == ki)
     else:
         qf = qi // frame_seq
         kf = ki // frame_seq

@@ -89,8 +89,18 @@ def teacher_forcing_frame_mask(
     q_is_noise = q >= f
     qf = jnp.where(q_is_noise, q - f, q)
     q_block = qf // blk
-    clean_mask = (~q_is_noise) & (k < (q_block + 1) * blk)
-    noise_own = (k >= f + q_block * blk) & (k < f + (q_block + 1) * blk)
+    # the k < f / k < 2f clamps matter only when num_frames is NOT a
+    # multiple of the block: the reference's token-interval construction
+    # (causal_model.py:742-762, context_ends = start + block_size) lets a
+    # PARTIAL final block's interval spill past its half of the sequence
+    # (clean queries reaching noisy tokens, noisy blocks reaching padding)
+    # — an artifact its shipped 21/3 geometry never exercises.  Here the
+    # intent (clean attends clean, noisy attends its own noisy block) is
+    # enforced at every frame count, matching the arithmetic flash-kernel
+    # mask (ops/attention._masked_flash_kernel).
+    clean_mask = (~q_is_noise) & (k < jnp.minimum((q_block + 1) * blk, f))
+    noise_own = (k >= f + q_block * blk) & (k < jnp.minimum(
+        f + (q_block + 1) * blk, 2 * f))
     noise_ctx = k < q_block * blk
     noise_mask = q_is_noise & (noise_own | noise_ctx)
     return clean_mask | noise_mask | (q == k)

@@ -198,12 +198,20 @@ class InteractiveCausalInferencePipeline(CausalInferencePipeline):
         assert t_frames % fpb == 0
         rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
         cache = self.init_cache(b, self.params["patch_embedding"]["kernel"].dtype)
+        local = self.cfg.local_attn_size
         outputs: List[jax.Array] = []
         cross = cross_kv
         for s in range(0, t_frames, fpb):
             new_cross = poll_switch(s)
             if new_cross is not None and s > 0:
-                history = jnp.concatenate(outputs, axis=1)
+                # concatenate only the blocks covering the replay window —
+                # the full-history concat is an O(T) device copy at the
+                # worst possible moment (the switch stall)
+                need = s if local == -1 else min(
+                    local if self.config.reactive_recache_frames is None
+                    else max(self.config.reactive_recache_frames, fpb), s)
+                nblk = -(-need // fpb)
+                history = jnp.concatenate(outputs[-nblk:], axis=1)
                 cache = self.reactive_switch(cache, history, new_cross, s)
                 cross = new_cross
             elif new_cross is not None:

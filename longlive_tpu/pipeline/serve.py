@@ -118,9 +118,15 @@ class PipelinedRenderer:
         cache = None
         vae_caches = None
         pixel_segs: List[jax.Array] = []
-        # rolling latent history for reactive replays (generation device)
-        window = (pipe.config.local_attn_size
-                  if pipe.config.local_attn_size != -1 else t)
+        # rolling latent history for reactive replays (generation device).
+        # At local_attn_size == -1 (global attention) a reference-exact
+        # replay needs the WHOLE history; bound it by
+        # reactive_recache_frames so an idle poll_switch doesn't pin the
+        # full video's latents (~0.4 GB/stream at 960f) in HBM — an
+        # unbounded global-attention replay must be requested explicitly.
+        local = pipe.config.local_attn_size
+        window = (local if local != -1
+                  else (pipe.config.reactive_recache_frames or t))
         hist: Optional[jax.Array] = None
         start = 0
         while start < t:

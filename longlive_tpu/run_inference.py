@@ -80,8 +80,10 @@ def main():
         rows = [{"prompts": "(random prompt embedding)", "idx": 0}]
     if args.max_prompts:
         rows = rows[: args.max_prompts]
-    if config.inference_iter != -1:  # reference inference.py:246
-        rows = rows[: config.inference_iter]
+    if config.inference_iter != -1:
+        # reference inference.py:246 breaks AFTER processing batch i when
+        # i >= inference_iter — i.e. inference_iter + 1 batches run
+        rows = rows[: config.inference_iter + 1]
 
     # frame-by-frame scanned decode: larger chunks exceed v5e HBM at 480p
     decode = jax.jit(lambda p, z: V.vae_decode_scan(p, vcfg, z)[0])

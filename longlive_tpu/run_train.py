@@ -130,10 +130,13 @@ def resolve_score_models(raw: dict, dit_cfg, tcfg: TrainerConfig, mesh=None):
             f"real_name {real_name!r} is a larger teacher "
             f"(dim {teacher_cfg.dim}); set teacher_stream: true (and "
             "staged_phases: true) so it streams from host RAM")
-    on_host = bool(tcfg.teacher_stream and mesh is None)
+    # teacher_stream => build the tree in HOST RAM unconditionally: the
+    # trainer pages/streams it from there, and materializing a 14B f32
+    # tree on one 16 GB device just to shard or offload it again would
+    # OOM at load (the whole point of the flag)
     teacher = loading.load_base_dit(
         os.path.join("wan_models", real_name), teacher_cfg, jnp.float32,
-        seed=seed + 1, on_host=on_host)
+        seed=seed + 1, on_host=bool(tcfg.teacher_stream))
 
     # critic (fake_score) is TRAINED with the generator's arch; a
     # different-geometry fake_name has no trainer wiring (the reference
@@ -256,7 +259,8 @@ def main():
 
     if mesh is not None:
         gen_params = M.shard_params(gen_params, mesh)
-        teacher_params = M.shard_params(teacher_params, mesh)
+        if not tcfg.teacher_stream:  # streamed teacher stays host-resident
+            teacher_params = M.shard_params(teacher_params, mesh)
         critic_params = M.shard_params(critic_params, mesh)
 
     streaming = bool(raw.get("streaming_training", False))

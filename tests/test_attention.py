@@ -353,3 +353,26 @@ def test_flash_exp2_and_mxu_lsum_variants_match():
                 None, None, True, exp2=exp2, mxu_lsum=lsum)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_masked_flash_teacher_forcing_nonmultiple_frames():
+    """Regression (r4 review): padded kv tokens beyond 2*S must stay
+    masked when clean_frames % nfb != 0 — they used to share the last
+    noisy block's id and deflate its softmax denominator."""
+    from longlive_tpu.ops.attention import flash_attention_frame_masked
+    from longlive_tpu.ops import masks as M
+
+    rng = np.random.RandomState(2)
+    fs, f, nfb, n, d = 8, 4, 3, 1, 128  # f % nfb != 0
+    s = 2 * f * fs  # 64; block_kv=48 pads to 96 -> 32 padded kv tokens
+    q = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(1, s, n, d), jnp.float32)
+    tm = M.expand_frame_mask(M.teacher_forcing_frame_mask(f, nfb), fs)
+    bias = jnp.where(tm, 0.0, -1e30)[None, None]
+    ref = A.dense_attention(q, k, v, bias)
+    out = flash_attention_frame_masked(
+        q, k, v, mask_kind="teacher_forcing", frame_seq=fs, nfb=nfb,
+        clean_frames=f, block_q=32, block_kv=48, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
