@@ -490,10 +490,12 @@ def main():
         "contig_writes": pipe._contig,
         "recache_qk8": recache_qk8,
         "two_segment": os.environ.get("LONGLIVE_TWO_SEGMENT", "0") == "1",
-        # auto = whole-Sq q tile with bkv 256 (r4 default; see
-        # ops/attention._auto_block_q) unless the env overrides
+        # always an int (consumers plot it numerically); auto mode = whole-Sq
+        # q tile with bkv 256 (r4 default; see ops/attention._auto_block_q)
         "block_kv": (int(os.environ["LONGLIVE_BKV"])
-                     if os.environ.get("LONGLIVE_BKV") else "auto(256@bq4680)"),
+                     if os.environ.get("LONGLIVE_BKV") else 256),
+        "block_kv_mode": ("env" if os.environ.get("LONGLIVE_BKV")
+                          else "auto(bq4680)"),
         "kernel_cache": pipe.kernel_cache,
         "fused_rope": fused_rope,
         "vae_subpixel": os.environ.get("LONGLIVE_VAE_SUBPIXEL", "1") == "1",

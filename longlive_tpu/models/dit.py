@@ -826,7 +826,13 @@ def dit_forward_teacher_forcing(
     rope_cos = jnp.concatenate([rope_cos, rope_cos], axis=0)
     rope_sin = jnp.concatenate([rope_sin, rope_sin], axis=0)
 
-    use_kernel = attn_impl in ("pallas", "pallas_interpret", "auto")
+    if attn_impl == "auto":
+        # resolve like ops.attention.attend(): pallas only on a TPU backend
+        # with a lane-aligned head_dim (CPU backends would hit a
+        # non-interpret pallas_call at lowering otherwise)
+        attn_impl = ("pallas" if (jax.default_backend() == "tpu"
+                                  and cfg.head_dim % 128 == 0) else "xla")
+    use_kernel = attn_impl in ("pallas", "pallas_interpret")
     if use_kernel:
         from ..ops.attention import flash_attention_frame_masked
 

@@ -268,6 +268,15 @@ def _auto_block_q(sq: int, frame_seq: Optional[int] = None) -> int:
     (layer, head) instead of once per q tile.  The cap is therefore the
     full 3-frame decode Sq (4680 = acc+m+l scratch ~7.2 MB f32, which
     compiled and won; bkv=512 at that bq exceeds VMEM, bkv=128 loses).
+
+    Shape-safety of the 4680 cap: the kernel's VMEM footprint is set by
+    the TILE sizes (bq x d operand + bq-row acc/m/l scratch + bkv x d KV
+    tiles), not by total Sq/Skv — a shape that picks bq=4680 has the same
+    VMEM budget as the measured decode case regardless of sequence
+    length.  Measured at this cap on v5e (round 4): 3-frame decode 617.2
+    ms/block (-8.1%), 9-frame switch recache 501.8 ms (-8.4% vs 547.6 at
+    the old 2048 cap), 6-frame reactive replay 336 ms — all three
+    frame-structured serving shapes improved.
     """
     if frame_seq is None or frame_seq <= 0 or frame_seq % 8 or sq % frame_seq:
         return 256

@@ -225,11 +225,13 @@ def linear_int8_fused(x: jax.Array, p: dict) -> jax.Array:
         return linear_int8(x, p)
     # M tile: largest 8-multiple divisor of m within VMEM budget, else 512
     env_bm = _os.environ.get("LONGLIVE_INT8_BM")
+    # largest 8-multiple divisor of m among the measured-safe candidates
+    # (an explicit LONGLIVE_INT8_BM wins unconditionally)
     bm = 512
-    for t in ((int(env_bm),) if env_bm else (520, 512, 584, 312, 468)):
-        if m % t == 0 and t % 8 == 0:
-            bm = t
-            break
+    candidates = (int(env_bm),) if env_bm else (520, 512, 584, 312, 468)
+    divisors = [t for t in candidates if m % t == 0 and t % 8 == 0]
+    if divisors:
+        bm = divisors[0] if env_bm else max(divisors)
     bn = _pick_tile(n if n % 128 == 0 else -(-n // 128) * 128, 512)
     x2 = x.reshape(m, k)
     has_bias = "bias" in p

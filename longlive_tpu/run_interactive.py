@@ -117,7 +117,10 @@ def main():
         if config.save_with_index:
             name = f"rank{rank}-{row['idx']}-0_{model_type}.mp4"
         else:
-            name = f"video_{row['idx']:04d}.mp4"
+            # same prompt-based rank-prefixed scheme as run_inference
+            # (reference inference.py:242) — first segment names the video
+            stem = row["prompts"][0][:100].replace(os.sep, "_")
+            name = f"rank{rank}-{stem}-0.mp4"
         path = os.path.join(out_dir, name)
         write_video(path, to_video_array(pixels), fps=16)
         print(f"wrote {path}")

@@ -136,3 +136,19 @@ def test_teacher_forcing_flash_path_matches_dense(base):
                                           attn_impl="pallas_interpret")
     np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_teacher_forcing_auto_resolves_off_tpu(base):
+    """ADVICE r4: attn_impl='auto' (the dmd.py default) must resolve to the
+    xla path on a CPU backend instead of hitting a non-interpret pallas_call
+    at lowering — same backend/head_dim rule as ops.attention.attend()."""
+    cfg, geom, params, tables, cross = base
+    noisy = jax.random.normal(jax.random.PRNGKey(2),
+                              (1, 2, geom.channels, geom.height, geom.width))
+    clean = jax.random.normal(jax.random.PRNGKey(3), noisy.shape)
+    t = jnp.full((1, 2), 500.0)
+    auto = D.dit_forward_teacher_forcing(params, cfg, tables, noisy, clean,
+                                         t, cross, attn_impl="auto")
+    ref = D.dit_forward_teacher_forcing(params, cfg, tables, noisy, clean,
+                                        t, cross, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), rtol=0, atol=0)
