@@ -268,7 +268,7 @@ _CONSUMED_KEYS = frozenset({
     "ckpt_cache", "low_memory",
     "parallel", "opt_on_host", "opt_async", "ema_on_host", "cache_int8",
     "staged_phases", "block_vjp", "page_generator", "teacher_stream",
-    "tiny_debug", "allow_random_weights",
+    "tiny_debug", "allow_random_weights", "phase_ledger",
 })
 
 # Reference keys that configure its CUDA/FSDP runtime and have no TPU

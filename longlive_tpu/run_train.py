@@ -81,6 +81,7 @@ def build_trainer_config(raw: dict) -> TrainerConfig:
         block_vjp=bool(raw.get("block_vjp", False)),
         page_generator=bool(raw.get("page_generator", False)),
         teacher_stream=bool(raw.get("teacher_stream", False)),
+        phase_ledger=bool(raw.get("phase_ledger", False)),
     )
 
 

@@ -141,6 +141,13 @@ class TrainerConfig:
     block_vjp: bool = False
     # micro-steps per optimizer update (longlive_train_init.yaml:34)
     gradient_accumulation_steps: int = 1
+    # per-phase device-time ledger (VERDICT r4 item 4): brackets each staged
+    # jit (rollout-fwd / teacher-x0 / DMD-loss-grad / rollout-VJP / critic
+    # phases and the host<->HBM pages) with block_until_ready timing and
+    # reports a ``phase_ms`` dict in the step metrics.  MEASUREMENT MODE:
+    # the syncs serialize the async/paging overlap the production paths
+    # hide work behind, so leave off for real runs.
+    phase_ledger: bool = False
 
 
 class TrainState(dict):
@@ -394,6 +401,10 @@ class ScoreDistillationTrainer:
             if self.critic_lora_on:
                 self.state["critic_params"] = mem_mod.offload_to_host(
                     self.state["critic_params"])
+
+        from ..utils.profiling import PhaseTimer
+
+        self.phase_timer = PhaseTimer() if tcfg.phase_ledger else None
 
         self._gen_steps = {}
         self._critic_steps = {}
@@ -698,6 +709,19 @@ class ScoreDistillationTrainer:
         self._staged_closs[exit_idx] = jax.jit(f)
         return self._staged_closs[exit_idx]
 
+    def _ph(self, name: str, sync=None):
+        """Ledger bracket (tcfg.phase_ledger): times the enclosed phase with
+        a device sync; a zero-cost nullcontext when the ledger is off."""
+        import contextlib
+
+        if self.phase_timer is None:
+            return contextlib.nullcontext()
+        return self.phase_timer.phase(name, sync_on=sync)
+
+    def _ph_sync(self, x):
+        if self.phase_timer is not None and x is not None:
+            jax.block_until_ready(x)
+
     def _gen_step_staged(self, exit_idx, grad_start, use_mask, trained,
                          noise, prompt_c, prompt_u, rng):
         from ..utils import memory as mem_mod
@@ -706,19 +730,22 @@ class ScoreDistillationTrainer:
         rng_roll, rng_dmd = jax.random.split(rng)
         gen_base = self.state["gen_params"] if self.use_lora else empty
         rkey = (exit_idx, grad_start)
-        latents = self._staged_roll(rkey)(trained, gen_base, noise,
-                                          prompt_c, rng_roll)
+        with self._ph("gen_rollout_fwd"):
+            latents = self._staged_roll(rkey)(trained, gen_base, noise,
+                                              prompt_c, rng_roll)
+            self._ph_sync(latents)
         gen_host = None
         gkey = "gen_lora" if self.use_lora else "gen_params"
         if self.tcfg.page_generator:
             # the generator is dead weight during the teacher+critic phase;
             # drop EVERY device reference (ours and the state's) so its HBM
             # actually frees, keeping host copies to restore afterwards
-            latents.block_until_ready()
-            gen_host = (mem_mod.offload_to_host(trained),
-                        mem_mod.offload_to_host(gen_base)
-                        if self.use_lora else empty)
-            jax.block_until_ready(gen_host)
+            with self._ph("gen_page_out"):
+                latents.block_until_ready()
+                gen_host = (mem_mod.offload_to_host(trained),
+                            mem_mod.offload_to_host(gen_base)
+                            if self.use_lora else empty)
+                jax.block_until_ready(gen_host)
             self.state[gkey] = None
             if self.use_lora:
                 self.state["gen_params"] = None
@@ -727,15 +754,19 @@ class ScoreDistillationTrainer:
         if stream:
             # layer-streamed teacher x0 prediction (14B teacher path): the
             # blocks never co-reside with the critic
-            t_from, t_to = ro.denoised_timestep_bounds(
-                self.sched, self.rcfg, exit_idx)
-            teacher = dmd_mod.teacher_real_x0(
-                self.teacher_params, self.teacher_cfg or self.cfg,
-                self.tables, self.sched, self.dcfg, latents, prompt_c,
-                prompt_u, rng_dmd, denoised_from=t_from, denoised_to=t_to,
-                attn_impl=self.rcfg.attn_impl, streamed=True)
+            with self._ph("teacher_x0_streamed"):
+                t_from, t_to = ro.denoised_timestep_bounds(
+                    self.sched, self.rcfg, exit_idx)
+                teacher = dmd_mod.teacher_real_x0(
+                    self.teacher_params, self.teacher_cfg or self.cfg,
+                    self.tables, self.sched, self.dcfg, latents, prompt_c,
+                    prompt_u, rng_dmd, denoised_from=t_from, denoised_to=t_to,
+                    attn_impl=self.rcfg.attn_impl, streamed=True)
+                self._ph_sync(teacher)
         else:
-            teacher = mem_mod.fetch_from_host(self.teacher_params)
+            with self._ph("teacher_fetch"):
+                teacher = mem_mod.fetch_from_host(self.teacher_params)
+                self._ph_sync(teacher)
         # the pending async critic update (opt_async) has been hiding
         # behind the rollout dispatch above; it must land before the
         # critic participates in the DMD loss grad
@@ -744,25 +775,30 @@ class ScoreDistillationTrainer:
                        if self.critic_lora_on else empty)
         critic_train = self.state[
             "critic_lora" if self.critic_lora_on else "critic_params"]
-        loss, aux, dlat = self._staged_dmd_grad(exit_idx, use_mask, stream)(
-            latents, critic_train, critic_base, teacher,
-            prompt_c, prompt_u, rng_dmd)
-        dlat.block_until_ready()  # the pages must not overlap the vjp peak
+        with self._ph("dmd_loss_grad"):
+            loss, aux, dlat = self._staged_dmd_grad(exit_idx, use_mask, stream)(
+                latents, critic_train, critic_base, teacher,
+                prompt_c, prompt_u, rng_dmd)
+            dlat.block_until_ready()  # the pages must not overlap the vjp peak
         del teacher, critic_base, latents
         if gen_host is not None:
-            trained = mem_mod.fetch_from_host(gen_host[0])
-            gen_base = (mem_mod.fetch_from_host(gen_host[1])
-                        if self.use_lora else empty)
+            with self._ph("gen_page_in"):
+                trained = mem_mod.fetch_from_host(gen_host[0])
+                gen_base = (mem_mod.fetch_from_host(gen_host[1])
+                            if self.use_lora else empty)
+                self._ph_sync((trained, gen_base))
             self.state[gkey] = trained
             if self.use_lora:
                 self.state["gen_params"] = gen_base
-        if self.tcfg.block_vjp:
-            grads = self._block_vjp_loop(exit_idx, grad_start, trained,
-                                         gen_base, noise, prompt_c,
-                                         rng_roll, dlat)
-        else:
-            grads = self._staged_vjp(rkey)(trained, gen_base, noise,
-                                           prompt_c, rng_roll, dlat)
+        with self._ph("gen_rollout_vjp"):
+            if self.tcfg.block_vjp:
+                grads = self._block_vjp_loop(exit_idx, grad_start, trained,
+                                             gen_base, noise, prompt_c,
+                                             rng_roll, dlat)
+            else:
+                grads = self._staged_vjp(rkey)(trained, gen_base, noise,
+                                               prompt_c, rng_roll, dlat)
+            self._ph_sync(grads)
         return grads, loss, aux, trained
 
     def _critic_step_staged(self, exit_idx, critic_train_key, noise,
@@ -774,8 +810,10 @@ class ScoreDistillationTrainer:
         gen_train = self.state["gen_lora" if self.use_lora else "gen_params"]
         gen_base = self.state["gen_params"] if self.use_lora else empty
         rkey = (exit_idx, noise.shape[1] + 1)  # no grad anywhere
-        latents = self._staged_roll(rkey)(gen_train, gen_base, noise,
-                                          prompt_c, rng_roll)
+        with self._ph("critic_rollout_fwd"):
+            latents = self._staged_roll(rkey)(gen_train, gen_base, noise,
+                                              prompt_c, rng_roll)
+            self._ph_sync(latents)
         # land the previous step's async critic update AFTER the rollout
         # dispatch (the rollout only needs the generator) — the host AdamW
         # has been running behind it since the last step
@@ -783,9 +821,11 @@ class ScoreDistillationTrainer:
         trained_c = self.state[critic_train_key]
         critic_base = (mem_mod.fetch_from_host(self.state["critic_params"])
                        if self.critic_lora_on else empty)
-        grads, loss, aux = self._staged_critic_grad(exit_idx)(
-            trained_c, critic_base, latents, prompt_c, rng_crit)
-        jax.tree.leaves(grads)[0].block_until_ready()
+        with self._ph("critic_loss_grad"):
+            grads, loss, aux = self._staged_critic_grad(exit_idx)(
+                trained_c, critic_base, latents, prompt_c, rng_crit)
+            jax.tree.leaves(grads)[0].block_until_ready()
+            self._ph_sync(grads)
         del critic_base, latents
         return grads, loss, aux
 
@@ -831,6 +871,17 @@ class ScoreDistillationTrainer:
         params into ``self.state[state_key]`` at the next read point.  The
         grad norm then appears in the NEXT step's aux (lagged by one
         step)."""
+        ph = self._ph("opt_" + norm_key.replace("_grad_norm", ""))
+        ph.__enter__()
+        try:
+            return self._apply_update_eager_inner(
+                opt_key, tx, grads, trained, lr, b1, b2, norm_key, aux,
+                state_key)
+        finally:
+            ph.__exit__(None, None, None)
+
+    def _apply_update_eager_inner(self, opt_key, tx, grads, trained, lr, b1,
+                                  b2, norm_key, aux, state_key=None):
         if self.tcfg.opt_on_host:
             dtypes = [x.dtype for x in jax.tree.leaves(trained)]
             kwargs = dict(lr=lr, b1=b1, b2=b2,
@@ -855,6 +906,7 @@ class ScoreDistillationTrainer:
                 grads, self.state[opt_key], trained)
             new_t = optax.apply_updates(trained, updates)
             gnorm = optax.global_norm(grads)
+        self._ph_sync(new_t)
         return new_t, dict(aux, **{norm_key: gnorm})
 
     # -- public API --------------------------------------------------------
@@ -975,6 +1027,12 @@ class ScoreDistillationTrainer:
         self.state[critic_train_key] = ct
         metrics.update({"critic_loss": float(loss), "critic_exit_idx": exit_c,
                         **{k: float(v) for k, v in aux.items()}})
+        if self.phase_timer is not None:
+            # per-step ledger: phase -> ms this step (VERDICT r4 item 4)
+            metrics["phase_ms"] = {
+                k: round(sum(v) * 1e3, 1)
+                for k, v in self.phase_timer.phases.items()}
+            self.phase_timer.phases.clear()
         self.state["step"] = self.state["step"] + 1
         return metrics
 

@@ -89,6 +89,13 @@ def main():
                     help="staged_phases: 3-jit DMD split with the teacher + "
                          "frozen critic base paged to host between phases "
                          "(~5.2 GB off the rollout residency; lora_step only)")
+    ap.add_argument("--ledger", action="store_true",
+                    help="per-phase device-time ledger "
+                         "(TrainerConfig.phase_ledger): prints phase_ms "
+                         "per step — the measured compute-vs-transfer "
+                         "split (VERDICT r4 item 4).  Implies --staged; "
+                         "the syncs serialize the async overlap, so the "
+                         "total is an upper bound on the production step.")
     ap.add_argument("--teacher_14b", action="store_true",
                     help="REAL 14B teacher geometry (dim 5120, ffn 13824, "
                          "40 heads, 40 layers — config.WAN_MODEL_CONFIGS), "
@@ -266,10 +273,11 @@ def main():
                 opt_on_host=True, opt_async=args.opt_async,
                 cache_int8=args.cache_int8,
                 staged_phases=(args.staged or args.teacher_14b
-                               or args.block_vjp),
+                               or args.block_vjp or args.ledger),
                 block_vjp=args.block_vjp,
                 teacher_stream=args.teacher_14b,
-                page_generator=args.page_gen)
+                page_generator=args.page_gen,
+                phase_ledger=args.ledger)
             tr = ScoreDistillationTrainer(tcfg, cfg, geom, gen, critic,
                                           teacher, teacher_cfg=teacher_cfg)
             del gen, critic, teacher  # trainer owns them; free the dup refs
@@ -281,14 +289,25 @@ def main():
             mem("first_step_done")
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
+            ledgers = []
             for r in range(args.reps):
                 m = tr.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(5))
+                if args.ledger and "phase_ms" in m:
+                    ledgers.append(m["phase_ms"])
+                    print(json.dumps({"step_ledger": m["phase_ms"]}),
+                          flush=True)
             tr.finish_pending()  # include the trailing async update
             _ = float(jnp.asarray(m["critic_loss"]))
             dt = (time.perf_counter() - t0) / args.reps
             extra = {"generator_loss": float(m.get("generator_loss", float("nan"))),
                      "critic_loss": float(m["critic_loss"]),
                      "compile_s": round(compile_s, 1)}
+            if ledgers:
+                # mean per phase over the timed reps
+                keys = sorted({k for l in ledgers for k in l})
+                extra["phase_ms"] = {
+                    k: round(sum(l.get(k, 0.0) for l in ledgers)
+                             / len(ledgers), 1) for k in keys}
             return dt, extra
 
         if args.mode == "stream_chunk":

@@ -376,3 +376,89 @@ def test_masked_flash_teacher_forcing_nonmultiple_frames():
         clean_frames=f, block_q=32, block_kv=48, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_masked_flash_dead_tile_elision_exact():
+    """VERDICT r4 item 5: statically dead (q, kv) tiles are elided (DMA
+    redirected + body gated) in flash_attention_frame_masked.  Elision must
+    be EXACT vs the plain grid: the skipped tiles contribute nothing to the
+    online softmax by construction."""
+    from longlive_tpu.ops.attention import (_frame_mask_tile_arrays,
+                                            flash_attention_frame_masked)
+
+    rng = np.random.RandomState(3)
+    fs = 40
+    for kind, f, nfb, local, sink, cf in [
+        ("teacher_forcing", 6, 3, -1, 0, 6),
+        ("block_causal", 9, 3, -1, 0, 0),
+        ("sink_window", 9, 3, 4, 1, 0),
+    ]:
+        s = (2 * f * fs) if kind == "teacher_forcing" else f * fs
+        q = jnp.asarray(rng.randn(1, s, 1, 128), jnp.float32) * 0.5
+        k = jnp.asarray(rng.randn(1, s, 1, 128), jnp.float32) * 0.5
+        v = jnp.asarray(rng.randn(1, s, 1, 128), jnp.float32)
+        kw = dict(mask_kind=kind, frame_seq=fs, nfb=nfb, local=local,
+                  sink=sink, clean_frames=cf, block_q=128, block_kv=128,
+                  interpret=True)
+        a = flash_attention_frame_masked(q, k, v, elide_dead_tiles=True, **kw)
+        b = flash_attention_frame_masked(q, k, v, elide_dead_tiles=False, **kw)
+        assert float(jnp.abs(a - b).max()) == 0.0, kind
+    # the real 21-frame TF geometry elides ~70% of the tiles
+    _, _, n_live, n_total = _frame_mask_tile_arrays(
+        "teacher_forcing", 65536, 65536, 512, 512, 1560, 3, -1, 0, 21)
+    assert n_live / n_total < 0.35
+
+
+def test_masked_flash_tile_liveness_is_exact():
+    """Tile liveness must match a brute-force evaluation of the in-kernel
+    mask over every REAL q row (padded q rows are sliced off; a tile kept
+    alive only by them may be either) — an under-approximation would drop
+    real attention edges silently."""
+    from longlive_tpu.ops.attention import _frame_mask_tile_arrays
+
+    def brute(kind, sp_q, sp_k, fs, nfb, local, sink, cf, s_real):
+        qi = np.arange(max(sp_q, sp_k))[:, None]
+        ki = np.arange(max(sp_q, sp_k))[None, :]
+        if kind == "teacher_forcing":
+            cl = cf * fs
+            qn, kn = qi >= cl, ki >= cl
+            qf = np.where(qn, (qi - cl) // fs, qi // fs)
+            kf = np.where(kn, (ki - cl) // fs, ki // fs)
+            qb, kb = qf // nfb, kf // nfb
+            m = ((((~qn) & (~kn) & (kb <= qb)) | (qn & kn & (kb == qb))
+                  | (qn & (~kn) & (kb < qb))) & (kf < cf)) | (qi == ki)
+        else:
+            qf, kf = qi // fs, ki // fs
+            ends = (qf // nfb + 1) * nfb
+            m = kf < ends
+            if kind == "block_causal" and local != -1:
+                m = m & (kf >= ends - local)
+            elif kind == "sink_window":
+                m = m & ((kf < sink) | (kf >= ends - (local - sink)))
+            m = m | (qi == ki)
+        m = m[:sp_q, :sp_k].copy()
+        m[s_real:, :] = False
+        return m
+
+    for kind, f, nfb, local, sink, cf, bq, bkv in [
+        ("teacher_forcing", 7, 3, -1, 0, 7, 128, 64),
+        ("teacher_forcing", 4, 2, -1, 0, 4, 64, 128),
+        ("block_causal", 9, 3, 4, 0, 0, 128, 128),
+        ("sink_window", 12, 3, 9, 3, 0, 256, 128),
+    ]:
+        for fs in (16, 24, 40):
+            s = (2 * f * fs) if kind == "teacher_forcing" else f * fs
+            sp_q, sp_k = -(-s // bq) * bq, -(-s // bkv) * bkv
+            _, lv, _, _ = _frame_mask_tile_arrays(
+                kind, sp_q, sp_k, bq, bkv, fs, nfb, local, sink, cf)
+            lv = np.asarray(lv).reshape(sp_q // bq, sp_k // bkv)
+            m = brute(kind, sp_q, sp_k, fs, nfb, local, sink, cf, s)
+            for iq in range(lv.shape[0]):
+                for ik in range(lv.shape[1]):
+                    truth = m[iq * bq:(iq + 1) * bq,
+                              ik * bkv:(ik + 1) * bkv].any()
+                    # exact for real-row tiles; pads may only be
+                    # over-approximated (extra live tile = wasted compute,
+                    # never wrongness)
+                    if truth:
+                        assert lv[iq, ik] == 1, (kind, f, fs, iq, ik)
