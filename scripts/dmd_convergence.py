@@ -131,8 +131,13 @@ def pretrain_teacher(cfg, geom, frames, mu, data_sigma, steps, lr, rng):
 
 
 def run(steps=400, eval_every=40, flip_sign=False, lr=2e-4, lr_critic=4e-4,
-        teacher_steps=600, seed=0, verbose=True):
-    """Returns dict with the metric curve and the initial/final values."""
+        teacher_steps=600, seed=0, verbose=True, streaming=False):
+    """Returns dict with the metric curve and the initial/final values.
+
+    ``streaming=True`` runs the StreamingTrainer leg instead: the same DMD
+    mechanics through the chunked long-tuning state machine
+    (model/streaming_training.py semantics) — the generator must still
+    move toward the teacher distribution."""
     from longlive_tpu.config import tiny_dit_config, tiny_geometry
     from longlive_tpu.models import dit as D
     from longlive_tpu.training import dmd as dmd_mod
@@ -171,8 +176,17 @@ def run(steps=400, eval_every=40, flip_sign=False, lr=2e-4, lr_critic=4e-4,
                                  zero_head=False)
         # critic initialized FROM the teacher, like the reference's
         # fake_score base-model init (model/base.py:30-39)
-        tr = ScoreDistillationTrainer(tcfg, cfg, geom, copy(gen0),
-                                      copy(teacher), teacher)
+        if streaming:
+            from longlive_tpu.training.streaming import (StreamingConfig,
+                                                         StreamingTrainer)
+
+            scfg = StreamingConfig(chunk_size=frames, min_new_frame=frames - 1,
+                                   max_length=3 * frames)
+            tr = StreamingTrainer(tcfg, cfg, geom, copy(gen0), copy(teacher),
+                                  teacher, streaming_cfg=scfg)
+        else:
+            tr = ScoreDistillationTrainer(tcfg, cfg, geom, copy(gen0),
+                                          copy(teacher), teacher)
 
         eval_noise = jax.random.normal(
             jax.random.PRNGKey(seed + 5),
@@ -188,9 +202,27 @@ def run(steps=400, eval_every=40, flip_sign=False, lr=2e-4, lr_critic=4e-4,
         pe2 = jnp.tile(pe, (2, 1, 1))
         noise_key = jax.random.PRNGKey(seed + 6)
 
+        if streaming:
+            tr.start_new_sequence(pe2, pe2, jax.random.PRNGKey(seed + 8))
+
         curve = [(0, metric())]
         glosses, closses = [], []
         for i in range(steps):
+            if streaming:
+                if not tr.can_generate_more():
+                    tr.start_new_sequence(pe2, pe2,
+                                          jax.random.fold_in(
+                                              jax.random.PRNGKey(seed + 8), i))
+                m = tr.streaming_train_step(jax.random.PRNGKey(seed + 7))
+                if "generator_loss" in m:
+                    glosses.append(float(m["generator_loss"]))
+                closses.append(float(m["critic_loss"]))
+                if (i + 1) % eval_every == 0:
+                    curve.append((i + 1, metric()))
+                    if verbose:
+                        print(f"step {i+1}: mse_to_mu={curve[-1][1]:.4f}",
+                              flush=True)
+                continue
             # fresh rollout noise per step (the reference samples a fresh
             # batch each step; 2 fixed points would not probe distribution
             # matching)
@@ -212,6 +244,7 @@ def run(steps=400, eval_every=40, flip_sign=False, lr=2e-4, lr_critic=4e-4,
 
     return {
         "flip_sign": flip_sign,
+        "streaming": streaming,
         "steps": steps,
         "teacher_fm_loss": tloss,
         "curve": curve,
@@ -231,12 +264,13 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--lr_critic", type=float, default=4e-4)
     ap.add_argument("--flip-sign", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--json", default=None)
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
     out = run(steps=args.steps, eval_every=args.eval_every,
               flip_sign=args.flip_sign, lr=args.lr, lr_critic=args.lr_critic,
-              teacher_steps=args.teacher_steps)
+              teacher_steps=args.teacher_steps, streaming=args.streaming)
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:
