@@ -343,12 +343,45 @@ def causal_conv3d(x, p, thread: _CacheThread, stride=(1, 1, 1)):
 # blocks
 
 
+def _pair_fusable(x, p, thread: _CacheThread) -> bool:
+    """True when the whole-res_block pair kernel (ops/vae_conv.fused_res_block)
+    covers this block: LONGLIVE_VAE_PAIR=1, no shortcut (C == O), both convs
+    individually fusable, bf16 path."""
+    if os.environ.get("LONGLIVE_VAE_PAIR", "0") != "1":
+        return False
+    if p.get("shortcut") is not None:
+        return False
+    if not (_fusable(x, p["conv1"], thread, (1, 1, 1))
+            and _fusable(x, p["conv2"], thread, (1, 1, 1))):
+        return False
+    w1, w2 = p["conv1"]["w"], p["conv2"]["w"]
+    if tuple(w1.shape[2:]) != (3, 3, 3) or tuple(w2.shape[2:]) != (3, 3, 3):
+        return False
+    return w1.shape[0] == w2.shape[1] and w2.shape[0] == w1.shape[1]
+
+
 def res_block(x, p, thread: _CacheThread):
     """ResidualBlock (vae.py:186-220)."""
     h = x
     if p.get("shortcut") is not None:
         sc_thread = _CacheThread(None)
         h = causal_conv3d(x, p["shortcut"], sc_thread)  # 1x1x1, no cache use
+    elif _pair_fusable(x, p, thread):
+        c1 = thread.pull().astype(x.dtype)
+        c2 = thread.pull().astype(x.dtype)
+        pair = _vc.fused_res_block(
+            x[0], c1[0], c2[0],
+            p["conv1"]["w"], p["conv1"].get("b"), p["norm1"],
+            p["conv2"]["w"], p["conv2"].get("b"), p["norm2"],
+            interpret=os.environ.get("LONGLIVE_VAE_FUSED") == "interpret",
+        )
+        if pair is not None:
+            out, n1, n2 = pair
+            thread.push(n1[None])
+            thread.push(n2[None])
+            return out[None]
+        # geometry didn't fit the pair budget: fall back to the 2-call chain
+        thread.idx -= 2
     y = norm_silu_causal_conv(x, p["norm1"], p["conv1"], thread)
     return norm_silu_causal_conv(y, p["norm2"], p["conv2"], thread, residual=h)
 

@@ -630,3 +630,454 @@ def fused_causal_conv(
         # old cache's frame 1
         nx = jnp.concatenate([cache[1:2], nx[1:2]], axis=0)
     return out, nx
+
+
+# ---------------------------------------------------------------------------
+# res_block pair fusion: BOTH convs of a ResidualBlock (vae.py:186-220) in a
+# single kernel.  conv1's normalized output never round-trips HBM: it is
+# computed into a 3-frame VMEM staging window (exactly the x window of the
+# single-conv kernel, but written by the MXU instead of DMA'd from HBM) and
+# conv2 consumes it in the same grid step.  Eliminated per res_block vs the
+# 2-call chain: the intermediate activation's HBM write + (halo-redundant)
+# re-read, one kernel dispatch, and conv2's staging-DMA critical path.
+# Cost: conv1 recomputes its per-row-tile halo rows ((th+2)/th FLOP
+# redundancy), so the pair kernel wants the LARGE row tiles the single-conv
+# kernel measured against (r2 "bigtiles") — the A/B decides per stage.
+# Scope: the no-shortcut (C == O) res blocks, kt=kh=kw=3 stride 1, bf16,
+# B == 1 streaming decode.  Shortcut blocks fall back to the 2-call chain.
+
+
+def _pair_kernel(
+    gamma1_ref, gamma2_ref, b1_ref, b2_ref, w1_ref, w2_ref,
+    cache1_ref, cache2_ref, x_ref, res_ref,
+    out_ref, nc1_ref, nc2_ref,
+    xs0, xs1, xs2, ys0, ys1, ys2, kbuf1, kbuf2, sems,
+    *,
+    th: int,
+    t_frames: int,
+    width: int,
+    n_rows: int,
+    c1_true: int,
+    c2_true: int,
+    cp: int,
+    cp2: int,
+    op1: int,
+    op2: int,
+):
+    r = pl.program_id(0)
+    t = pl.program_id(1)
+    num_r = pl.num_programs(0)
+    xs_refs = (xs0, xs1, xs2)
+    ys_refs = (ys0, ys1, ys2)
+    zero = jnp.zeros((), jnp.int32)
+    one = jnp.ones((), jnp.int32)
+
+    # ---- staging DMA (x window: halo 2 -> th+4 rows; y window: halo 1) ----
+    def _xdma(src_ref, src_idx, stage_ref, rr, sem, op):
+        def _cp(src_row0, dst_row0, nrows):
+            return pltpu.make_async_copy(
+                src_ref.at[src_idx, pl.ds(src_row0, nrows)],
+                stage_ref.at[pl.ds(dst_row0, nrows), pl.ds(8, width)],
+                sem,
+            )
+
+        if n_rows == 1:
+            getattr(_cp(0, 2, th), op)()
+        else:
+            @pl.when(rr == 0)
+            def _top():
+                getattr(_cp(0, 2, th + 2), op)()
+
+            @pl.when((rr > 0) & (rr < num_r - 1))
+            def _mid():
+                getattr(_cp(rr * th - 2, 0, th + 4), op)()
+
+            @pl.when((rr == num_r - 1) & (rr > 0))
+            def _bot():
+                getattr(_cp(rr * th - 2, 0, th + 2), op)()
+
+    def _ydma(src_idx, stage_ref, rr, sem, op):
+        def _cp(src_row0, dst_row0, nrows):
+            return pltpu.make_async_copy(
+                cache2_ref.at[src_idx, pl.ds(src_row0, nrows)],
+                stage_ref.at[pl.ds(dst_row0, nrows), pl.ds(8, width)],
+                sem,
+            )
+
+        if n_rows == 1:
+            getattr(_cp(0, 1, th), op)()
+        else:
+            @pl.when(rr == 0)
+            def _top():
+                getattr(_cp(0, 1, th + 1), op)()
+
+            @pl.when((rr > 0) & (rr < num_r - 1))
+            def _mid():
+                getattr(_cp(rr * th - 1, 0, th + 2), op)()
+
+            @pl.when((rr == num_r - 1) & (rr > 0))
+            def _bot():
+                getattr(_cp(rr * th - 1, 0, th + 1), op)()
+
+    # ---- stage finishing -------------------------------------------------
+    def _zero_cols(stage_ref):
+        stage_ref[:, 0:8] = jnp.zeros_like(stage_ref[:, 0:8])
+        stage_ref[:, width + 8 : width + 16] = jnp.zeros_like(
+            stage_ref[:, width + 8 : width + 16])
+
+    def _finish_x(stage_ref, normalize, nx_idx):
+        """Zero the halo-2 borders, optionally norm1+silu, optionally emit
+        image rows [2, 2+th) to nc1[nx_idx]."""
+        if n_rows == 1:
+            stage_ref[0:2] = jnp.zeros_like(stage_ref[0:2])
+            stage_ref[th + 2 : th + 4] = jnp.zeros_like(
+                stage_ref[th + 2 : th + 4])
+        else:
+            @pl.when(r == 0)
+            def _top():
+                stage_ref[0:2] = jnp.zeros_like(stage_ref[0:2])
+
+            @pl.when(r == num_r - 1)
+            def _bot():
+                stage_ref[th + 2 : th + 4] = jnp.zeros_like(
+                    stage_ref[th + 2 : th + 4])
+
+        _zero_cols(stage_ref)
+        if normalize:
+            tile = stage_ref[...].astype(jnp.float32)
+            stage_ref[...] = _norm_silu_tile(
+                tile, gamma1_ref[0].astype(jnp.float32), stage_ref.dtype,
+                c1_true)
+        if nx_idx is not None:
+            @pl.when(nx_idx >= 0)
+            def _emit():
+                cp_ = pltpu.make_async_copy(
+                    stage_ref.at[pl.ds(2, th), pl.ds(8, width)],
+                    nc1_ref.at[nx_idx, pl.ds(r * th, th)],
+                    sems.at[0],
+                )
+                cp_.start()
+                cp_.wait()
+
+    def _finish_y_loaded(stage_ref):
+        """cache2 frames arrive already normalized — just zero borders."""
+        if n_rows == 1:
+            stage_ref[0:1] = jnp.zeros_like(stage_ref[0:1])
+            stage_ref[th + 1 : th + 2] = jnp.zeros_like(
+                stage_ref[th + 1 : th + 2])
+        else:
+            @pl.when(r == 0)
+            def _top():
+                stage_ref[0:1] = jnp.zeros_like(stage_ref[0:1])
+
+            @pl.when(r == num_r - 1)
+            def _bot():
+                stage_ref[th + 1 : th + 2] = jnp.zeros_like(
+                    stage_ref[th + 1 : th + 2])
+
+        _zero_cols(stage_ref)
+
+    # ---- K-packing (9 row-shifted VMEM copies each, sems 1..9 shared) ----
+    def _pack1(perm):
+        copies = []
+        for tau in range(3):
+            for dy in range(3):
+                kblk = (3 * tau + dy) * cp
+                copies.append(pltpu.make_async_copy(
+                    xs_refs[perm[tau]].at[pl.ds(dy, th + 2)],
+                    kbuf1.at[:, :, pl.ds(kblk, cp)],
+                    sems.at[3 * tau + dy + 1],
+                ))
+        for c_ in copies:
+            c_.start()
+        for c_ in copies:
+            c_.wait()
+
+    def _pack2(perm):
+        copies = []
+        for tau in range(3):
+            for dy in range(3):
+                kblk = (3 * tau + dy) * cp2
+                copies.append(pltpu.make_async_copy(
+                    ys_refs[perm[tau]].at[pl.ds(dy, th)],
+                    kbuf2.at[:, :, pl.ds(kblk, cp2)],
+                    sems.at[3 * tau + dy + 1],
+                ))
+        for c_ in copies:
+            c_.start()
+        for c_ in copies:
+            c_.wait()
+
+    def _start_t0_loads(rr):
+        _xdma(cache1_ref, zero, xs0, rr, sems.at[10], "start")
+        _xdma(cache1_ref, one, xs1, rr, sems.at[11], "start")
+        _xdma(x_ref, zero, xs2, rr, sems.at[12], "start")
+        _ydma(zero, ys0, rr, sems.at[13], "start")
+        _ydma(one, ys1, rr, sems.at[14], "start")
+
+    def _wait_t0_loads(rr):
+        _xdma(cache1_ref, zero, xs0, rr, sems.at[10], "wait")
+        _xdma(cache1_ref, one, xs1, rr, sems.at[11], "wait")
+        _xdma(x_ref, zero, xs2, rr, sems.at[12], "wait")
+        _ydma(zero, ys0, rr, sems.at[13], "wait")
+        _ydma(one, ys1, rr, sems.at[14], "wait")
+
+    @pl.when((t == 0) & (r == 0))
+    def _cold_start():
+        _start_t0_loads(r)
+        _wait_t0_loads(r)
+
+    @pl.when((t == 0) & (r > 0))
+    def _warm_start():
+        # started by the previous row-tile's last step
+        _wait_t0_loads(r)
+
+    @pl.when(t == 0)
+    def _first_finish():
+        _finish_x(xs0, normalize=False, nx_idx=None)
+        _finish_x(xs1, normalize=False, nx_idx=None)
+        _finish_x(xs2, normalize=True,
+                  nx_idx=jnp.asarray(2 - t_frames, jnp.int32))
+        _finish_y_loaded(ys0)
+        _finish_y_loaded(ys1)
+
+    # ---- window step A: x arrival + pack1 + x prefetch -------------------
+    for k in range(3):
+        @pl.when(t % 3 == k)
+        def _step_a(k=k):
+            @pl.when(t > 0)
+            def _arrive():
+                arr = xs_refs[(k + 2) % 3]
+                _xdma(x_ref, t, arr, r, sems.at[15], "wait")
+                _finish_x(arr, normalize=True,
+                          nx_idx=t - jnp.asarray(t_frames - 2, jnp.int32))
+
+            _pack1((k, (k + 1) % 3, (k + 2) % 3))
+
+            @pl.when(t + 1 < t_frames)
+            def _prefetch_x():
+                _xdma(x_ref, t + 1, xs_refs[k], r, sems.at[15], "start")
+
+    # ---- conv1 GEMM: y frame t, staged layout (data at cols [8, 8+W)) ----
+    wp = width + 16
+    n1 = (th + 2) * wp
+    lhs1 = kbuf1[...].reshape(n1, 3 * 3 * cp)
+    o1 = jax.lax.dot_general(
+        lhs1, w1_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [(th+2)*wp, 3*op1]
+    # keep the result in the STAGED column layout: output staged col c sums
+    # input staged cols c + (dx - 1) -> shift by (1 - dx); wraps land in the
+    # zeroed pad columns (o1's pad cols are zero because the x stages' are)
+    y_stage = sum(
+        pltpu.roll(o1[:, dx * op1 : (dx + 1) * op1], (1 - dx) % n1, 0)
+        for dx in range(3)
+    )
+    y_stage = y_stage + b1_ref[0].astype(jnp.float32)[None, :]
+    y_bf = y_stage.reshape(th + 2, wp, op1).astype(out_ref.dtype)
+
+    # ---- window step B: store y, norm2+silu, emit nc2, pack2 -------------
+    for k in range(3):
+        @pl.when(t % 3 == k)
+        def _step_b(k=k):
+            ref = ys_refs[(k + 2) % 3]
+            ref[...] = y_bf
+            _finish_y_loaded(ref)  # zero halo/border (r edges + pad cols)
+            tile = ref[...].astype(jnp.float32)
+            ref[...] = _norm_silu_tile(
+                tile, gamma2_ref[0].astype(jnp.float32), ref.dtype, c2_true)
+            nx2 = t - jnp.asarray(t_frames - 2, jnp.int32)
+
+            @pl.when(nx2 >= 0)
+            def _emit():
+                cp_ = pltpu.make_async_copy(
+                    ref.at[pl.ds(1, th), pl.ds(8, width)],
+                    nc2_ref.at[nx2, pl.ds(r * th, th)],
+                    sems.at[0],
+                )
+                cp_.start()
+                cp_.wait()
+
+            _pack2((k, (k + 1) % 3, (k + 2) % 3))
+
+    @pl.when((t + 1 == t_frames) & (r + 1 < num_r))
+    def _prefetch_next_row():
+        _start_t0_loads(r + 1)
+
+    # ---- conv2 GEMM + residual epilogue ----------------------------------
+    n2 = th * wp
+    lhs2 = kbuf2[...].reshape(n2, 3 * 3 * cp2)
+    o2 = jax.lax.dot_general(
+        lhs2, w2_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [th*wp, 3*op2]
+    acc = sum(
+        pltpu.roll(o2[:, dx * op2 : (dx + 1) * op2], n2 - (7 + dx), 0)
+        for dx in range(3)
+    )
+    acc = acc.reshape(th, wp, op2)[:, 0:width, :]
+    acc = acc + b2_ref[0].astype(jnp.float32)[None, None, :]
+    out_ref[0] = acc.astype(out_ref.dtype) + res_ref[0]
+
+
+def _pick_tile_pair(cp: int, cp2: int, op1: int, op2: int, h: int, w: int,
+                    dtype_bytes: int) -> Optional[int]:
+    """Row tile for the pair kernel (whole-O tiles both convs).  Needs
+    th >= 4 to bound conv1's halo recompute at (th+2)/th <= 1.5; returns
+    None (caller falls back to the 2-call chain) when nothing fits the
+    budget.  LONGLIVE_VAE_PAIR_TH forces a tile for on-chip A/B."""
+    forced = os.environ.get("LONGLIVE_VAE_PAIR_TH")
+    if forced:
+        th = int(forced)
+        return th if h % th == 0 else None
+    budget = float(os.environ.get("LONGLIVE_VAE_PAIR_BUDGET", "80e6"))
+    wp = w + 16
+    for th in (8, 6, 4):
+        if h % th:
+            continue
+        xs = 3 * (th + 4) * wp * cp * dtype_bytes
+        ys = 3 * (th + 2) * wp * cp2 * dtype_bytes
+        kb1 = (th + 2) * wp * 9 * cp * dtype_bytes
+        kb2 = th * wp * 9 * cp2 * dtype_bytes
+        o91 = (th + 2) * wp * 3 * op1 * 4
+        o92 = th * wp * 3 * op2 * 4
+        wt = 2 * (9 * cp * 3 * op1 + 9 * cp2 * 3 * op2) * dtype_bytes
+        io = 3 * th * w * op2 * dtype_bytes  # out + residual tiles
+        if xs + ys + kb1 + kb2 + o91 + o92 + wt + io < budget:
+            return th
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("c1_true", "c2_true", "th",
+                                              "interpret"))
+def _fused_res_block_impl(x, cache1, cache2, w1p, b1, gamma1, w2p, b2,
+                          gamma2, c1_true: int, c2_true: int, th: int,
+                          interpret: bool = False):
+    t, h, wd, cp = x.shape
+    cp2 = cache2.shape[-1]
+    op1 = w1p.shape[2] // 3
+    op2 = w2p.shape[2] // 3
+    assert w1p.shape == (1, 9 * cp, 3 * op1), (w1p.shape, cp)
+    assert w2p.shape == (1, 9 * cp2, 3 * op2), (w2p.shape, cp2)
+    grid = (h // th, t)
+    wp_ = wd + 16
+
+    in_specs = [
+        pl.BlockSpec((1, cp), lambda r, tt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cp2), lambda r, tt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, op1), lambda r, tt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, op2), lambda r, tt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9 * cp, 3 * op1), lambda r, tt: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9 * cp2, 3 * op2), lambda r, tt: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # cache1
+        pl.BlockSpec(memory_space=pl.ANY),  # cache2
+        pl.BlockSpec(memory_space=pl.ANY),  # x
+        pl.BlockSpec((1, th, wd, op2), lambda r, tt: (tt, r, 0, 0),
+                     memory_space=pltpu.VMEM),  # residual = x re-read
+    ]
+    operands = [
+        gamma1.reshape(1, cp).astype(jnp.float32),
+        gamma2.reshape(1, cp2).astype(jnp.float32),
+        b1.reshape(1, op1).astype(jnp.float32),
+        b2.reshape(1, op2).astype(jnp.float32),
+        w1p, w2p, cache1, cache2, x, x,
+    ]
+
+    out, nc1, nc2 = pl.pallas_call(
+        functools.partial(
+            _pair_kernel, th=th, t_frames=t, width=wd, n_rows=h // th,
+            c1_true=c1_true, c2_true=c2_true, cp=cp, cp2=cp2,
+            op1=op1, op2=op2,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, th, wd, op2), lambda r, tt: (tt, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, h, wd, op2), x.dtype),
+            jax.ShapeDtypeStruct((2, h, wd, cp), x.dtype),
+            jax.ShapeDtypeStruct((2, h, wd, cp2), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, wp_, cp), x.dtype),
+            pltpu.VMEM((th + 4, wp_, cp), x.dtype),
+            pltpu.VMEM((th + 4, wp_, cp), x.dtype),
+            pltpu.VMEM((th + 2, wp_, cp2), x.dtype),
+            pltpu.VMEM((th + 2, wp_, cp2), x.dtype),
+            pltpu.VMEM((th + 2, wp_, cp2), x.dtype),
+            pltpu.VMEM((th + 2, wp_, 9 * cp), x.dtype),
+            pltpu.VMEM((th, wp_, 9 * cp2), x.dtype),
+            # 0: nc emits; 1..9: K-pack copies (shared by both packs);
+            # 10..14: the five t==0 stage loads (prefetched across row
+            # tiles); 15: the within-row x-frame prefetch
+            pltpu.SemaphoreType.DMA((16,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out, nc1, nc2
+
+
+def fused_res_block(
+    x: jax.Array,
+    cache1: jax.Array,
+    cache2: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    gamma1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    gamma2: jax.Array,
+    interpret: bool = False,
+) -> Optional[Tuple[jax.Array, jax.Array, jax.Array]]:
+    """Whole no-shortcut ResidualBlock (vae.py:186-220) in one kernel:
+    ``out = conv2(silu(norm2(conv1(silu(norm1(x)))))) + x`` with both causal
+    conv caches threaded.  Bitwise-equal to the two ``fused_causal_conv``
+    calls it replaces (same GEMM operands, same rounding points — the
+    intermediate just never leaves VMEM).
+
+    x: [T, H, W, C]; cache1: [2, H, W, C] normalized (norm1) input frames;
+    cache2: [2, H, W, C] normalized (norm2) conv1-output frames — both
+    exactly what the chain's per-conv ``feat_cache`` slots hold.  Returns
+    (out, new_cache1, new_cache2) or None when the geometry doesn't fit
+    (caller falls back)."""
+    o1, ci1 = int(w1.shape[0]), int(w1.shape[1])
+    o2, ci2 = int(w2.shape[0]), int(w2.shape[1])
+    assert tuple(w1.shape[2:]) == (3, 3, 3) and tuple(w2.shape[2:]) == (3, 3, 3)
+    assert o1 == ci2 and o2 == ci1, (w1.shape, w2.shape)
+    cp = _aligned(max(x.shape[-1], ci1))
+    cp2 = _aligned(o1)
+    op1, op2 = cp2, cp  # C == O chain
+    th = _pick_tile_pair(cp, cp2, op1, op2, x.shape[1], x.shape[2],
+                         x.dtype.itemsize)
+    if th is None:
+        return None
+
+    def _lane_pad(a, to):
+        if a is None or a.shape[-1] == to:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, to - a.shape[-1])])
+
+    w1p = pack_weights(w1, cp, op1, op1, x.dtype)
+    w2p = pack_weights(w2, cp2, op2, op2, x.dtype)
+    x = _lane_pad(x, cp)
+    cache1 = _lane_pad(cache1, cp)
+    cache2 = _lane_pad(cache2, cp2)
+    out, nc1, nc2 = _fused_res_block_impl(
+        x, cache1, cache2, w1p, _lane_pad(b1, op1), _lane_pad(gamma1, cp),
+        w2p, _lane_pad(b2, op2), _lane_pad(gamma2, cp2),
+        c1_true=ci1, c2_true=ci2, th=th, interpret=interpret)
+    if x.shape[0] == 1:
+        nc1 = jnp.concatenate([cache1[1:2], nc1[1:2]], axis=0)
+        nc2 = jnp.concatenate([cache2[1:2], nc2[1:2]], axis=0)
+    return out, nc1, nc2

@@ -40,7 +40,8 @@ def main():
 
     base = {"LONGLIVE_VAE_FUSED": "1", "LONGLIVE_VAE_FUSED_TIMECONV": "1",
             "LONGLIVE_VAE_FUSED_96": "0", "LONGLIVE_VAE_VMEM_BUDGET": "20e6",
-            "LONGLIVE_VAE_INT8": "0"}
+            "LONGLIVE_VAE_INT8": "0", "LONGLIVE_VAE_PAIR": "0",
+            "LONGLIVE_VAE_PAIR_TH": ""}
     variants = [
         ("fused", {}),
         ("fused_bigtiles", {"LONGLIVE_VAE_VMEM_BUDGET": "45e6"}),
@@ -55,6 +56,21 @@ def main():
         ("fused_96_25", {"LONGLIVE_VAE_FUSED_96": "1",
                          "LONGLIVE_VAE_VMEM_BUDGET": "25e6"}),
         ("fused_no_timeconv", {"LONGLIVE_VAE_FUSED_TIMECONV": "0"}),
+        # res_block pair fusion (ops/vae_conv.fused_res_block): both convs
+        # of each no-shortcut res block in one kernel, the intermediate
+        # activation resident in VMEM (VERDICT r4 item 6).  _TH forces the
+        # row tile (stages whose H it doesn't divide fall back per-block).
+        ("fused_96_pair", {"LONGLIVE_VAE_FUSED_96": "1",
+                           "LONGLIVE_VAE_PAIR": "1"}),
+        ("fused_96_pair_th4", {"LONGLIVE_VAE_FUSED_96": "1",
+                               "LONGLIVE_VAE_PAIR": "1",
+                               "LONGLIVE_VAE_PAIR_TH": "4"}),
+        ("fused_96_pair_th6", {"LONGLIVE_VAE_FUSED_96": "1",
+                               "LONGLIVE_VAE_PAIR": "1",
+                               "LONGLIVE_VAE_PAIR_TH": "6"}),
+        ("fused_96_pair_th8", {"LONGLIVE_VAE_FUSED_96": "1",
+                               "LONGLIVE_VAE_PAIR": "1",
+                               "LONGLIVE_VAE_PAIR_TH": "8"}),
         ("xla", {"LONGLIVE_VAE_FUSED": "0"}),
         # int8 MXU pipe inside the fused kernel (quantization-bounded;
         # quality row in scripts/quality_delta.py)

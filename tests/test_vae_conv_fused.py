@@ -148,6 +148,89 @@ def test_kernel_int8_close_to_concat_conv(t, c, o, norm, res, khw):
     )
 
 
+@pytest.mark.parametrize("t,h,w,c", [(1, 8, 16, 8), (2, 16, 16, 8),
+                                     (4, 16, 24, 12), (2, 8, 16, 96)])
+def test_pair_kernel_matches_two_call_chain(t, h, w, c):
+    """fused_res_block == the two fused_causal_conv calls it replaces, over
+    two streaming chunks (zero caches, then the returned caches)."""
+    from longlive_tpu.ops.vae_conv import fused_res_block
+
+    rng = np.random.default_rng(3)
+    w1 = jnp.asarray(rng.standard_normal((c, c, 3, 3, 3)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((c, c, 3, 3, 3)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    g1 = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    g2 = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+
+    cp = c if (c < 96 or c % 128 == 0) else -(-c // 128) * 128
+    c1 = jnp.zeros((2, h, w, cp), jnp.float32)
+    c2 = jnp.zeros((2, h, w, cp), jnp.float32)
+    pc1, pc2 = c1, c2
+    for chunk in range(2):
+        x = jnp.asarray(rng.standard_normal((t, h, w, c)), jnp.float32)
+
+        y1, rc1 = fused_causal_conv(x, c1, w1, b1, g1, None, interpret=True)
+        ref, rc2 = fused_causal_conv(y1, c2, w2, b2, g2,
+                                     residual=jnp.pad(
+                                         x, [(0, 0)] * 3 + [(0, cp - c)]),
+                                     interpret=True)
+
+        pair = fused_res_block(x, pc1, pc2, w1, b1, g1, w2, b2, g2,
+                               interpret=True)
+        assert pair is not None
+        out, nc1, nc2 = pair
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(nc1), np.asarray(rc1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(nc2), np.asarray(rc2),
+                                   atol=1e-6)
+        c1, c2, pc1, pc2 = rc1, rc2, nc1, nc2
+
+
+def test_pair_res_block_dispatch_matches_chain():
+    """models/vae.res_block with LONGLIVE_VAE_PAIR=1 == the 2-call chain,
+    including the threaded cache structure (two entries either way)."""
+    c, h, w, t = 96, 8, 16, 2
+    rng = np.random.default_rng(9)
+    p = {
+        "norm1": jnp.asarray(rng.standard_normal((c,)), jnp.float32),
+        "norm2": jnp.asarray(rng.standard_normal((c,)), jnp.float32),
+        "conv1": {"w": jnp.asarray(rng.standard_normal((c, c, 3, 3, 3)) * 0.1,
+                                   jnp.float32),
+                  "b": jnp.asarray(rng.standard_normal((c,)), jnp.float32)},
+        "conv2": {"w": jnp.asarray(rng.standard_normal((c, c, 3, 3, 3)) * 0.1,
+                                   jnp.float32),
+                  "b": jnp.asarray(rng.standard_normal((c,)), jnp.float32)},
+    }
+    x = jnp.asarray(rng.standard_normal((1, t, h, w, c)), jnp.float32)
+    caches = [jnp.zeros((1, 2, h, w, 128), jnp.float32) for _ in range(2)]
+
+    prev = {k: os.environ.get(k)
+            for k in ("LONGLIVE_VAE_FUSED", "LONGLIVE_VAE_PAIR")}
+    try:
+        os.environ["LONGLIVE_VAE_FUSED"] = "interpret"
+        os.environ["LONGLIVE_VAE_PAIR"] = "0"
+        th_ref = V._CacheThread(caches)
+        ref = V.res_block(x, p, th_ref)
+
+        os.environ["LONGLIVE_VAE_PAIR"] = "1"
+        th_pair = V._CacheThread(caches)
+        got = V.res_block(x, p, th_pair)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    assert len(th_pair.out) == len(th_ref.out) == 2
+    for a, b_ in zip(th_pair.out, th_ref.out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_streaming_decode_int8_close_to_xla():
     """LONGLIVE_VAE_INT8 through the REAL decoder channel widths at tiny
