@@ -122,6 +122,42 @@ def test_trainer_steps(setup):
     assert "generator_loss" in m2
 
 
+def test_phase_ledger_reports_device_time_split(setup):
+    """TrainerConfig.phase_ledger (VERDICT r4 item 4): the staged trainer
+    brackets each phase with a device sync and reports a ``phase_ms`` dict
+    in the step metrics — the measured compute-vs-transfer split the PERF
+    training table quotes.  Results must be unchanged (the brackets only
+    time)."""
+    cfg, geom, gen, critic, teacher, tables, sched, cross_c, cross_u = setup
+    kw = dict(num_frame_per_block=1, num_training_frames=3,
+              slice_last_frames=3, attn_impl="xla", dfake_gen_update_ratio=1)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    noise = jax.random.normal(jax.random.PRNGKey(11),
+                              (1, 3, geom.channels, geom.height, geom.width))
+    pe_c = jax.random.normal(jax.random.PRNGKey(31),
+                             (1, cfg.text_len, cfg.text_dim))
+    pe_u = pe_c * 0.1
+
+    tr_a = ScoreDistillationTrainer(
+        TrainerConfig(**kw, staged_phases=True), cfg, geom,
+        copy(gen), copy(critic), copy(teacher))
+    m_a = tr_a.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
+    tr_b = ScoreDistillationTrainer(
+        TrainerConfig(**kw, staged_phases=True, phase_ledger=True),
+        cfg, geom, copy(gen), copy(critic), copy(teacher))
+    m_b = tr_b.train_step(noise, pe_c, pe_u, jax.random.PRNGKey(12))
+
+    assert "phase_ms" in m_b and "phase_ms" not in m_a
+    for phase in ("gen_rollout_fwd", "dmd_loss_grad", "gen_rollout_vjp",
+                  "critic_rollout_fwd", "critic_loss_grad"):
+        assert phase in m_b["phase_ms"], sorted(m_b["phase_ms"])
+        assert m_b["phase_ms"][phase] > 0.0
+    np.testing.assert_allclose(m_b["generator_loss"], m_a["generator_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(m_b["critic_loss"], m_a["critic_loss"],
+                               rtol=1e-5)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("page_gen", [False, True])
 def test_staged_phases_matches_monolithic(setup, page_gen):
