@@ -349,8 +349,12 @@ def _pair_fusable(x, p, thread: _CacheThread) -> bool:
     individually fusable, bf16 path."""
     if os.environ.get("LONGLIVE_VAE_PAIR", "0") != "1":
         return False
+    if os.environ.get("LONGLIVE_VAE_INT8", "0") == "1":
+        return False  # pair kernel is bf16-only; don't mix with int8 convs
     if p.get("shortcut") is not None:
         return False
+    if p["conv1"].get("b") is None or p["conv2"].get("b") is None:
+        return False  # kernel assumes bias epilogues (all Wan VAE convs)
     if not (_fusable(x, p["conv1"], thread, (1, 1, 1))
             and _fusable(x, p["conv2"], thread, (1, 1, 1))):
         return False
